@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided star schema (TESTDATA.md).
+  *
+  * Every query in [[graft.SparkEntry]] reads through here so the scan path
+  * is uniform: explicit parquet reads, no schema inference surprises, and
+  * Catalyst gets a clean `FileScan parquet` it can push filters/projections
+  * into. At 100 TB these would be partitioned/bucketed tables behind the
+  * same function — the query code does not change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native
+    * type for. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`;
+    * here we land it as a micros TimestampType (integer `div` — the value
+    * exceeds double's exact range, and floor matches DuckDB's ns→us
+    * truncation so oracle comparisons agree).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
+}

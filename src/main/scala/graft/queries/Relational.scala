@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Relational / analytics operators — the SQL surface of the reference
+  * (SURVEY.md §2.4 Q1-Q9, §2.3 T1/T6/T9, §2.1 S7-S9), each re-expressed
+  * over the driver's star schema so the DuckDB oracle can verify it.
+  *
+  * Determinism rules for oracle hash-parity:
+  *   - every money/quantity aggregate runs in exact scaled-integer
+  *     arithmetic (2-decimal money -> long cents: exact, codegen'd
+  *     primitive sums — an order of magnitude faster than DecimalType
+  *     aggregation under ANSI overflow checks) and divides back to double
+  *     only at the very end, so sum order cannot change the result. Long
+  *     cents hold exactly to ~9e16 dollars; chain-scale amounts
+  *     (Numeric(38,0) lovelace) use DecimalType in the cardano core
+  *     instead;
+  *   - every output has a total ORDER BY with tiebreaks;
+  *   - timestamps leave the engine as formatted strings (no tz/precision
+  *     ambiguity between Spark and DuckDB).
+  *
+  * Scale notes are on each query: what shuffles, what broadcasts, what
+  * gets pushed to the parquet scan.
+  */
+object Relational {
+
+  /** Exact 2-decimal value as integer hundredths (long "cents"). */
+  private def c100(c: Column): Column = round(c * 100).cast("long")
+
+  /** Q-agg (reference T1/T5 + Q6 family): grouped aggregation, TPC-H Q1
+    * shape. One shuffle on the (tiny-cardinality) group keys; Catalyst
+    * plans partial (map-side) + final HashAggregate, so the shuffle moves
+    * only a handful of rows regardless of input size. The `l_shipdate`
+    * filter and 6-column projection are pushed to the parquet scan.
+    * Ref: src/transformer/transform_cardano_block_dto_to_df.py:16-42 (agg
+    * over ingested frames), README.md:103-109 (group-by analytics).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        (sum(c100($"l_quantity")) / 100.0).as("sum_qty"),
+        (sum(c100($"l_extendedprice")) / 100.0).as("sum_base_price"),
+        (sum(c100($"l_extendedprice") * (lit(100L) - c100($"l_discount"))) / 10000.0)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Watermark read (reference Q1/Q2, S9): filter + scalar max + null
+    * default. Whole thing collapses to a partial/final agg over a
+    * filter-pushed scan — no shuffle of data rows, just one row per task.
+    * Ref: src/dao/provider_to_s3_import_status_dao.py:56-69.
+    */
+  def q2WatermarkMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .agg(coalesce(max($"o_orderkey"), lit(0L)).as("max_key"))
+  }
+
+  /** Top-k group count (reference Q6: top protocols by tx count). Partial
+    * agg shuffles ~#distinct-keys rows; the ORDER BY+LIMIT becomes
+    * TakeOrderedAndProject (no global sort materialization). Deterministic
+    * tiebreak on the key. Ref: README.md:103-109.
+    */
+  def q3TopkGroupCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_partkey".isNotNull)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"l_partkey".asc)
+      .limit(10)
+  }
+
+  /** Anti-join audit (reference Q7: txs lacking UTXO rows). The dimension
+    * side (customer) is the small side; Spark plans a broadcast anti-join
+    * so no shuffle of the fact table. Ref: README.md:117-121.
+    */
+  def q4AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_custkey")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** IN-list driven fan-out (reference Q3/Q4/S8: `WHERE block IN (...)`
+    * read that drives the next pipeline stage). The key set is produced by
+    * a filtered dimension scan and explicitly broadcast — at 100 TB the
+    * fact side never shuffles for this join. Ref:
+    * src/etl_pipelines/cardano_transactions_to_s3_pipeline_w_param.py:85-98.
+    */
+  def q5InListJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables(spark, dir, "supplier")
+      .filter($"s_acctbal" > 5000.0)
+      .select($"s_suppkey")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(keys), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** Join + decimal volume agg + top-k (reference Q8 completed: top
+    * protocols by lovelace volume — decimal-exact sum, never double, per
+    * SURVEY §7.4). supplier/nation broadcast; single shuffle for the
+    * group-by. Ref: README.md:111-114, cardano_tables.py:112.
+    */
+  def q6VolumeTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val supp = Tables(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val nation = Tables(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg((sum(c100($"l_extendedprice") * (lit(100L) - c100($"l_discount"))) / 10000.0)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+      .limit(10)
+  }
+
+  /** Sort desc + limit (reference Q9 dbsync probe). TakeOrderedAndProject;
+    * no full sort. Ref: src/demeter/dbsync_get_postgres_data.py:27.
+    */
+  def q7SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey".desc)
+      .limit(10)
+  }
+
+  /** PK-dedup idempotent load (reference Q5/K3: `ON CONFLICT DO NOTHING`
+    * ≈ union + dropDuplicates on the conflict key). dropDuplicates
+    * shuffles on the PK — exactly the partitioning the downstream merge
+    * wants. Re-loading the same batch twice yields identical output
+    * (idempotency). Ref: src/dao/cardano_block_dao.py:140-148.
+    */
+  def q8DedupPk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    li.union(li) // simulated double-load of the same batch
+      .dropDuplicates("l_orderkey", "l_linenumber", "l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), (sum(c100($"l_quantity")) / 100.0).as("sum_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** Incremental watermark scan (reference S7 + T7: process only input
+    * newer than the stored watermark, track the new max). The ts filter is
+    * pushed into the scan (partition pruning on a date-partitioned lake).
+    * Ref: src/file_explorer/s3_file_explorer.py:31-51.
+    */
+  def q9IncrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+      .orderBy($"event_type")
+  }
+
+  /** Chain-linkage derivation via window lag/lead (SURVEY §2.5: the
+    * reference gets previous/next block from the API; a Spark engine
+    * derives them). One shuffle on the partition key; within-partition
+    * sort only. Ref: raw_cardano_blocks.py:23-24.
+    */
+  def q10WindowChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    Tables(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        lag($"o_orderkey", 1).over(w).as("prev_key"),
+        lead($"o_orderkey", 1).over(w).as("next_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Raw→DTO projection (reference T1-T3: rename/derive/append-timestamp).
+    * Pure narrow projection — no shuffle, fully codegen'd, column-pruned
+    * scan. Ref: database_transfer_objects/cardano_blocks.py:31-54.
+    */
+  def q11DtoProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd").as("event_date"),
+        hour($"ts").cast("long").as("event_hour"),
+        upper($"event_type").as("event_type_uc"),
+        $"value")
+      .orderBy($"event_id")
+  }
+
+  /** Nested→flat normalization (reference T4, the flagship transform:
+    * explode nested arrays into child tables with deterministic surrogate
+    * keys — sha2, not uuid4, so replays dedup correctly, SURVEY §7.3).
+    * posexplode is a narrow generate — no shuffle; at 100 TB this is the
+    * same plan per partition. Ref:
+    * src/transformer/transform_cardano_tx_utxo_dto_to_df.py:21-98.
+    */
+  def q12NormalizeExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+      .select(
+        sha2(concat_ws(":", $"vec_id", $"pos"), 256).as("id"),
+        $"vec_id",
+        $"pos".cast("long").as("pos"),
+        $"val".cast("double").as("val"))
+      .orderBy($"vec_id", $"pos")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_watermark_max" -> (q2WatermarkMax _),
+    "q3_topk_group_count" -> (q3TopkGroupCount _),
+    "q4_anti_join" -> (q4AntiJoin _),
+    "q5_inlist_join" -> (q5InListJoin _),
+    "q6_volume_topk" -> (q6VolumeTopk _),
+    "q7_sort_limit" -> (q7SortLimit _),
+    "q8_dedup_pk" -> (q8DedupPk _),
+    "q9_incremental_scan" -> (q9IncrementalScan _),
+    "q10_window_chain" -> (q10WindowChain _),
+    "q11_dto_projection" -> (q11DtoProjection _),
+    "q12_normalize_explode" -> (q12NormalizeExplode _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_watermark_max" ->
+      "SELECT coalesce(max(o_orderkey), 0) AS max_key FROM orders WHERE o_orderstatus = 'F'",
+    "q3_topk_group_count" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem WHERE l_partkey IS NOT NULL
+        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_inlist_join" ->
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000.0)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q6_volume_topk" ->
+      """SELECT n_name,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+    "q7_sort_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
+    "q8_dedup_pk" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM (
+        |  SELECT DISTINCT l_orderkey, l_linenumber, l_quantity FROM (
+        |    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |    UNION ALL
+        |    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem))
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q9_incremental_scan" ->
+      """SELECT event_type, count(*) AS cnt,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_window_chain" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key,
+        | lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_dto_projection" ->
+      """SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d') AS event_date,
+        | CAST(hour(ts) AS BIGINT) AS event_hour,
+        | upper(event_type) AS event_type_uc,
+        | value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q12_normalize_explode" ->
+      """SELECT sha256(concat(vec_id, ':', i - 1)) AS id, vec_id,
+        | CAST(i - 1 AS BIGINT) AS pos, CAST(v AS DOUBLE) AS val
+        |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |      FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin)
+}
