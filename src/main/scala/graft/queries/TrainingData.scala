@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * as driver-verifiable queries over the `documents` and `embeddings`
+  * tables. Library logic lives in [[graft.operators]]; this file wires it
+  * to the star schema and carries the DuckDB oracle twins.
+  *
+  * Oracle-parity notes: hashes are md5-derived ([[TextOps.h60]]) so
+  * DuckDB can re-derive them; float math is restricted to IEEE-exact ops
+  * (sequential-fold dot products, division, sqrt — never exp/log whose
+  * libm rounding differs across engines); integer math is exact.
+  */
+object TrainingData {
+
+  private val jaccardThreshold = 0.8
+  private val minhashK = 16
+  private val minhashBands = 4
+  private val srpPlanes = 8
+
+  /** Exact content dedup (hash-groupBy; reference Q5 conflict-skip
+    * applied to content, SURVEY §2.2 K3).
+    */
+  def d1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByContent(Tables(spark, dir, "documents"), col("text"), col("doc_id"))
+      .orderBy(col("text_md5"))
+
+  /** Trigram-shingle Jaccard near-dup pairs (candidate generation via
+    * shingle co-occurrence, exact verification).
+    */
+  def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables(spark, dir, "documents"), col("doc_id"), col("text"), 3)
+    Dedup.jaccardPairs(sh, jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash(16) + LSH(4 bands of 4) candidate pairs. */
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables(spark, dir, "documents"), col("doc_id"), col("text"), 3)
+    Dedup.lshCandidatePairs(Dedup.minhash(sh, minhashK), minhashK, minhashBands)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 60-bit SimHash per document. */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def d5CosineTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), 10)
+
+  /** SRP-LSH-bucketed ANN top-10 (scale path: scan only the query's
+    * bucket).
+    */
+  def d6AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), srpPlanes, 10)
+
+  /** Token counting (whitespace-word regex; SURVEY north-star text op). */
+  def x1TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      length(t).as("n_chars_len"),
+      TextOps.tokenCount(t).cast("long").as("n_tokens"),
+      size(array_distinct(TextOps.tokens(t))).cast("long").as("n_uniq_tokens"),
+      (length(regexp_replace(t, "\\s", "")).cast("double") / TextOps.tokenCount(t))
+        .as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-marker hits, fixed-tiebreak argmax. */
+  def x2LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val hitCols = TextOps.langMarkers.map { case (lang, ms) =>
+      TextOps.langHits(t, ms).cast("long").as(s"hits_$lang")
+    }
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
+    base.withColumn("predicted_lang", TextOps.predictedLang(l => col(s"hits_$l")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/punct/digit/stopword ratios + linear score
+    * (no transcendental functions — cross-engine exact).
+    */
+  def x3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(t).as("n_chars_len"),
+        TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
+        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
+      .withColumn("punct_ratio", col("punct_cnt").cast("double") / col("n_chars_len"))
+      .withColumn("digit_ratio", col("digit_cnt").cast("double") / col("n_chars_len"))
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 5.0 - col("punct_ratio") * 3.0 - col("digit_ratio") * 2.0 +
+          when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: normalized sha256 + position-weighted rolling
+    * hash.
+    */
+  def x4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      TextOps.fingerprintSha(col("text")).as("fp_sha"),
+      TextOps.rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_cosine_topk" -> (d5CosineTopk _),
+    "d6_ann_lsh" -> (d6AnnLsh _),
+    "x1_token_stats" -> (x1TokenStats _),
+    "x2_lang_id" -> (x2LangId _),
+    "x3_quality_score" -> (x3QualityScore _),
+    "x4_fingerprint" -> (x4Fingerprint _))
+
+  private val grams3 =
+    """tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+      |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents)),
+      |grams AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |          FROM tok a
+      |          JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |          JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH $grams3,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |common AS (SELECT g1.doc_id AS da, g2.doc_id AS db, count(*) AS c
+         |           FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, c AS n_common,
+         |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         |FROM common JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $grams3,
+         |mh AS (SELECT doc_id, s, min(${h60sql.format("shingle || ':' || s")}) AS m
+         |       FROM grams, range(16) r(s) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+         |          FROM mh GROUP BY doc_id, s // 4)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+         |             FROM documents),
+         |h AS (SELECT doc_id, ${h60sql.format("w")} AS h FROM tok),
+         |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM h, range(60) r(b) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d5_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cos_sim
+        |FROM embeddings e, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "d6_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
+         |                 ORDER BY i) AS w
+         |  FROM range(8) rp(p), range(64) ri(i) GROUP BY p),
+         |bucketed AS (
+         |  SELECT vec_id, embedding,
+         |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
+         |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         |          FROM planes pl) AS bucket
+         |  FROM embeddings e),
+         |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |  list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
+         |  (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) *
+         |   sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cos_sim
+         |FROM bucketed b, q WHERE b.bucket = q.qbucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x1_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_len,
+        |  CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |    len(regexp_extract_all(lower(text), '\w+')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x2_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS hits_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una)\b')) AS BIGINT) AS hits_es,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|mit)\b')) AS BIGINT) AS hits_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|une|est|dans)\b')) AS BIGINT) AS hits_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(的|是|不|在|了)\b')) AS BIGINT) AS hits_zh,
+        |  CASE
+        |    WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |    WHEN hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_fr >= hits_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x3_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars_len,
+        |  CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS stop_cnt,
+        |  CAST(punct_cnt AS DOUBLE) / n_chars_len AS punct_ratio,
+        |  CAST(digit_cnt AS DOUBLE) / n_chars_len AS digit_ratio,
+        |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+        |  (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+        |    - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+        |    - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+        |    + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      s"""SELECT d.doc_id AS doc_id,
+         |  sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_sha,
+         |  CAST(coalesce(fp.fp_roll, 0) AS BIGINT) AS fp_roll
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id,
+         |    CAST(sum(CAST(i AS BIGINT) * (${h60sql.format("w")} % 2147483647)) % 2147483647 AS BIGINT) AS fp_roll
+         |  FROM (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents))
+         |  GROUP BY doc_id) fp ON fp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+}
