@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis)
   * as driver-verifiable queries over the `documents` and `embeddings`
@@ -124,7 +124,25 @@ object TrainingData {
       TextOps.rollingFingerprint(col("text")).as("fp_roll"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal decode plumbing: binary payload + typed metadata through
+    * a per-partition (stub) decoder — see [[Multimodal]].
+    */
+  def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling over decoded video rows (bounded lateral explode). */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables(spark, dir, "documents"))))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_features" -> (m1MediaFeatures _),
+    "m2_frame_sample" -> (m2FrameSample _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -147,6 +165,23 @@ object TrainingData {
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "m1_media_features" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(64 + ${h60sql.format("text")} % 1857 AS BIGINT) AS fake_width,
+         |  CAST(64 + (${h60sql.format("text")} // 1857) % 1017 AS BIGINT) AS fake_height,
+         |  CAST(1 + ${h60sql.format("text")} % 7 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, 1 + ${h60sql.format("text")} % 7 AS n_frames
+         |           FROM documents WHERE doc_id % 3 = 2)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST(i AS BIGINT) AS frame_idx,
+         |       doc_id || ':' || i AS frame_key
+         |FROM f, range(7) r(i) WHERE i < n_frames
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
