@@ -1,0 +1,172 @@
+package graft.cardano
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The backfill DAGs (SURVEY §3 EP1/EP2), Spark-first.
+  *
+  * Reference shape: per-batch loops of four sequential stages, stitched
+  * through the database (blocks → block_tx → tx → utxo;
+  * `cardano_blocks_and_block_tx_pipeline_w_param.py`,
+  * `cardano_transactions_full_pipeline_w_params.py`). Here each stage is
+  * one DataFrame job; the cross-stage handoff is a direct DataFrame (the
+  * raw zone is still materialized for audit parity); the DB-driven
+  * fan-outs (Q3/Q4 `WHERE ... IN`) become joins against the loaded
+  * tables. Batch loops stay driver loops over height ranges — the ranges
+  * themselves are `spark.range` partitioned across the cluster.
+  *
+  * Idempotency: every warehouse write goes through
+  * [[IdempotentSink.upsertParquet]] keyed on [[Schemas.conflictKeys]];
+  * watermarks make re-runs skip completed work entirely. FK ordering for
+  * the five UTXO tables (parent before child —
+  * `s3_to_db_cardano_tx_utxo_pipeline.py:142-209`) is preserved by the
+  * sequential merge order in [[runUtxos]].
+  */
+final class Pipelines(
+    spark: SparkSession,
+    lake: Lake,
+    warehouse: String,
+    watermarks: Watermarks,
+    backend: BlockfrostSource.Backend,
+    batchSize: Int = 2000) {
+
+  import spark.implicits._
+
+  private def table(name: String): String = s"$warehouse/$name"
+
+  private def upsert(df: DataFrame, name: String): IdempotentSink.MergeStats =
+    IdempotentSink.upsertParquet(spark, df, table(name), Schemas.conflictKeys(name))
+
+  def readTable(name: String): DataFrame = spark.read.parquet(table(name))
+
+  /** EP1 stage a+b: blocks → raw zone → DTO → warehouse merge. The fetch
+    * fans out over `spark.range`; the watermark makes completed batches
+    * no-ops on re-run.
+    */
+  def runBlocks(start: Long, end: Long): Unit = {
+    val from = math.max(start, watermarks.highestExportedBlock("cardano_blocks") + 1)
+    batches(from, end).foreach { case (a, b) =>
+      val heights = spark.range(a, b + 1).map(java.lang.Long.valueOf(_))
+      val raw = BlockfrostSource.fetchBlocks(heights, backend)
+      lake.writeRawJson(raw, "blocks", b)
+      val dto = Transforms.blockDto(
+        lake.readRawJson("blocks", Schemas.rawBlock)
+          .filter(col("height").between(a, b)))
+      upsert(dto, "cardano_blocks")
+      watermarks.recordBlockExport("cardano_blocks", b)
+    }
+  }
+
+  /** EP1 stage c+d: block-transactions. */
+  def runBlockTxs(start: Long, end: Long): Unit = {
+    val from = math.max(start, watermarks.highestExportedBlock("cardano_block_transactions") + 1)
+    batches(from, end).foreach { case (a, b) =>
+      val heights = spark.range(a, b + 1).map(java.lang.Long.valueOf(_))
+      val raw = BlockfrostSource.fetchBlockTxs(heights, backend)
+      lake.writeRawJson(raw, "block_tx", b)
+      val dto = Transforms.blockTransactionsDto(
+        lake.readRawJson("block_tx", Schemas.rawBlockTransactions)
+          .filter(col("block_height").between(a, b)))
+      upsert(dto, "cardano_block_transactions")
+      watermarks.recordBlockExport("cardano_block_transactions", b)
+    }
+  }
+
+  /** EP2 stage a+b: transactions. The hash fan-out reads the loaded
+    * block_tx table for the height range (reference Q3's `WHERE block IN
+    * (...)` — here a pushed-down range filter + explode of the native
+    * array column).
+    */
+  def runTransactions(start: Long, end: Long): Unit = {
+    val from = math.max(start, watermarks.highestExportedBlock("cardano_transactions") + 1)
+    batches(from, end).foreach { case (a, b) =>
+      val hashes = readTable("cardano_block_transactions")
+        .filter(col("block").between(a, b))
+        .select(explode(col("tx_hash")).as("hash"))
+        .as[String]
+      val raw = BlockfrostSource.fetchTransactions(hashes, backend)
+      lake.writeRawJson(raw, "transactions", b)
+      val dto = Transforms.transactionDto(
+        spark.read.schema(Schemas.rawTransaction)
+          .json(lake.rawDir("transactions", b)))
+      upsert(dto, "cardano_transactions")
+      watermarks.recordBlockExport("cardano_transactions", b)
+    }
+  }
+
+  /** EP2 stage c+d: UTXOs — fan out over loaded tx hashes (reference Q4),
+    * normalize the nested docs (T4), merge the five tables in FK order.
+    */
+  def runUtxos(start: Long, end: Long): Unit = {
+    val from = math.max(start, watermarks.highestExportedBlock("cardano_tx_utxo") + 1)
+    batches(from, end).foreach { case (a, b) =>
+      val hashes = readTable("cardano_transactions")
+        .filter(col("block_height").between(a, b))
+        .select(col("hash")).as[String]
+      val raw = BlockfrostSource.fetchTxUtxos(hashes, backend)
+      lake.writeRawJson(raw, "transaction_utxo", b)
+      val docs = spark.read.schema(Schemas.rawTxUtxo)
+        .json(lake.rawDir("transaction_utxo", b))
+      val t = Transforms.normalizeUtxo(docs)
+      // FK-safe order: parent tables before child tables.
+      upsert(t.utxo, "cardano_tx_utxo")
+      upsert(t.inputs, "cardano_tx_utxo_input")
+      upsert(t.inputAmounts, "cardano_tx_utxo_input_amount")
+      upsert(t.outputs, "cardano_tx_utxo_output")
+      upsert(t.outputAmounts, "cardano_tx_utxo_output_amount")
+      watermarks.recordBlockExport("cardano_tx_utxo", b)
+    }
+  }
+
+  /** Full EP1+EP2 backfill for a height range. */
+  def runFull(start: Long, end: Long): Unit = {
+    runBlocks(start, end)
+    runBlockTxs(start, end)
+    runTransactions(start, end)
+    runUtxos(start, end)
+  }
+
+  private def batches(start: Long, end: Long): Seq[(Long, Long)] =
+    if (start > end) Seq.empty
+    else (start to end by batchSize).map(a => (a, math.min(a + batchSize - 1, end)))
+}
+
+/** The analytics the reference runs against the loaded star-ish schema
+  * (SURVEY §2.4 Q6-Q8; `README.md:102-122`) as library functions over the
+  * warehouse tables.
+  */
+object Analytics {
+
+  /** Q6: top-10 protocols (reference scripts) by transaction count. */
+  def topProtocolsByTxCount(txUtxoInput: DataFrame, k: Int = 10): DataFrame =
+    txUtxoInput
+      .filter(col("reference_script_hash").isNotNull)
+      .groupBy(col("reference_script_hash"))
+      .agg(count(lit(1)).as("tx_count"))
+      .orderBy(col("tx_count").desc, col("reference_script_hash"))
+      .limit(k)
+
+  /** Q7: ingestion-gap audit — transactions with no UTXO input rows
+    * (left anti-join).
+    */
+  def txMissingUtxo(transactions: DataFrame, txUtxoInput: DataFrame): DataFrame =
+    transactions
+      .join(txUtxoInput.select(col("hash")), Seq("hash"), "left_anti")
+      .select(col("hash"), col("block_height"))
+      .orderBy(col("block_height"), col("hash"))
+
+  /** Q8 (completed placeholder): top-10 protocols by lovelace volume —
+    * decimal-exact sum, input join input_amount on parent_id.
+    */
+  def topProtocolsByVolume(txUtxoInput: DataFrame, txUtxoInputAmount: DataFrame,
+      k: Int = 10): DataFrame =
+    txUtxoInput
+      .filter(col("reference_script_hash").isNotNull)
+      .select(col("id"), col("reference_script_hash"))
+      .join(txUtxoInputAmount.filter(col("unit") === "lovelace")
+        .select(col("parent_id").as("id"), col("quantity")), Seq("id"))
+      .groupBy(col("reference_script_hash"))
+      .agg(sum(col("quantity")).as("volume"))
+      .orderBy(col("volume").desc, col("reference_script_hash"))
+      .limit(k)
+}

@@ -1,0 +1,86 @@
+package graft.cardano
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end offline backfill (EP1+EP2 over the deterministic fixture
+  * chain) + the reference's analytics queries over the loaded tables.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private lazy val root = tmpDir("backfill")
+  private lazy val pipelines = {
+    val lake = new Lake(spark, s"$root/lake")
+    val wm = new Watermarks(spark, s"$root/status")
+    new Pipelines(spark, lake, s"$root/warehouse", wm,
+      new BlockfrostSource.FixtureBackend, batchSize = 25)
+  }
+
+  test("full backfill loads all eight tables consistently") {
+    pipelines.runFull(1, 60)
+
+    val blocks = pipelines.readTable("cardano_blocks")
+    assert(blocks.count() == 60)
+    val blockTx = pipelines.readTable("cardano_block_transactions")
+    assert(blockTx.count() == 60)
+
+    // Fan-out integrity: every tx hash in block_tx landed in transactions.
+    val expectedTxs = blockTx.select(explode(col("tx_hash")).as("h")).distinct().count()
+    val txs = pipelines.readTable("cardano_transactions")
+    assert(txs.count() == expectedTxs)
+
+    // Every loaded tx has exactly one UTXO parent row (fixture: 1 doc per tx).
+    val utxo = pipelines.readTable("cardano_tx_utxo")
+    assert(utxo.count() == txs.count())
+
+    // FK integrity across the five UTXO tables.
+    val in = pipelines.readTable("cardano_tx_utxo_input")
+    val inAmt = pipelines.readTable("cardano_tx_utxo_input_amount")
+    assert(inAmt.join(in.select(col("id")),
+      inAmt("parent_id") === in("id"), "left_anti").count() == 0)
+  }
+
+  test("re-running the full backfill is a no-op (watermarks + PK merge)") {
+    pipelines.runFull(1, 60) // ensure loaded
+    val counts = Seq("cardano_blocks", "cardano_transactions", "cardano_tx_utxo_input_amount")
+      .map(t => t -> pipelines.readTable(t).count()).toMap
+    pipelines.runFull(1, 60)
+    counts.foreach { case (t, n) =>
+      assert(pipelines.readTable(t).count() == n, s"table $t grew on re-run")
+    }
+  }
+
+  test("incremental extension loads only the new range") {
+    pipelines.runFull(1, 60)
+    val before = pipelines.readTable("cardano_blocks").count()
+    pipelines.runFull(1, 80)
+    assert(pipelines.readTable("cardano_blocks").count() == before + 20)
+  }
+
+  test("analytics Q6/Q7/Q8 run over the loaded tables") {
+    pipelines.runFull(1, 60)
+    val in = pipelines.readTable("cardano_tx_utxo_input")
+    val inAmt = pipelines.readTable("cardano_tx_utxo_input_amount")
+    val txs = pipelines.readTable("cardano_transactions")
+
+    val q6 = Analytics.topProtocolsByTxCount(in)
+    assert(q6.columns.toSeq == Seq("reference_script_hash", "tx_count"))
+    q6.collect() // materializes without error; fixture plants some script hashes
+    assert(q6.count() >= 0)
+
+    val q7 = Analytics.txMissingUtxo(txs, in)
+    assert(q7.count() == 0) // backfill loaded UTXOs for every tx
+
+    val q8 = Analytics.topProtocolsByVolume(in, inAmt)
+    val vols = q8.collect()
+    // decimal-exact volumes, descending
+    val vs = vols.map(_.getAs[java.math.BigDecimal]("volume").doubleValue())
+    assert(vs.sameElements(vs.sorted.reverse))
+  }
+
+  test("chain-linkage validation agrees with the fixture chain") {
+    pipelines.runFull(1, 60)
+    val v = Transforms.validateChainLinkage(pipelines.readTable("cardano_blocks"))
+    assert(v.filter(!col("prev_ok") || !col("next_ok")).count() == 0)
+  }
+}
