@@ -20,6 +20,9 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
+      // Encourage cleanup of the previous query's broadcasts/codegen so
+      // one query's garbage doesn't bill GC pauses to the next.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, TrainingData}
+import graft.queries.{Relational, SourcesAndStreams, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.registry ++ TrainingData.registry
+    Relational.registry ++ TrainingData.registry ++ SourcesAndStreams.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TrainingData.oracles
+    Relational.oracles ++ TrainingData.oracles ++ SourcesAndStreams.oracles
 }

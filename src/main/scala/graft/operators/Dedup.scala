@@ -51,7 +51,11 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+    // Both sides are corpus-sized: force a shuffled hash join — a
+    // broadcast here would ship the whole shingle table to every task
+    // (and at 100 TB could not exist at all).
+    val common = a.hint("shuffle_hash")
+      .join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -89,7 +93,9 @@ object Dedup {
       .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    // Same-size self-join: shuffled hash, not broadcast (see jaccardPairs).
+    a.hint("shuffle_hash")
+      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.EventStream
+
+/** Source round-trips (SURVEY §2.1 S5/S6: schema-first JSON and CSV
+  * readers — the raw/transformed lake zones) and the Structured Streaming
+  * surface (§2.5), all oracle-verifiable: each query lands data in the
+  * alternate format, reads it back with an explicit schema, and
+  * aggregates — equality with the parquet-side oracle proves the
+  * round-trip lossless (timestamps included).
+  */
+object SourcesAndStreams {
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/data"
+
+  /** S5: raw-zone JSON with explicit schema (multiLine-less JSON lines,
+    * schema-on-read — no inference in prod paths).
+    */
+  def s5JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    val path = scratch("s5json")
+    src.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(src.schema).json(path)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("max_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** S6: transformed-zone CSV with header + explicit schema (the
+    * reference's CSV zone; engine default is parquet but the reader
+    * surface stays supported).
+    */
+  def s6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val path = scratch("s6csv")
+    src.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    spark.read.schema(src.schema).option("header", "true").csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Streaming event-time windowed aggregation (epoch-aligned 6h
+    * windows + watermark), run to completion via AvailableNow.
+    */
+  def st1StreamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStream.windowedCounts(spark, dir)
+
+  /** Streaming stateful dedup on the event key. */
+  def st2StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    EventStream.dedupedEvents(spark, dir)
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_json_roundtrip" -> (s5JsonRoundtrip _),
+    "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
+    "st1_stream_window_agg" -> (st1StreamWindowAgg _),
+    "st2_stream_dedup" -> (st2StreamDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "s5_json_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        | max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s6_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "st1_stream_window_agg" ->
+      """SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) * 1000000),
+        |               '%Y-%m-%d %H:%M:%S') AS wstart,
+        | event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "st2_stream_dedup" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id")
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.5): the reference's
+  * watermark-based incremental file pattern (S7+Q2) re-expressed as the
+  * streaming file source — exactly-once file tracking via checkpoint
+  * instead of a hand-rolled status table — plus event-time windowed
+  * aggregation and stateful dedup.
+  *
+  * Batch-driven here via `Trigger.AvailableNow` + memory sink so local
+  * runs and the DuckDB oracle can verify results synchronously; the same
+  * plans run unbounded against a live directory by swapping trigger and
+  * sink. At scale the windowed agg shuffles on (window, key) with
+  * watermark-bounded state; dedup state is bounded by the watermark too.
+  */
+object EventStream {
+
+  /** The events table as a stream: nanos-as-long ts converted to a real
+    * event-time timestamp column (same convention as
+    * [[graft.core.Tables.events]]).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // File-source needs a directory; stage the single parquet file.
+    val staged = Files.createTempDirectory("events_stream")
+    Files.copy(
+      Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(staged.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink and hand back the materialized result.
+    */
+  def runToTable(df: DataFrame, outputMode: String): DataFrame = {
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Event-time windowed counts with a watermark (6h tumbling windows,
+    * epoch-aligned so any engine reproduces the boundaries).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  /** Stateful streaming dedup on the event key (watermark-bounded
+    * state) — the streaming twin of the sink's PK conflict-skip.
+    */
+  def dedupedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    runToTable(deduped, "append")
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  test("windowed counts equal the batch equivalent") {
+    val streamed = EventStream.windowedCounts(spark, "/root/testdata/sf0.001")
+    val batch = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("wstart"), col("event_type"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("streaming file source tracks processed files across restarts (S7 semantics)") {
+    import spark.implicits._
+    val src = tmpDir("stream_src")
+    val ckpt = tmpDir("stream_ckpt")
+    val out = tmpDir("stream_out")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    spark.range(0, 10).toDF("id").write.parquet(s"$src/batch1")
+    // File source needs a flat dir or glob; write files directly instead.
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(src))
+    spark.range(0, 10).toDF("id").write.mode("append").parquet(src)
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 10)
+
+    // Re-run with no new data: checkpoint makes it a no-op (the
+    // reference's watermark skip, with exactly-once file tracking).
+    runOnce()
+    assert(spark.read.parquet(out).count() == 10)
+
+    // New file arrives: only the delta is processed.
+    spark.range(100, 105).toDF("id").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 15)
+  }
+}
