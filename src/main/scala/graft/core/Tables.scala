@@ -24,13 +24,29 @@ object Tables {
     * exceeds double's exact range, and floor matches DuckDB's ns→us
     * truncation so oracle comparisons agree).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsSince(spark, dir, None)
+
+  /** Events newer than a watermark, with the comparison applied BEFORE
+    * the nanos→micros conversion: a filter on the raw long column pushes
+    * into the parquet scan (PushedFilters: GreaterThan(ts, …)), whereas
+    * filtering the converted timestamp cannot. The 100 TB shape of
+    * "incremental scan skips old data at the source".
+    */
+  def eventsSince(spark: SparkSession, dir: String, after: Option[java.sql.Timestamp]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
+        val filtered = after match {
+          case Some(ts) =>
+            val nanos = ts.getTime * 1000000L + (ts.getNanos % 1000000)
+            df.filter(col("ts") > nanos)
+          case None => df
+        }
+        filtered.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        after.fold(df)(ts => df.filter(col("ts") > lit(ts)))
     }
   }
 }

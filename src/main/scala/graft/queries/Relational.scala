@@ -168,8 +168,8 @@ object Relational {
     */
   def q9IncrementalScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp"))
+    Tables.eventsSince(spark, dir,
+        Some(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("cnt"),
@@ -227,7 +227,23 @@ object Relational {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** Range generation + batching (reference T6: [start..end] heights
+    * chunked into fixed batches — the fan-out driver of every backfill).
+    * `spark.range` is partition-parallel; the batch id is pure
+    * arithmetic, so batching never materializes on the driver.
+    * Ref: cardano_blocks_and_block_tx_pipeline_w_param.py:46-54.
+    */
+  def r1RangeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(1, 10001)
+      .withColumn("batch_id", expr("(id - 1) div 2000"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"batch_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_range_batch" -> (r1RangeBatch _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_watermark_max" -> (q2WatermarkMax _),
     "q3_topk_group_count" -> (q3TopkGroupCount _),
@@ -242,6 +258,9 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "r1_range_batch" ->
+      """SELECT (i - 1) // 2000 AS batch_id, count(*) AS n, min(i) AS min_id, max(i) AS max_id
+        |FROM range(1, 10001) r(i) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,

@@ -124,6 +124,46 @@ object TrainingData {
       TextOps.rollingFingerprint(col("text")).as("fp_roll"))
       .orderBy(col("doc_id"))
 
+  /** Embedding-cosine near-dup pairs (the dedup family's vector member),
+    * IVF-style: pairs are generated only WITHIN a coarse cluster (the
+    * `label` column stands in for the quantizer cell), then verified with
+    * exact cosine. All-pairs across the corpus is quadratic and dies at
+    * scale; blocking on the cell key turns it into a hash-partitioned
+    * equi-join whose cost is sum(cell²) — the standard IVF trade. Norms
+    * are precomputed per vector, never per pair.
+    */
+  def d7EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "embeddings").select(
+      col("vec_id"), col("label"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val a = n.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("label").as("lb"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.hint("shuffle_hash")
+      .join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** String cleaning (reference T8: strip prefix/suffix lists from
+    * scraped links — `ideascale/extract_company_from_company_link.py`):
+    * regex prefix strip + derived slug, pure codegen'd projection.
+    */
+  def x5StringClean(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        regexp_replace(col("source"), "^src", "").cast("long").as("src_num"),
+        concat(lit("provider_"),
+          regexp_replace(col("source"), "^src", "").cast("long") % 5).as("provider"),
+        array_join(slice(col("toks"), 1, 3), "-").as("slug"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal decode plumbing: binary payload + typed metadata through
     * a per-partition (stub) decoder — see [[Multimodal]].
     */
@@ -141,6 +181,8 @@ object TrainingData {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
+    "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -165,6 +207,21 @@ object TrainingData {
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "d7_embedding_neardup" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "x5_string_clean" ->
+      """SELECT doc_id, source,
+        |  CAST(regexp_replace(source, '^src', '') AS BIGINT) AS src_num,
+        |  'provider_' || (CAST(regexp_replace(source, '^src', '') AS BIGINT) % 5) AS provider,
+        |  array_to_string(regexp_extract_all(lower(text), '\w+')[1:3], '-') AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_media_features" ->
       s"""SELECT doc_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
