@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the vector dot product.
+  *
+  * The composable alternative — `aggregate(zip_with(a, b, multiply))` —
+  * is a higher-order function: Catalyst interprets the lambda per
+  * element, allocates an intermediate zipped array, and breaks
+  * whole-stage codegen. This expression generates a tight primitive
+  * loop instead (observed ~8x on the pairwise similarity queries).
+  *
+  * Accumulation is sequential in array order, i.e. bit-identical to both
+  * the fold-left formulation and DuckDB's `list_dot_product` over
+  * DOUBLE[] — so swapping it in changes nothing about oracle parity
+  * (see OPERATORS.md determinism rules).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must already be array<double>; [[VectorExpressions.dotp]]
+  // inserts the casts (keeps this node free of package-private
+  // type-coercion traits).
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  val DotName = "graft_dot"
+
+  /** Idempotent per-session registration (temp function registry). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) },
+      "built-in")
+
+  /** Codegen'd dot product; caller must have called [[register]] on the
+    * session owning these columns.
+    */
+  def dotp(a: Column, b: Column): Column =
+    call_function(DotName, a.cast("array<double>"), b.cast("array<double>"))
+}

