@@ -61,6 +61,23 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `SparkSessionExtensions` entry point: lets deployments wire the graft
+  * functions at session build time
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) instead of
+  * calling [[VectorExpressions.register]] imperatively.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier(VectorExpressions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, VectorExpressions.DotName),
+      { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
+}
+
 object VectorExpressions {
 
   val DotName = "graft_dot"

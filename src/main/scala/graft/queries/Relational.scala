@@ -242,8 +242,74 @@ object Relational {
       .orderBy($"batch_id")
   }
 
+  /** Hierarchical aggregation via ROLLUP (beyond-reference breadth).
+    * grouping_id disambiguates subtotal levels; NULLS FIRST pinned
+    * explicitly because Spark and DuckDB default null ordering differ.
+    */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(c100($"l_quantity")) / 100.0).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact distinct aggregation (count + sum of distincts). */
+  def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Set operators: customers with BOTH fulfilled and open orders
+    * (INTERSECT) and with fulfilled but no open orders (EXCEPT).
+    */
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val f = orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val o = orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val both = f.intersect(o).withColumn("set_kind", lit("both"))
+    val onlyF = f.except(o).withColumn("set_kind", lit("only_f"))
+    both.union(onlyF).orderBy($"set_kind", $"o_custkey")
+  }
+
+  /** Sessionization: per-user event sessions split on >30min gaps
+    * (cumulative window sum over lag'd gaps — one shuffle on user_id).
+    * The batch twin of streaming session windows.
+    */
+  def q17Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val events = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.groupBy($"user_id", $"session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_range_batch" -> (r1RangeBatch _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_distinct_agg" -> (q14DistinctAgg _),
+    "q15_set_ops" -> (q15SetOps _),
+    "q17_sessionize" -> (q17Sessionize _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_watermark_max" -> (q2WatermarkMax _),
     "q3_topk_group_count" -> (q3TopkGroupCount _),
@@ -258,6 +324,47 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_set_ops" ->
+      """SELECT o_custkey, 'both' AS set_kind FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'only_f' AS set_kind FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY set_kind, o_custkey""".stripMargin,
+    "q17_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |w AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM w GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "r1_range_batch" ->
       """SELECT (i - 1) // 2000 AS batch_id, count(*) AS n, min(i) AS min_id, max(i) AS max_id
         |FROM range(1, 10001) r(i) GROUP BY 1 ORDER BY 1""".stripMargin,
