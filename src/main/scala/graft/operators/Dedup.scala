@@ -67,14 +67,21 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signature per document: k independent min-hashes of the
-    * shingle set, one partial-aggregated pass (k mins per group — no
-    * per-seed shuffle).
+  /** MinHash signature per document: k min-hashes of the shingle set in
+    * one partial-aggregated pass. The shingle is md5-hashed ONCE
+    * (projected to an attribute so the k aggregates share it); the k
+    * hash functions are a universal family over that base —
+    * `(h * (2s+1) + c_s) mod 2^30` — so signature cost is k
+    * multiplications per row, not k cryptographic hashes. All arithmetic
+    * stays below 2^36, exact in any engine's 64-bit integers.
     */
+  val MinhashMod = 1073741824L // 2^30
   def minhash(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(s =>
-      min(h60(concat(col("shingle"), lit(":" + s)))).as(s"mh$s"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val withH = sh.select(col("doc_id"), (h60(col("shingle")) % MinhashMod).as("h"))
+    val mins = (0 until k).map { s =>
+      min((col("h") * (2 * s + 1) + (s * 12345 + 678)) % MinhashMod).as(s"mh$s")
+    }
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over a minhash signature: band hash = md5 of the band's

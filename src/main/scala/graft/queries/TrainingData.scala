@@ -256,8 +256,9 @@ object TrainingData {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $grams3,
-         |mh AS (SELECT doc_id, s, min(${h60sql.format("shingle || ':' || s")}) AS m
-         |       FROM grams, range(16) r(s) GROUP BY 1, 2),
+         |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+         |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+         |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
          |          FROM mh GROUP BY doc_id, s // 4)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
