@@ -304,8 +304,27 @@ object Relational {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** As-of join (operator family Spark lacks natively): each purchase
+    * event is matched to the same user's most recent preceding click —
+    * see [[graft.operators.AsOfJoin]] for why this is a windowed union,
+    * not a range join.
+    */
+  def q18AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+    val clicks = ev.filter($"event_type" === "click")
+    graft.operators.AsOfJoin
+      .asOf(purchases, clicks, "user_id", "ts", "event_id", Seq("event_id"))
+      .select($"user_id", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+        $"asof_event_id")
+      .orderBy($"event_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_range_batch" -> (r1RangeBatch _),
+    "q18_asof_join" -> (q18AsofJoin _),
     "q13_rollup" -> (q13Rollup _),
     "q14_distinct_agg" -> (q14DistinctAgg _),
     "q15_set_ops" -> (q15SetOps _),
@@ -324,6 +343,22 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q18_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id AS id, CAST(NULL AS BIGINT) AS r_eid
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT user_id, ts, side, id,
+        |    last_value(r_eid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+        |  FROM u)
+        |SELECT user_id, id AS event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts, asof_event_id
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,

@@ -70,6 +70,33 @@ object EventStream {
       .orderBy(col("wstart"), col("event_type"))
   }
 
+  /** Continuous lake→warehouse ingestion: streaming file source over a
+    * raw directory, each micro-batch merged through the idempotent sink
+    * (`foreachBatch` + PK anti-join merge). End-to-end effectively-once:
+    * the checkpoint guarantees each file feeds exactly one batch, and the
+    * PK merge makes a replayed batch (failure between sink write and
+    * checkpoint commit) a no-op — the streaming upgrade of the
+    * reference's watermark-table pattern (SURVEY §2.5).
+    */
+  def ingestIncremental(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetPath: String,
+      keys: Seq[String],
+      checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.cardano.IdempotentSink.upsertParquet(
+          batch.sparkSession, batch, targetPath, keys): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stateful streaming dedup on the event key (watermark-bounded
     * state) — the streaming twin of the sink's PK conflict-skip.
     */

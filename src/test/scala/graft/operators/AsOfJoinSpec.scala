@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of semantics: latest preceding, same-instant visible, none before -> null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // after r1, before r2
+      (1L, ts("2024-01-01 12:00:00"), 102L), // exactly at r2 -> sees r2
+      (1L, ts("2024-01-01 08:00:00"), 103L), // before any right -> null
+      (2L, ts("2024-01-01 10:00:00"), 201L)) // other key, no right rows -> null
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L),
+      (1L, ts("2024-01-01 09:30:00"), 12L), // latest preceding for 101
+      (1L, ts("2024-01-01 12:00:00"), 13L))
+      .toDF("user_id", "ts", "event_id")
+
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.lang.Long]("asof_event_id"))))
+    assert(out.toSeq == Seq(
+      101L -> Some(12L),
+      102L -> Some(13L),
+      103L -> None,
+      201L -> None))
+  }
+
+  test("ties among right rows at the same instant break on id (deterministic)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L),
+      (1L, ts("2024-01-01 09:00:00"), 9L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("event_id")).head()
+    assert(out.getAs[Long]("asof_event_id") == 9L) // highest id at the tie instant
+  }
+}

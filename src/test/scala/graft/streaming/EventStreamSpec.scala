@@ -17,6 +17,32 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("foreachBatch ingestion into the idempotent sink is effectively-once") {
+    import spark.implicits._
+    val src = tmpDir("ing_src")
+    val tgt = tmpDir("ing_tgt") + "/t"
+    val ckpt = tmpDir("ing_ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "v").write.mode("append").parquet(src)
+    EventStream.ingestIncremental(spark, src, schema, tgt, Seq("pk"), ckpt)
+    assert(spark.read.parquet(tgt).count() == 2)
+
+    // New file with one overlapping key: only the fresh key lands.
+    Seq((2L, "B2"), (3L, "c")).toDF("pk", "v").write.mode("append").parquet(src)
+    EventStream.ingestIncremental(spark, src, schema, tgt, Seq("pk"), ckpt)
+    val rows = spark.read.parquet(tgt).orderBy("pk").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getString(1) == "b") // first write wins (conflict-skip)
+
+    // Replay with a fresh checkpoint (simulated lost checkpoint): every
+    // file re-feeds, but the PK merge keeps the table unchanged.
+    EventStream.ingestIncremental(spark, src, schema, tgt, Seq("pk"), tmpDir("ing_ckpt2"))
+    assert(spark.read.parquet(tgt).count() == 3)
+  }
+
   test("streaming file source tracks processed files across restarts (S7 semantics)") {
     import spark.implicits._
     val src = tmpDir("stream_src")
