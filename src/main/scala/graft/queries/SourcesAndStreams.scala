@@ -65,11 +65,16 @@ object SourcesAndStreams {
   def st2StreamDedup(spark: SparkSession, dir: String): DataFrame =
     EventStream.dedupedEvents(spark, dir)
 
+  /** Arbitrary stateful processing (mapGroupsWithState running stats). */
+  def st3StatefulStats(spark: SparkSession, dir: String): DataFrame =
+    EventStream.userRunningStats(spark, dir)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
     "st1_stream_window_agg" -> (st1StreamWindowAgg _),
-    "st2_stream_dedup" -> (st2StreamDedup _))
+    "st2_stream_dedup" -> (st2StreamDedup _),
+    "st3_stateful_stats" -> (st3StatefulStats _))
 
   val oracles: Map[String, String] = Map(
     "s5_json_roundtrip" ->
@@ -88,5 +93,10 @@ object SourcesAndStreams {
         | event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
-      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id")
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "st3_stateful_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_micros
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

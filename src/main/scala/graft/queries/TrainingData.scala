@@ -72,7 +72,7 @@ object TrainingData {
     val t = col("text")
     Tables(spark, dir, "documents").select(
       col("doc_id"),
-      length(t).as("n_chars_len"),
+      length(t).cast("long").as("n_chars_len"),
       TextOps.tokenCount(t).cast("long").as("n_tokens"),
       size(array_distinct(TextOps.tokens(t))).cast("long").as("n_uniq_tokens"),
       (length(regexp_replace(t, "\\s", "")).cast("double") / TextOps.tokenCount(t))
@@ -100,7 +100,7 @@ object TrainingData {
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
-        length(t).as("n_chars_len"),
+        length(t).cast("long").as("n_chars_len"),
         TextOps.tokenCount(t).cast("long").as("n_tokens"),
         size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
         size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),

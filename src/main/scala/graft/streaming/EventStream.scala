@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
+  /** Input/state rows for [[userRunningStats]] (top-level so Encoders
+    * derive cleanly).
+    */
+  case class EventIn(user_id: Long, value: Double, tsMicros: Long)
+  case class UserState(n: Long, cents: Long, lastTs: Long)
+
   /** The events table as a stream: nanos-as-long ts converted to a real
     * event-time timestamp column (same convention as
     * [[graft.core.Tables.events]]).
@@ -95,6 +101,39 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Arbitrary stateful processing via `mapGroupsWithState`: running
+    * per-user aggregates (event count, value sum in exact cents, last
+    * event time) maintained in typed state across micro-batches. The
+    * custom-state API surface (GroupState, timeouts) the built-in
+    * aggregations can't express.
+    */
+  def userRunningStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    val in = readEvents(spark, dir)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[EventIn]
+    val out = in.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventIn], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            UserState(s.n + 1, s.cents + math.round(r.value * 100), math.max(s.lastTs, r.tsMicros))
+          }
+          state.update(next)
+          (user, next.n, next.cents, next.lastTs)
+      }
+    runToTable(out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max(col("value_cents")).as("value_cents"),
+        max(col("last_ts_micros")).as("last_ts_micros"))
+      .orderBy(col("user_id"))
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded

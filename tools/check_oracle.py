@@ -55,6 +55,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
+        dtype_diffs = [(c, str(got[c].dtype), str(want[c].dtype))
+                       for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dtype_diffs:
+            print(f"WARN {name}: dtype drift {dtype_diffs}")
         g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
         w = sorted(tuple(norm(v) for v in row) for row in want.itertuples(index=False))
         if g == w:
