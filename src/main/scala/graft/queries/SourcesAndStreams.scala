@@ -69,12 +69,36 @@ object SourcesAndStreams {
   def st3StatefulStats(spark: SparkSession, dir: String): DataFrame =
     EventStream.userRunningStats(spark, dir)
 
+  /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
+    * offline fixture chain) finishing with the reference's Q8 analytics.
+    * Independent of the star schema, so no SQL oracle — the driver's
+    * rows-only check applies; field-exact verification lives in the
+    * cardano ScalaTest suites. Excluded from Bench timing (pipeline, not
+    * query).
+    */
+  def c1CardanoBackfillQ8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cardano._
+    val root = java.nio.file.Files.createTempDirectory("c1_backfill").toString
+    val pipelines = new Pipelines(
+      spark,
+      new Lake(spark, s"$root/lake"),
+      s"$root/warehouse",
+      new Watermarks(spark, s"$root/status"),
+      new BlockfrostSource.FixtureBackend,
+      batchSize = 50)
+    pipelines.runFull(1, 60)
+    Analytics.topProtocolsByVolume(
+      pipelines.readTable("cardano_tx_utxo_input"),
+      pipelines.readTable("cardano_tx_utxo_input_amount"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
     "st1_stream_window_agg" -> (st1StreamWindowAgg _),
     "st2_stream_dedup" -> (st2StreamDedup _),
-    "st3_stateful_stats" -> (st3StatefulStats _))
+    "st3_stateful_stats" -> (st3StatefulStats _),
+    "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
     "s5_json_roundtrip" ->

@@ -28,13 +28,24 @@ object EventStream {
   case class EventIn(user_id: Long, value: Double, tsMicros: Long)
   case class UserState(n: Long, cents: Long, lastTs: Long)
 
+  /** Streaming scratch (checkpoints, staged sources) on RAM-backed
+    * storage when available: state-store and offset-log fsyncs on a
+    * disk-backed /tmp dominate micro-benchmark latency.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   /** The events table as a stream: nanos-as-long ts converted to a real
     * event-time timestamp column (same convention as
     * [[graft.core.Tables.events]]).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // File-source needs a directory; stage the single parquet file.
-    val staged = Files.createTempDirectory("events_stream")
+    val staged = scratchDir("events_stream")
     Files.copy(
       Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
@@ -55,6 +66,7 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
+      .option("checkpointLocation", scratchDir("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
