@@ -322,8 +322,23 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Exact percentiles (linear interpolation on the sorted values —
+    * the same (n-1)*p rule DuckDB's quantile_cont uses).
+    */
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("q25"),
+        percentile($"l_quantity", lit(0.5)).as("q50"),
+        percentile($"l_extendedprice", lit(0.9)).as("p90"))
+      .orderBy($"l_returnflag")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_range_batch" -> (r1RangeBatch _),
+    "q19_percentiles" -> (q19Percentiles _),
     "q18_asof_join" -> (q18AsofJoin _),
     "q13_rollup" -> (q13Rollup _),
     "q14_distinct_agg" -> (q14DistinctAgg _),
@@ -343,6 +358,12 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q19_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS q50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q18_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS side, event_id AS id, CAST(NULL AS BIGINT) AS r_eid
