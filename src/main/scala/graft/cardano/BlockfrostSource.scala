@@ -118,6 +118,58 @@ object BlockfrostSource {
     }.toDF("json")
   }
 
+  /** Live HTTP transport for a Blockfrost-shaped REST API (java.net.http
+    * — zero extra dependencies). Endpoint + error contract mirror the
+    * reference extractors (`src/extractors/get_block.py:12-38`,
+    * `get_tx_utxo.py:12-35`): 404 → None (missing block/tx), any other
+    * non-200 → throw, which the per-partition fetch loop's [[withRetry]]
+    * turns into 5 attempts with exponential backoff
+    * (`get_block_from_s3.py:22-28`).
+    *
+    * The instance is serialized into the `mapPartitions` closure; the
+    * HttpClient itself is `@transient lazy`, so each executor builds its
+    * own client on first use and reuses its connection pool for the whole
+    * partition — the connection-reuse seam `mapPartitions` exists for.
+    */
+  final class HttpBackend(
+      baseUrl: String,
+      projectId: Option[String] = None,
+      connectTimeoutMs: Long = 5000,
+      requestTimeoutMs: Long = 30000) extends Backend {
+
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .build()
+
+    private def get(path: String): Option[String] = {
+      val b = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$baseUrl$path"))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .GET()
+      projectId.foreach(id => b.header("project_id", id))
+      val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 => Some(resp.body())
+        case 404 => None
+        case code =>
+          throw new java.io.IOException(s"HTTP $code for $path: ${resp.body().take(200)}")
+      }
+    }
+
+    override def block(h: Long): Option[String] = get(s"/blocks/$h")
+
+    /** Blockfrost serves `/blocks/{n}/txs` as a bare JSON array of tx
+      * hashes; wrap it into the (block_height, tx_hash[]) row shape the
+      * engine consumes — the same wrap the reference applies.
+      */
+    override def blockTxs(h: Long): Option[String] =
+      get(s"/blocks/$h/txs").map(arr => s"""{"block_height": $h, "tx_hash": $arr}""")
+
+    override def tx(hash: String): Option[String] = get(s"/txs/$hash")
+    override def txUtxo(hash: String): Option[String] = get(s"/txs/$hash/utxos")
+  }
+
   /** Deterministic synthetic chain for offline tests: every field derived
     * from the height via sha256, so any two executors (or test runs)
     * agree. Block h has h % 3 transactions; each tx has 1 input with 1-2

@@ -48,7 +48,7 @@ object IdempotentSink {
       staged: DataFrame,
       path: String,
       keys: Seq[String]): MergeStats = {
-    val exists = new java.io.File(path).exists()
+    val exists = graft.core.Fs.exists(spark, path)
     val stagedCount = staged.count()
     if (!exists) {
       val deduped = staged.dropDuplicates(keys)
@@ -66,33 +66,32 @@ object IdempotentSink {
       val deltaDf = spark.read.parquet(delta)
       val inserted = deltaDf.count()
       if (inserted > 0) deltaDf.write.mode(SaveMode.Append).parquet(path)
-      deleteRecursively(new java.io.File(delta))
+      graft.core.Fs.deleteRecursively(spark, delta)
       MergeStats(stagedCount, inserted, stagedCount - inserted)
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
-  /** The Postgres merge plan: statements a driver-side JDBC transaction
-    * executes after `df.write.jdbc` lands the batch in `staging`.
-    * Mirrors `cardano_block_dao.py:122-148` minus its bugs (timestamped
-    * temp-table name done correctly; ON COMMIT DROP).
+  /** The Postgres merge plan: statements bracketing a `df.write.jdbc`
+    * load of the staging table. Mirrors `cardano_block_dao.py:122-148`
+    * with one deliberate change: the staging table is a REGULAR
+    * (unlogged) uniquely-named table, never `CREATE TEMPORARY … ON COMMIT
+    * DROP` — Postgres temp tables are session-local, and the distributed
+    * load arrives over EXECUTOR connections which would each see their
+    * own empty temp table. It is dropped explicitly after the merge
+    * commits. Execution (Derby live in tests, Postgres in a deployment)
+    * lives in [[JdbcSink]]; this emits the same statements for callers
+    * that manage their own connection.
     */
   def pgMergeStatements(
       table: String,
       columns: Seq[String],
       keys: Seq[String],
       stagingSuffix: String = UUID.randomUUID().toString.replace("-", "")): (String, Seq[String]) = {
-    val staging = s"staging_${table}_$stagingSuffix"
-    val cols = columns.map(c => s""""$c"""").mkString(", ")
-    val conflict = keys.map(k => s""""$k"""").mkString(", ")
+    val staging = s"stg_${table}_$stagingSuffix"
+    val d = JdbcSink.PostgresDialect
     (staging, Seq(
-      s"""CREATE TEMPORARY TABLE "$staging" (LIKE "$table" INCLUDING DEFAULTS) ON COMMIT DROP""",
-      s"""INSERT INTO "$table" ($cols)
-         |SELECT $cols FROM "$staging"
-         |ON CONFLICT ($conflict) DO NOTHING""".stripMargin))
+      d.createStagingSql(table, staging),
+      d.mergeSql(table, staging, columns, keys),
+      d.dropSql(staging)))
   }
 }

@@ -1,0 +1,166 @@
+package graft.cardano
+
+import java.sql.Connection
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Executed JDBC staging+merge — the reference's custom sink
+  * (`cardano_block_dao.py:93-148`: temp-table COPY + `INSERT … ON
+  * CONFLICT (pk) DO NOTHING` in one transaction) run against a LIVE
+  * database, not just emitted as SQL.
+  *
+  * Flow per batch:
+  *  1. driver creates a regular, uniquely-named staging table cloned from
+  *     the target's shape. Regular — NOT `CREATE TEMPORARY` — because
+  *     temp tables are session-local and the distributed load in step 2
+  *     arrives over EXECUTOR connections, which would each see their own
+  *     empty temp table.
+  *  2. `df.write.jdbc` appends into the staging table — the distributed
+  *     analogue of the reference's single-connection COPY; Spark task
+  *     retries can at worst double-write into STAGING.
+  *  3. one driver transaction merges staging into the target with the
+  *     dialect's conflict-skip statement and commits; the deterministic
+  *     sha2 PKs (see [[Transforms.surrogateId]]) make replayed rows
+  *     no-ops, so the whole batch is idempotent end-to-end.
+  *  4. staging is dropped (after commit — never `ON COMMIT DROP`, see 1).
+  *
+  * Multi-table FK-ordered loads (the five UTXO tables,
+  * `s3_to_db_cardano_tx_utxo_pipeline.py:142-209`) stage each table first
+  * (step 1-2 per table), then run ALL merges inside ONE driver
+  * transaction in parent-before-child order ([[upsertAllJdbc]]) so a
+  * failure can never commit a child row without its parent.
+  */
+object JdbcSink {
+
+  /** Conflict-skip merge dialect. Implementations must be pure SQL
+    * generation — execution stays in [[JdbcSink]].
+    */
+  trait Dialect {
+    def quote(id: String): String = "\"" + id + "\""
+    /** DDL cloning the target's column shape into `staging`. */
+    def createStagingSql(target: String, staging: String): String
+    /** Single-statement merge: insert rows whose key is absent. */
+    def mergeSql(target: String, staging: String, columns: Seq[String], keys: Seq[String]): String
+    def dropSql(staging: String): String = s"DROP TABLE $staging"
+    /** One-time Spark-side setup (e.g. JdbcDialect registration). */
+    def prepare(): Unit = ()
+  }
+
+  /** Apache Derby (embedded — on the Spark classpath): `MERGE INTO … WHEN
+    * NOT MATCHED THEN INSERT` (Derby ≥ 10.11).
+    */
+  object DerbyDialect extends Dialect {
+    /** Spark's built-in Derby mapping writes StringType as CLOB, which
+      * makes `setNull(CLOB)` fail against VARCHAR staging columns.
+      * Prepend a dialect mapping strings to VARCHAR (everything else
+      * falls through to the built-in via the aggregated dialect).
+      */
+    private object VarcharOverride extends org.apache.spark.sql.jdbc.JdbcDialect {
+      override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+      override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+          : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
+        case _ => None
+      }
+    }
+    private lazy val registered: Unit =
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(VarcharOverride)
+    override def prepare(): Unit = registered
+
+    override def createStagingSql(target: String, staging: String): String =
+      // AS SELECT … WITH NO DATA clones column names/types (not constraints).
+      s"CREATE TABLE $staging AS SELECT * FROM $target WITH NO DATA"
+    override def mergeSql(target: String, staging: String,
+        columns: Seq[String], keys: Seq[String]): String = {
+      val on = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
+      val cols = columns.map(quote).mkString(", ")
+      val vals = columns.map(c => s"s.${quote(c)}").mkString(", ")
+      s"MERGE INTO $target t USING $staging s ON $on " +
+        s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)"
+    }
+  }
+
+  /** PostgreSQL: `INSERT … SELECT DISTINCT ON (pk) … ON CONFLICT DO
+    * NOTHING` (the reference's statement, `cardano_block_dao.py:140-148`).
+    * DISTINCT ON dedups within the staged batch itself (Spark task retries
+    * may have double-written staging); ON CONFLICT skips rows already in
+    * the target.
+    */
+  object PostgresDialect extends Dialect {
+    override def createStagingSql(target: String, staging: String): String =
+      s"CREATE UNLOGGED TABLE $staging (LIKE $target INCLUDING DEFAULTS)"
+    override def mergeSql(target: String, staging: String,
+        columns: Seq[String], keys: Seq[String]): String = {
+      val cols = columns.map(quote).mkString(", ")
+      val pk = keys.map(quote).mkString(", ")
+      s"INSERT INTO $target ($cols) " +
+        s"SELECT DISTINCT ON ($pk) $cols FROM $staging " +
+        s"ON CONFLICT ($pk) DO NOTHING"
+    }
+  }
+
+  final case class Staged(table: String, staging: String, columns: Seq[String], keys: Seq[String])
+
+  private def withConnection[T](url: String, props: Properties)(f: Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def exec(conn: Connection, sql: String): Int = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+
+  /** Steps 1-2: create the staging clone and distribute-load it. Staging
+    * names embed a random suffix so concurrent batches never collide.
+    * Within-batch PK dedup happens Spark-side (one shuffle on the keys —
+    * the same partitioning the JDBC write wants anyway); Postgres
+    * additionally dedups at merge time (`DISTINCT ON`) against rows a
+    * retried-and-recommitted executor transaction may have double-staged.
+    */
+  def stage(df: DataFrame, url: String, props: Properties, table: String,
+      keys: Seq[String], dialect: Dialect): Staged = {
+    dialect.prepare()
+    val staging = s"stg_${table}_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    withConnection(url, props)(exec(_, dialect.createStagingSql(table, staging)))
+    df.dropDuplicates(keys).write.mode(SaveMode.Append).jdbc(url, staging, props)
+    Staged(table, staging, df.columns.toSeq, keys)
+  }
+
+  /** Steps 3-4 for several staged tables in FK order: ONE transaction for
+    * all merges, then drop the stagings. Returns rows inserted per table.
+    */
+  def mergeAll(url: String, props: Properties, staged: Seq[Staged],
+      dialect: Dialect): Map[String, Int] = {
+    val inserted = withConnection(url, props) { conn =>
+      conn.setAutoCommit(false)
+      try {
+        val counts = staged.map { s =>
+          s.table -> exec(conn, dialect.mergeSql(s.table, s.staging, s.columns, s.keys))
+        }
+        conn.commit()
+        counts.toMap
+      } catch {
+        case t: Throwable => conn.rollback(); throw t
+      }
+    }
+    withConnection(url, props)(c => staged.foreach(s => exec(c, dialect.dropSql(s.staging))))
+    inserted
+  }
+
+  /** Single-table convenience: stage + merge + drop. */
+  def upsertJdbc(df: DataFrame, url: String, table: String, keys: Seq[String],
+      dialect: Dialect = DerbyDialect, props: Properties = new Properties): Int =
+    mergeAll(url, props, Seq(stage(df, url, props, table, keys, dialect)), dialect)(table)
+
+  /** FK-ordered multi-table load: stage every frame, then merge all in
+    * the given (parent-first) order inside one transaction.
+    */
+  def upsertAllJdbc(frames: Seq[(DataFrame, String, Seq[String])], url: String,
+      dialect: Dialect = DerbyDialect, props: Properties = new Properties): Map[String, Int] = {
+    val staged = frames.map { case (df, table, keys) => stage(df, url, props, table, keys, dialect) }
+    mergeAll(url, props, staged, dialect)
+  }
+}

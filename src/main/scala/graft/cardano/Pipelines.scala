@@ -43,15 +43,28 @@ final class Pipelines(
     * fans out over `spark.range`; the watermark makes completed batches
     * no-ops on re-run.
     */
+  /** Re-read exactly the batch directory the fetch just wrote (never a
+    * whole-zone glob: re-scanning the full raw zone per batch is O(B²)
+    * file opens over a B-batch backfill), then record the lake→warehouse
+    * load watermark from the files actually loaded (K4/Q2 — one listing
+    * call, no Spark job).
+    */
+  private def loadRawBatch(entity: String, table: String, endBlock: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = lake.rawDir(entity, endBlock)
+    val df = spark.read.schema(schema).json(dir)
+    graft.core.Fs.latestModification(spark, dir)
+      .foreach(ts => watermarks.recordFileLoad(table, ts))
+    df
+  }
+
   def runBlocks(start: Long, end: Long): Unit = {
     val from = math.max(start, watermarks.highestExportedBlock("cardano_blocks") + 1)
     batches(from, end).foreach { case (a, b) =>
       val heights = spark.range(a, b + 1).map(java.lang.Long.valueOf(_))
       val raw = BlockfrostSource.fetchBlocks(heights, backend)
       lake.writeRawJson(raw, "blocks", b)
-      val dto = Transforms.blockDto(
-        lake.readRawJson("blocks", Schemas.rawBlock)
-          .filter(col("height").between(a, b)))
+      val dto = Transforms.blockDto(loadRawBatch("blocks", "cardano_blocks", b, Schemas.rawBlock))
       upsert(dto, "cardano_blocks")
       watermarks.recordBlockExport("cardano_blocks", b)
     }
@@ -65,8 +78,7 @@ final class Pipelines(
       val raw = BlockfrostSource.fetchBlockTxs(heights, backend)
       lake.writeRawJson(raw, "block_tx", b)
       val dto = Transforms.blockTransactionsDto(
-        lake.readRawJson("block_tx", Schemas.rawBlockTransactions)
-          .filter(col("block_height").between(a, b)))
+        loadRawBatch("block_tx", "cardano_block_transactions", b, Schemas.rawBlockTransactions))
       upsert(dto, "cardano_block_transactions")
       watermarks.recordBlockExport("cardano_block_transactions", b)
     }
@@ -87,8 +99,7 @@ final class Pipelines(
       val raw = BlockfrostSource.fetchTransactions(hashes, backend)
       lake.writeRawJson(raw, "transactions", b)
       val dto = Transforms.transactionDto(
-        spark.read.schema(Schemas.rawTransaction)
-          .json(lake.rawDir("transactions", b)))
+        loadRawBatch("transactions", "cardano_transactions", b, Schemas.rawTransaction))
       upsert(dto, "cardano_transactions")
       watermarks.recordBlockExport("cardano_transactions", b)
     }
@@ -105,8 +116,7 @@ final class Pipelines(
         .select(col("hash")).as[String]
       val raw = BlockfrostSource.fetchTxUtxos(hashes, backend)
       lake.writeRawJson(raw, "transaction_utxo", b)
-      val docs = spark.read.schema(Schemas.rawTxUtxo)
-        .json(lake.rawDir("transaction_utxo", b))
+      val docs = loadRawBatch("transaction_utxo", "cardano_tx_utxo", b, Schemas.rawTxUtxo)
       val t = Transforms.normalizeUtxo(docs)
       // FK-safe order: parent tables before child tables.
       upsert(t.utxo, "cardano_tx_utxo")

@@ -23,7 +23,7 @@ final class Watermarks(spark: SparkSession, root: String) {
   private val lakePath = s"$root/s3_to_db_import_status"
 
   private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType) =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (graft.core.Fs.exists(spark, path)) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** Q1: `SELECT coalesce(max(block_height), 0) WHERE "table" = t`. */

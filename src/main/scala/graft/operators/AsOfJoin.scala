@@ -35,12 +35,17 @@ object AsOfJoin {
       time: String,
       idCol: String,
       rightVals: Seq[String]): DataFrame = {
+    // The carried right row travels as ONE struct through the window, so
+    // every asof_* value comes from the same right row even when some of
+    // its fields are null (per-column last(ignoreNulls) could mix rows).
+    val rowType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     val lTagged = left.select(
-      (col(key) +: col(time) +: lit(1).as("_side") +: col(idCol).as("_id") +:
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"_r_$v"))): _*)
+      col(key), col(time), lit(1).as("_side"), col(idCol).as("_id"),
+      lit(null).cast(rowType).as("_r"))
     val rTagged = right.select(
-      (col(key) +: col(time) +: lit(0).as("_side") +: col(idCol).as("_id") +:
-        rightVals.map(v => col(v).as(s"_r_$v"))): _*)
+      col(key), col(time), lit(0).as("_side"), col(idCol).as("_id"),
+      struct(rightVals.map(col): _*).as("_r"))
 
     // Right rows sort before left rows at equal time (_side 0 < 1), so a
     // same-instant right row is already visible to the left row.
@@ -49,11 +54,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)
-      .select(col(key) +: col(time) +: col("_side") +: col("_id") +:
-        rightVals.map(v => last(col(s"_r_$v"), ignoreNulls = true).over(w).as(s"asof_$v")): _*)
+      .select(col(key), col(time), col("_side"), col("_id"),
+        last(col("_r"), ignoreNulls = true).over(w).as("_asof"))
 
     filled.filter(col("_side") === 1)
       .select(col(key) +: col("_id").as(idCol) +: col(time) +:
-        rightVals.map(v => col(s"asof_$v")): _*)
+        rightVals.map(v => col(s"_asof.$v").as(s"asof_$v")): _*)
   }
 }

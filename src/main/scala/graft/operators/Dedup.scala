@@ -42,12 +42,36 @@ object Dedup {
     withToks.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** Candidate near-dup pairs by shingle co-occurrence with exact Jaccard.
-    * Self-join on the shingle key (hash-partitioned); a frequency cap on
-    * pathologically common shingles (stop-shingles) belongs upstream at
-    * real scale — noted, not needed at test SF.
+  /** Stop-shingle document-frequency cap: drop shingles appearing in more
+    * than `maxDocFreq` documents BEFORE any pairwise work. This is the
+    * guard that keeps shingle self-joins from going quadratic at scale: a
+    * single shingle shared by f documents contributes f²/2 join rows, so
+    * one pathologically common shingle ("the end", a boilerplate header)
+    * creates an O(corpus²) bucket. Capping bounds every bucket at
+    * maxDocFreq²/2. Near-dup recall is unaffected in practice — true
+    * near-dups share RARE shingles; a shingle present in thousands of
+    * documents carries no similarity signal.
+    *
+    * Sizes/Jaccard downstream are computed over the capped shingle
+    * universe, so the metric stays an exact Jaccard of the filtered sets.
     */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def capShingles(sh: DataFrame, maxDocFreq: Long): DataFrame = {
+    val keep = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("shingle"))
+    // Both sides scale with the corpus: shuffled hash join, not broadcast.
+    sh.hint("shuffle_hash").join(keep, Seq("shingle"), "left_semi")
+  }
+
+  /** Candidate near-dup pairs by shingle co-occurrence with exact Jaccard.
+    * Self-join on the shingle key (hash-partitioned). `maxDocFreq` caps
+    * stop-shingle buckets before the join (see [[capShingles]]) — at real
+    * scale ALWAYS set it; None keeps the exact uncapped semantics.
+    */
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = maxDocFreq.fold(sh0)(capShingles(sh0, _))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -106,6 +130,49 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The production near-dup composition: LSH generates candidates, exact
+    * Jaccard verifies them — so the expensive exact measure runs ONLY on
+    * LSH-co-bucketed pairs, never on every shingle-sharing pair. With the
+    * stop-shingle cap applied once up front, every stage is bounded:
+    * signatures are one partial-aggregated pass, banding bounds candidate
+    * buckets, and verification joins shingles to the (small) candidate
+    * set on doc_id.
+    *
+    * Output: (doc_a, doc_b, n_common, jaccard) for verified pairs.
+    */
+  def lshVerifiedPairs(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      n: Int,
+      k: Int,
+      bands: Int,
+      minJaccard: Double,
+      maxDocFreq: Long): DataFrame = {
+    val sh = capShingles(shingles(df, idCol, text, n), maxDocFreq)
+    val cand = lshCandidatePairs(minhash(sh, k), k, bands)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Attach both docs' shingle sets to each candidate pair; the shingle
+    // equi-key makes the intersection a join condition, the count the
+    // intersection size. Candidate side is the small one but still scales
+    // with the corpus — shuffled hash joins on doc_id.
+    val common = cand
+      .hint("shuffle_hash")
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .hint("shuffle_hash")
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
   /** 60-bit SimHash per document: per-bit majority vote over token

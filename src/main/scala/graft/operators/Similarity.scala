@@ -81,6 +81,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic pseudo-random centroid for the IVF-style coarse
+    * quantizer — same md5 derivation family as [[planeWeights]] (seed
+    * string "cent<c>:<i>"), so any engine (and the SQL oracle) recomputes
+    * the identical centroids. Materialized as array literals: cell
+    * assignment is nCentroids codegen'd dots per row, no broadcast state,
+    * no shuffle.
+    */
+  private[graft] def centroidWeights(c: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cent$c:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      (h % 2001 - 1000).toDouble / 1000.0
+    }
+
+  /** Coarse-quantizer cell id: argmax over centroid dot products (ties →
+    * smallest centroid index, so assignment is total and deterministic).
+    * The struct-max trick keeps the argmax inside one codegen'd
+    * projection: max over (score, -index) structs orders by score first,
+    * then prefers the smaller index.
+    */
+  def coarseCell(vec: Column, nCentroids: Int, dims: Int): Column = {
+    val scored = (0 until nCentroids).map { c =>
+      val centroid = array(centroidWeights(c, dims).map(lit): _*)
+      struct(dot(vec, centroid).as("score"), lit(-c).as("negc"))
+    }
+    (greatest(scored: _*).getField("negc") * -1).cast("int")
+  }
+
   /** ANN via SRP-LSH: restrict the exact cosine scan to the query's
     * bucket. Recall < 1 by construction (that is the trade); the bucketed
     * scan touches corpus/2^nPlanes of the data in expectation.

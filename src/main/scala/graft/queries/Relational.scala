@@ -336,7 +336,34 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Chain-linkage integrity audit (reference: previous/next hashes the
+    * API delivers vs the chain itself — raw_cardano_blocks.py:23-24).
+    * Builds a deterministic md5-hash chain over the consecutive event_id
+    * domain, corrupts previous_block at every height ≡ 13 (mod 977), and
+    * lets [[graft.cardano.Transforms.validateChainLinkage]] flag exactly
+    * the corrupted rows. The validator is equi-self-joins on height ± 1 —
+    * hash-partitioned, fully parallel — never a global-ORDER-BY window
+    * (which would serialize the whole chain through one task).
+    */
+  def q20ChainLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.events(spark, dir)
+      .select($"event_id".cast("long").as("height"))
+      .select(
+        $"height",
+        md5(concat(lit("blk:"), $"height".cast("string"))).as("hash"),
+        when($"height" % 977 === 13, md5(concat(lit("bad:"), $"height".cast("string"))))
+          .otherwise(md5(concat(lit("blk:"), ($"height" - 1).cast("string"))))
+          .as("previous_block"),
+        md5(concat(lit("blk:"), ($"height" + 1).cast("string"))).as("next_block"))
+    graft.cardano.Transforms.validateChainLinkage(blocks)
+      .filter(!($"prev_ok" && $"next_ok"))
+      .select($"height", $"hash", $"previous_block", $"derived_prev")
+      .orderBy($"height")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_chain_linkage" -> (q20ChainLinkage _),
     "r1_range_batch" -> (r1RangeBatch _),
     "q19_percentiles" -> (q19Percentiles _),
     "q18_asof_join" -> (q18AsofJoin _),
@@ -358,6 +385,27 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q20_chain_linkage" ->
+      """WITH blocks AS (
+        |  SELECT CAST(event_id AS BIGINT) AS height,
+        |    md5('blk:' || CAST(event_id AS BIGINT)) AS hash,
+        |    CASE WHEN CAST(event_id AS BIGINT) % 977 = 13
+        |         THEN md5('bad:' || CAST(event_id AS BIGINT))
+        |         ELSE md5('blk:' || (CAST(event_id AS BIGINT) - 1)) END AS previous_block,
+        |    md5('blk:' || (CAST(event_id AS BIGINT) + 1)) AS next_block
+        |  FROM events),
+        |d AS (
+        |  SELECT b.height, b.hash, b.previous_block, b.next_block,
+        |    p.hash AS derived_prev, n.hash AS derived_next
+        |  FROM blocks b
+        |  LEFT JOIN blocks p ON p.height = b.height - 1
+        |  LEFT JOIN blocks n ON n.height = b.height + 1)
+        |SELECT height, hash, previous_block, derived_prev FROM d
+        |WHERE NOT ((previous_block IS NULL OR derived_prev IS NULL
+        |             OR previous_block = derived_prev)
+        |       AND (next_block IS NULL OR derived_next IS NULL
+        |             OR next_block = derived_next))
+        |ORDER BY height""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS q25,

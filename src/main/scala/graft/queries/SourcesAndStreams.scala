@@ -55,6 +55,45 @@ object SourcesAndStreams {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** S8: read-side schema evolution (the reference's Alembic
+    * block_time Integer→DateTime migration, b0673669b6c8, as a lake
+    * read). Half of `orders` is written under a v1 schema (totalprice as
+    * exact integer cents, BIGINT), half under v2 (DOUBLE dollars);
+    * [[graft.cardano.SchemaEvolution.readVersioned]] reads both branches
+    * under their own schemas, upgrades v1 in a narrow projection, and the
+    * union must aggregate identically to the original table (the oracle
+    * reads plain `orders` — equality proves v1 data survives the schema
+    * change losslessly).
+    */
+  def s8SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cardano.SchemaEvolution
+    import org.apache.spark.sql.types._
+    val root = scratch("s8evo")
+    val orders = Tables(spark, dir, "orders")
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    SchemaEvolution.write(v1, root, 1)
+    SchemaEvolution.write(v2, root, 2)
+    val versions = Seq(
+      SchemaEvolution.Version(1,
+        StructType(Seq(StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+          StructField("total_cents", LongType))),
+        df => df.withColumn("o_totalprice", col("total_cents") / 100.0).drop("total_cents")),
+      SchemaEvolution.Version(2,
+        StructType(Seq(StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))),
+        identity))
+    SchemaEvolution.readVersioned(spark, root, versions)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming event-time windowed aggregation (epoch-aligned 6h
     * windows + watermark), run to completion via AvailableNow.
     */
@@ -95,6 +134,7 @@ object SourcesAndStreams {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
+    "s8_schema_evolution" -> (s8SchemaEvolution _),
     "st1_stream_window_agg" -> (st1StreamWindowAgg _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stateful_stats" -> (st3StatefulStats _),
@@ -110,6 +150,10 @@ object SourcesAndStreams {
       """SELECT o_orderstatus, count(*) AS cnt,
         | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
         | max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s8_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "st1_stream_window_agg" ->
       """SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) * 1000000),

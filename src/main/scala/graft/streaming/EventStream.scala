@@ -34,9 +34,31 @@ object EventStream {
     */
   private def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    scratchDirs.synchronized { scratchDirs += dir }
+    dir
+  }
+
+  /** Scratch dirs are RAM-backed; without cleanup repeated Bench/Verify
+    * runs accumulate checkpoints and staged copies until /dev/shm fills.
+    * Dirs still referenced by a live in-memory sink are only removed at
+    * JVM exit; finished checkpoints are removed eagerly via [[reap]].
+    */
+  private val scratchDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  sys.addShutdownHook { scratchDirs.synchronized { scratchDirs.foreach(deleteTree) } }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator.foreach(f => Files.deleteIfExists(f))
+    }
+
+  private def reap(p: java.nio.file.Path): Unit = {
+    deleteTree(p)
+    scratchDirs.synchronized { scratchDirs -= p }: Unit
   }
 
   /** The events table as a stream: nanos-as-long ts converted to a real
@@ -62,14 +84,16 @@ object EventStream {
     */
   def runToTable(df: DataFrame, outputMode: String): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchDir("ckpt")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
-      .option("checkpointLocation", scratchDir("ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    reap(ckpt)
     df.sparkSession.table(name)
   }
 
@@ -139,12 +163,18 @@ object EventStream {
           state.update(next)
           (user, next.n, next.cents, next.lastTs)
       }
+    // The memory sink holds one state snapshot per (user, micro-batch).
+    // n_events is strictly increasing across a user's snapshots, so the
+    // row with max n_events IS the final state — pick every column from
+    // that row with max_by. (Independent max() per column would be wrong:
+    // value_cents is a running sum, not monotone when values go negative,
+    // and per-column maxes could mix snapshots.)
     runToTable(out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
-        max(col("value_cents")).as("value_cents"),
-        max(col("last_ts_micros")).as("last_ts_micros"))
+        max_by(col("value_cents"), col("n_events")).as("value_cents"),
+        max_by(col("last_ts_micros"), col("n_events")).as("last_ts_micros"))
       .orderBy(col("user_id"))
   }
 

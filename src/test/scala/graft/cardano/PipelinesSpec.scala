@@ -78,6 +78,25 @@ class PipelinesSpec extends SparkSpec {
     assert(vs.sameElements(vs.sorted.reverse))
   }
 
+  test("per-batch loads read only that batch's raw dir, and record file-load watermarks") {
+    import spark.implicits._
+    val r = tmpDir("batchiso")
+    val lake = new Lake(spark, s"$r/lake")
+    val wm = new Watermarks(spark, s"$r/status")
+    val p = new Pipelines(spark, lake, s"$r/warehouse", wm,
+      new BlockfrostSource.FixtureBackend, batchSize = 25)
+    // Poison the raw zone with a stale batch dir whose row overlaps the
+    // height range but carries a bogus hash. A whole-zone glob (the
+    // O(B²) re-scan) would pick it up; the per-batch read must not.
+    lake.writeRawJson(Seq((5L, "bogus")).toDF("height", "hash"), "blocks", 999999L)
+    p.runBlocks(1, 60)
+    val blocks = p.readTable("cardano_blocks")
+    assert(blocks.count() == 60)
+    assert(blocks.filter(col("hash") === "bogus").count() == 0)
+    // K4/Q2 wiring: every batch load recorded a lake→warehouse watermark.
+    assert(wm.latestLoadedFileDate("cardano_blocks").isDefined)
+  }
+
   test("chain-linkage validation agrees with the fixture chain") {
     pipelines.runFull(1, 60)
     val v = Transforms.validateChainLinkage(pipelines.readTable("cardano_blocks"))

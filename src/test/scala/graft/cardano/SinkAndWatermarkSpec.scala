@@ -32,13 +32,17 @@ class SinkAndWatermarkSpec extends SparkSpec {
     assert(rows(1).getString(1) == "b") // conflict-skip keeps the original
   }
 
-  test("pgMergeStatements emits staging DDL + single conflict-skip merge") {
+  test("pgMergeStatements emits staging DDL + conflict-skip merge + drop") {
     val (staging, stmts) = IdempotentSink.pgMergeStatements(
       "cardano_blocks", Seq("height", "hash"), Seq("height"), "abc")
-    assert(staging == "staging_cardano_blocks_abc")
-    assert(stmts.head.contains("""LIKE "cardano_blocks""""))
-    assert(stmts.head.contains("ON COMMIT DROP"))
+    assert(staging == "stg_cardano_blocks_abc")
+    assert(stmts.head.contains("LIKE cardano_blocks"))
+    // Regular (unlogged) staging table, never a session-local TEMPORARY —
+    // executors load staging over their own connections.
+    assert(!stmts.head.toUpperCase.contains("TEMPORARY"))
     assert(stmts(1).contains("""ON CONFLICT ("height") DO NOTHING"""))
+    assert(stmts(1).contains("""DISTINCT ON ("height")"""))
+    assert(stmts(2).startsWith("DROP TABLE"))
   }
 
   test("watermarks: empty store defaults, then tracks maxima") {
