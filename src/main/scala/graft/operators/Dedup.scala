@@ -71,7 +71,13 @@ object Dedup {
     */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // The shingle table feeds three subtrees (both self-join sides +
+    // sizes); without an explicit persist each one re-runs tokenization
+    // and the cap join (alias ids differ, so exchange reuse can't kick
+    // in). MEMORY_AND_DISK spills rather than OOMs at corpus scale, and
+    // the ContextCleaner unpersists once the plan is unreferenced.
     val sh = maxDocFreq.fold(sh0)(capShingles(sh0, _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -120,8 +126,11 @@ object Dedup {
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bh"))
     }
+    // Both self-join sides read the banded table; persist so signature
+    // computation (the minhash aggregation upstream) runs once.
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
       .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     // Same-size self-join: shuffled hash, not broadcast (see jaccardPairs).
@@ -151,7 +160,11 @@ object Dedup {
       bands: Int,
       minJaccard: Double,
       maxDocFreq: Long): DataFrame = {
+    // Four subtrees consume the capped shingle table (signatures, both
+    // verify-join sides, sizes): persist it once — at corpus scale the
+    // alternative is 4x the tokenize+cap work, not a bigger shuffle.
     val sh = capShingles(shingles(df, idCol, text, n), maxDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(minhash(sh, k), k, bands)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Attach both docs' shingle sets to each candidate pair; the shingle
@@ -173,6 +186,72 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Connected components over near-dup pairs — the cluster-resolution
+    * step every dedup pipeline needs after pair generation: near-dup is
+    * not transitive, so (a,b) and (b,c) pairs must collapse into one
+    * cluster with one canonical keeper before rows are dropped.
+    *
+    * Iterative min-label propagation (the standard distributed CC shape —
+    * what large-star/small-star optimizes): every vertex starts as its
+    * own component; each round takes the min over neighbors; fixpoint in
+    * diameter(G) rounds. Near-dup graphs have tiny components, so this
+    * converges in a handful of rounds; each round is ONE shuffle-join on
+    * the vertex key plus a partial-aggregated min. The driver loop is
+    * over rounds (plans), never rows; per-round frames are persisted and
+    * the previous round explicitly unpersisted, so peak storage is two
+    * label tables.
+    *
+    * Output: (doc_id, component, cluster_size, is_keeper) for every
+    * vertex; keeper = the component's minimum id (deterministic).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Iterative algorithms must TRUNCATE LINEAGE each round, not just
+    // cache: persist() short-circuits execution but the logical plan
+    // still nests one round deeper every iteration and re-analysis goes
+    // super-linear. localCheckpoint (eager) materializes the round and
+    // replaces the plan with the materialized blocks; a cluster
+    // deployment swaps in reliable checkpoint((HD)FS dir) — same shape.
+    // Materialize the pair list ONCE (it is the output of a whole
+    // candidate+verify pipeline), then derive both edge directions from
+    // the materialized frame.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    // Only vertices touched by an edge can ever change label — iterate
+    // over that (usually tiny) subgraph and union the untouched
+    // singletons back at the end. At corpus scale this is the difference
+    // between iterating over duplicates and iterating over everything.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("ncomp")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val next = labels
+        .join(nmin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          col("component").as("prev"))
+        .localCheckpoint()
+      converged = next.filter(col("component") =!= col("prev")).count() == 0
+      labels = next.drop("prev")
+      it += 1
+    }
+    val singletons = vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    val all = labels.unionByName(singletons)
+    val sizes = all.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (col("doc_id") === col("component")).as("is_keeper"))
   }
 
   /** 60-bit SimHash per document: per-bit majority vote over token

@@ -110,10 +110,15 @@ object SourcesAndStreams {
 
   /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
     * offline fixture chain) finishing with the reference's Q8 analytics.
-    * Independent of the star schema, so no SQL oracle — the driver's
-    * rows-only check applies; field-exact verification lives in the
-    * cardano ScalaTest suites. Excluded from Bench timing (pipeline, not
-    * query).
+    * Independent of the star schema — but the fixture chain is fully
+    * deterministic (every field sha256-derived from the height), so the
+    * expected output is a CONSTANT and the oracle is a VALUES table: the
+    * driver hash-checks the whole ETL surface (S1-S4, K1/K2/K4, T2/T3,
+    * Q8) against exact pinned aggregates, the engine twin of the
+    * reference pinning expected rows in its DAO integration tests
+    * (`integration_tests/src/dao/test_cardano_block_dao.py:48-67`). The
+    * same constants are asserted in PipelinesSpec. Excluded from Bench
+    * timing (pipeline, not query).
     */
   def c1CardanoBackfillQ8(spark: SparkSession, dir: String): DataFrame = {
     import graft.cardano._
@@ -141,6 +146,17 @@ object SourcesAndStreams {
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
+    // Exact expected Q8 output of the fixture backfill over heights 1-60:
+    // for each block h with h%3 txs, tx i has n = int(hash[12:24], 16);
+    // inputs with n%5==0 carry reference_script_hash "script"+(n%7) and
+    // lovelace quantity n%2000000 — summed per script, top-10 by volume.
+    "c1_cardano_backfill_q8" ->
+      """SELECT reference_script_hash, CAST(volume AS DECIMAL(38,0)) AS volume
+        |FROM (VALUES
+        |  ('script1', 2383740), ('script5', 2163185), ('script3', 945860),
+        |  ('script6', 589875), ('script4', 121515))
+        |  AS t(reference_script_hash, volume)
+        |ORDER BY volume DESC, reference_script_hash""".stripMargin,
     "s5_json_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,

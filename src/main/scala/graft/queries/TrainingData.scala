@@ -69,6 +69,38 @@ object TrainingData {
   def d6AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), srpPlanes, 10)
 
+  /** Near-dup cluster resolution: connected components over the verified
+    * LSH pairs (d8's output), yielding one canonical keeper per cluster —
+    * the step that turns pair lists into actual row drops. See
+    * [[Dedup.connectedComponents]].
+    */
+  def d9DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.lshVerifiedPairs(
+      docs, col("doc_id"), col("text"),
+      n = 3, k = minhashK, bands = minhashBands,
+      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf)
+    Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10): the assignment is a
+    * pure hash of the stable doc id — reproducible across runs, engines
+    * and cluster sizes (no RNG state, no sampling drift), which is what a
+    * training pipeline needs for leak-free splits. Narrow projection,
+    * zero shuffle.
+    */
+  def x6DeterministicSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextOps.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting (whitespace-word regex; SURVEY north-star text op). */
   def x1TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -203,6 +235,8 @@ object TrainingData {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
+    "d9_dedup_clusters" -> (d9DedupClusters _),
+    "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -227,6 +261,34 @@ object TrainingData {
 
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** CTE chain producing the df-capped, LSH-candidate, exact-Jaccard
+    * verified near-dup pairs (`vpairs`) — shared by the d8 and d9
+    * oracles.
+    */
+  private val verifiedPairCtes =
+    s"""$grams3,
+       |capped AS (SELECT g.doc_id, g.shingle FROM grams g
+       |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 50) ok
+       |             USING (shingle)),
+       |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM capped),
+       |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+       |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+       |          FROM mh GROUP BY doc_id, s // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |vsizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
+       |           FROM cand c
+       |           JOIN capped a ON a.doc_id = c.doc_a
+       |           JOIN capped b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |           GROUP BY 1, 2),
+       |vpairs AS (SELECT doc_a, doc_b, nc AS n_common,
+       |                  CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+       |           FROM common JOIN vsizes sa ON sa.doc_id = doc_a
+       |                       JOIN vsizes sb ON sb.doc_id = doc_b
+       |           WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d7_embedding_neardup" ->
       s"""WITH centroids AS (
@@ -246,29 +308,30 @@ object TrainingData {
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d8_lsh_verified_dedup" ->
-      s"""WITH $grams3,
-         |capped AS (SELECT g.doc_id, g.shingle FROM grams g
-         |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 50) ok
-         |             USING (shingle)),
-         |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM capped),
-         |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
-         |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
-         |          FROM mh GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
-         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
-         |           FROM cand c
-         |           JOIN capped a ON a.doc_id = c.doc_a
-         |           JOIN capped b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |           GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, nc AS n_common,
-         |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
-         |FROM common JOIN sizes sa ON sa.doc_id = doc_a
-         |            JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
+      s"""WITH $verifiedPairCtes
+         |SELECT doc_a, doc_b, n_common, jaccard FROM vpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d9_dedup_clusters" ->
+      s"""WITH RECURSIVE $verifiedPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         |closure(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a),
+         |csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.cluster_size,
+         |       (c.doc_id = c.component) AS is_keeper
+         |FROM comp c JOIN csize s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+    "x6_deterministic_split" ->
+      s"""SELECT doc_id,
+         |  ${h60sql.format("'split:' || doc_id")} % 100 AS bucket,
+         |  CASE WHEN ${h60sql.format("'split:' || doc_id")} % 100 < 80 THEN 'train'
+         |       WHEN ${h60sql.format("'split:' || doc_id")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x5_string_clean" ->
       """SELECT doc_id, source,
         |  CAST(regexp_replace(source, '^src', '') AS BIGINT) AS src_num,

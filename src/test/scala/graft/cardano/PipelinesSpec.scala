@@ -73,9 +73,18 @@ class PipelinesSpec extends SparkSpec {
 
     val q8 = Analytics.topProtocolsByVolume(in, inAmt)
     val vols = q8.collect()
-    // decimal-exact volumes, descending
-    val vs = vols.map(_.getAs[java.math.BigDecimal]("volume").doubleValue())
-    assert(vs.sameElements(vs.sorted.reverse))
+    // Exact expected aggregates of the deterministic fixture chain,
+    // independently derivable: n = int(txhash[12:24],16); inputs with
+    // n%5==0 contribute n%2000000 lovelace to "script"+(n%7). By this
+    // point the suite has extended the shared warehouse to heights 1-80
+    // (the incremental test), so these are the 1-80 constants; the
+    // c1_cardano_backfill_q8 driver oracle pins the fresh 1-60 run.
+    val expected = Seq(
+      ("script5", 6828410L), ("script1", 5937010L), ("script6", 2478630L),
+      ("script2", 1763895L), ("script0", 1354600L), ("script3", 945860L),
+      ("script4", 426475L))
+    assert(vols.map(r => (r.getString(0),
+      r.getAs[java.math.BigDecimal]("volume").longValueExact())).toSeq == expected)
   }
 
   test("per-batch loads read only that batch's raw dir, and record file-load watermarks") {

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Cluster resolution over near-dup pairs: components must collapse
+  * non-transitive pair chains, keepers must be the component minimum,
+  * and the fixpoint must be exact (not iteration-capped).
+  */
+class DedupClusterSpec extends SparkSpec {
+
+  private def cc(vertices: Seq[Long], pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Dedup.connectedComponents(
+        vertices.toDF("doc_id"),
+        pairs.toDF("doc_a", "doc_b"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+  }
+
+  test("chain of pairs collapses to one component with min-id keeper") {
+    // 1-2, 2-3, 3-4 is a chain: near-dup is not transitive but the
+    // cluster must still be one component keyed by its min id.
+    val got = cc(Seq(1L, 2L, 3L, 4L, 9L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Seq(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false), (3L, 1L, 4L, false),
+      (4L, 1L, 4L, false), (9L, 9L, 1L, true)))
+  }
+
+  test("long path needs diameter rounds — fixpoint still exact") {
+    // a 12-vertex path: min label must travel the whole path.
+    val n = 12L
+    val verts = (0L until n)
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val got = cc(verts, path)
+    assert(got.forall { case (_, comp, size, _) => comp == 0L && size == n })
+    assert(got.count(_._4) == 1)
+  }
+
+  test("disjoint clusters stay disjoint; singletons are their own keeper") {
+    val got = cc(Seq(1L, 2L, 5L, 6L, 7L), Seq((1L, 2L), (5L, 6L)))
+    val byDoc = got.map(t => t._1 -> t).toMap
+    assert(byDoc(1L) == (1L, 1L, 2L, true))
+    assert(byDoc(2L) == (2L, 1L, 2L, false))
+    assert(byDoc(5L) == (5L, 5L, 2L, true))
+    assert(byDoc(6L) == (6L, 5L, 2L, false))
+    assert(byDoc(7L) == (7L, 7L, 1L, true))
+  }
+}
