@@ -48,26 +48,74 @@ object IdempotentSink {
       staged: DataFrame,
       path: String,
       keys: Seq[String]): MergeStats = {
+    import org.apache.spark.sql.Observation
     val exists = graft.core.Fs.exists(spark, path)
-    val stagedCount = staged.count()
+    // Both counts ride the ONE write job as observed metrics (staged rows
+    // before the dedup/anti-join, surviving rows after) — no separate
+    // count() actions, each of which would re-run the merge plan and at
+    // scale re-scan the inputs.
+    val inObs = Observation()
+    val outObs = Observation()
+    def observed(df: DataFrame) =
+      df.observe(inObs, count(lit(1)).as("n"))
+    def counts(): (Long, Long) =
+      (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
     if (!exists) {
-      val deduped = staged.dropDuplicates(keys)
-      deduped.write.mode(SaveMode.Overwrite).parquet(path)
-      val inserted = spark.read.parquet(path).count()
+      observed(staged).dropDuplicates(keys)
+        .observe(outObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      val (stagedCount, inserted) = counts()
       MergeStats(stagedCount, inserted, stagedCount - inserted)
     } else {
       val existing = spark.read.parquet(path)
-      val fresh = mergeBatch(staged, existing, keys)
+      val fresh = mergeBatch(observed(staged), existing, keys)
+        .observe(outObs, count(lit(1)).as("n"))
       // The merge plan reads the same path it appends to, so materialize
       // the delta to a scratch dir first (distributed — never through the
       // driver), then append it.
       val delta = s"$path.delta-${UUID.randomUUID().toString.take(8)}"
       fresh.write.mode(SaveMode.Overwrite).parquet(delta)
-      val deltaDf = spark.read.parquet(delta)
-      val inserted = deltaDf.count()
-      if (inserted > 0) deltaDf.write.mode(SaveMode.Append).parquet(path)
+      val (stagedCount, inserted) = counts()
+      if (inserted > 0)
+        spark.read.parquet(delta).write.mode(SaveMode.Append).parquet(path)
       graft.core.Fs.deleteRecursively(spark, delta)
       MergeStats(stagedCount, inserted, stagedCount - inserted)
+    }
+  }
+
+  /** Bucketed-table upsert — the scale layout for a hot merge target: the
+    * table is bucketed on the conflict key, so the existing side of the
+    * PK anti-join is ALREADY hash-partitioned on the key and the merge
+    * shuffles only the incoming batch (one Exchange instead of two, and
+    * the big side never moves — the dominant cost of a merge into a
+    * 100 TB table). The delta is `localCheckpoint`ed before the append
+    * because the plan reads the table it appends to (a cluster swaps in a
+    * reliable checkpoint or a transactional table format).
+    */
+  def upsertBucketed(
+      spark: SparkSession,
+      staged: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int = 8): MergeStats = {
+    import org.apache.spark.sql.Observation
+    val inObs = Observation()
+    val outObs = Observation()
+    val observed = staged.observe(inObs, count(lit(1)).as("n"))
+    def bucketed(df: DataFrame) =
+      df.write.format("parquet").bucketBy(numBuckets, keys.head, keys.tail: _*)
+    if (!spark.catalog.tableExists(table)) {
+      bucketed(observed.dropDuplicates(keys).observe(outObs, count(lit(1)).as("n")))
+        .saveAsTable(table)
+      val (s, i) = (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
+      MergeStats(s, i, s - i)
+    } else {
+      val fresh = mergeBatch(observed, spark.table(table), keys)
+        .observe(outObs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val (s, i) = (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
+      if (i > 0) bucketed(fresh).mode(SaveMode.Append).saveAsTable(table)
+      MergeStats(s, i, s - i)
     }
   }
 

@@ -55,6 +55,24 @@ object SourcesAndStreams {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** S9: ORC round-trip — the third columnar/lake format surface (after
+    * parquet and CSV/JSON): write ORC, read back schema-first, aggregate;
+    * equality with the parquet-side oracle proves losslessness.
+    */
+  def s9OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+    val path = scratch("s9orc")
+    src.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(src.schema).orc(path)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("p_retailprice") * 100).cast("long")) / 100.0).as("sum_price"),
+        max(col("p_type")).as("max_type"))
+      .orderBy(col("p_brand"))
+  }
+
   /** S8: read-side schema evolution (the reference's Alembic
     * block_time Integer→DateTime migration, b0673669b6c8, as a lake
     * read). Half of `orders` is written under a v1 schema (totalprice as
@@ -108,6 +126,10 @@ object SourcesAndStreams {
   def st3StatefulStats(spark: SparkSession, dir: String): DataFrame =
     EventStream.userRunningStats(spark, dir)
 
+  /** Stream-stream interval join (purchases × preceding-hour clicks). */
+  def st4StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    EventStream.purchaseClickJoin(spark, dir)
+
   /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
     * offline fixture chain) finishing with the reference's Q8 analytics.
     * Independent of the star schema — but the fixture chain is fully
@@ -143,6 +165,8 @@ object SourcesAndStreams {
     "st1_stream_window_agg" -> (st1StreamWindowAgg _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stateful_stats" -> (st3StatefulStats _),
+    "st4_stream_stream_join" -> (st4StreamStreamJoin _),
+    "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
@@ -178,6 +202,18 @@ object SourcesAndStreams {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "st4_stream_stream_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    "s9_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+        | sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | max(p_type) AS max_type
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "st3_stateful_stats" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

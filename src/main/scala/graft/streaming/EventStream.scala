@@ -178,6 +178,32 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream interval join: every purchase matched to the same
+    * user's clicks within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state (clicks older than watermark − 1h are
+    * dropped) — the state-bounding contract unbounded stream joins
+    * require. Inner-join matches emit immediately; with AvailableNow the
+    * result equals the batch join, which is what the oracle checks.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    runToTable(joined, "append")
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** Stateful streaming dedup on the event key (watermark-bounded
     * state) — the streaming twin of the sink's PK conflict-skip.
     */
