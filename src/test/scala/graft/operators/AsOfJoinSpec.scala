@@ -33,6 +33,21 @@ class AsOfJoinSpec extends SparkSpec {
       201L -> None))
   }
 
+  test("all asof_* columns come from the SAME right row even when it carries nulls") {
+    import spark.implicits._
+    // r2 is the most recent right row but has a null in `b`; the output
+    // must carry (a2, null), never mix r1's b with r2's a — the right row
+    // travels as one struct through the window.
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, Some("a1"), Some("b1")),
+      (1L, ts("2024-01-01 09:00:00"), 2L, Some("a2"), None: Option[String]))
+      .toDF("user_id", "ts", "event_id", "a", "b")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("a", "b")).head()
+    assert(out.getAs[String]("asof_a") == "a2")
+    assert(out.getAs[String]("asof_b") == null)
+  }
+
   test("ties among right rows at the same instant break on id (deterministic)") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
