@@ -101,6 +101,48 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary building: corpus-wide token frequencies, top-100 with a
+    * deterministic tiebreak — the first step of any tokenizer/vocab prep.
+    * One partial-aggregated shuffle on the token; top-k is
+    * TakeOrderedAndProject (no global sort).
+    */
+  def x7VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  /** Benchmark decontamination: shingle-overlap of every corpus document
+    * against a held-out benchmark set (doc_id ≡ 0 mod 97 stands in for
+    * the eval suite). The benchmark's distinct shingles are the small
+    * side of a semi-ish join keyed on the shingle; per-doc contamination
+    * rate = overlapping / total shingles. At 100 TB the benchmark side
+    * stays a broadcast-sized distinct set, the corpus side is one narrow
+    * shingle pass — the standard decontamination shape (n would be 8-13
+    * in production; 3 here to share the oracle's shingle machinery).
+    */
+  def x9Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val benchShingles = Dedup
+      .shingles(docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), 3)
+      .select(col("shingle")).distinct()
+    val corpusShingles = Dedup
+      .shingles(docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"), 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = corpusShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val contaminated = corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting (whitespace-word regex; SURVEY north-star text op). */
   def x1TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -237,6 +279,8 @@ object TrainingData {
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
     "d9_dedup_clusters" -> (d9DedupClusters _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
+    "x7_vocab_topk" -> (x7VocabTopk _),
+    "x9_decontaminate" -> (x9Decontaminate _),
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -325,6 +369,21 @@ object TrainingData {
          |       (c.doc_id = c.component) AS is_keeper
          |FROM comp c JOIN csize s USING (component)
          |ORDER BY doc_id""".stripMargin,
+    "x7_vocab_topk" ->
+      """SELECT w AS token, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "x9_decontaminate" ->
+      s"""WITH $grams3,
+         |bsh AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),
+         |csh AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+         |cont AS (SELECT doc_id, count(*) AS n_contaminated
+         |         FROM csh JOIN bsh USING (shingle) GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  coalesce(c.n_contaminated, 0) AS n_contaminated,
+         |  CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS contamination_rate
+         |FROM tot t LEFT JOIN cont c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x6_deterministic_split" ->
       s"""SELECT doc_id,
          |  ${h60sql.format("'split:' || doc_id")} % 100 AS bucket,
