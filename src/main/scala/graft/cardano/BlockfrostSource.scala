@@ -39,7 +39,7 @@ object BlockfrostSource {
     * capped — `get_block_from_s3.py:22-28`; sleeps are capped tighter
     * here to keep tests fast).
     */
-  private[cardano] def withRetry[T](attempts: Int = 5, baseDelayMs: Long = 10)(f: => T): T = {
+  private[graft] def withRetry[T](attempts: Int = 5, baseDelayMs: Long = 10)(f: => T): T = {
     var delay = baseDelayMs
     var last: Throwable = null
     var i = 0
@@ -60,7 +60,7 @@ object BlockfrostSource {
     * within one partition (token pacing; cluster-wide rate =
     * partitions × rps, sized to the API quota).
     */
-  private[cardano] final class RateLimiter(rps: Int) extends Serializable {
+  private[graft] final class RateLimiter(rps: Int) extends Serializable {
     private val intervalNanos = 1000000000L / math.max(rps, 1)
     private var nextAt = 0L
     def acquire(): Unit = {

@@ -94,7 +94,13 @@ object EventStream {
       .start()
     q.awaitTermination()
     reap(ckpt)
-    df.sparkSession.table(name)
+    // Hand back a materialized copy and drop the sink table: memory-sink
+    // tables pin their full result in the driver for the life of the
+    // session, and a long-lived bench/verify JVM accumulates one per
+    // streaming query run.
+    val out = df.sparkSession.table(name).localCheckpoint()
+    df.sparkSession.catalog.dropTempView(name): Unit
+    out
   }
 
   /** Event-time windowed counts with a watermark (6h tumbling windows,
