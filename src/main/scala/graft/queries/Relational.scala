@@ -322,6 +322,24 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Skew-salted equi-join surfaced as a driver-checked query: the fact
+    * side gets a content-derived salt, the dim side replicates per salt,
+    * and the aggregate must equal the plain join (salting only reshapes
+    * partitioning — [[graft.operators.SkewJoin]]). The oracle runs the
+    * UNSALTED join: equality proves result identity.
+    */
+  def q16SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_suppkey", c100($"l_extendedprice").as("cents"))
+    val supp = Tables(spark, dir, "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    graft.operators.SkewJoin.saltedJoin(li, supp, "l_suppkey", 8)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("cnt"), (sum($"cents") / 100.0).as("sum_price"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Exact percentiles (linear interpolation on the sorted values —
     * the same (n-1)*p rule DuckDB's quantile_cont uses).
     */
@@ -370,6 +388,7 @@ object Relational {
     "q13_rollup" -> (q13Rollup _),
     "q14_distinct_agg" -> (q14DistinctAgg _),
     "q15_set_ops" -> (q15SetOps _),
+    "q16_salted_skew_join" -> (q16SaltedSkewJoin _),
     "q17_sessionize" -> (q17Sessionize _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_watermark_max" -> (q2WatermarkMax _),
@@ -449,6 +468,11 @@ object Relational {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |ORDER BY set_kind, o_custkey""".stripMargin,
+    "q16_salted_skew_join" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q17_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -27,6 +27,11 @@ object EventStream {
     */
   case class EventIn(user_id: Long, value: Double, tsMicros: Long)
   case class UserState(n: Long, cents: Long, lastTs: Long)
+  // carries the watermarked `ts` column itself: event-time timeout
+  // requires the watermark attribute to survive into the stateful
+  // operator's child output (projecting it away fails analysis)
+  case class SessIn(user_id: Long, ts: java.sql.Timestamp, tsMicros: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
 
   /** Streaming scratch (checkpoints, staged sources) on RAM-backed
     * storage when available: state-store and offset-log fsyncs on a
@@ -200,6 +205,17 @@ object EventStream {
       .repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged.toString)
+    // The file source orders micro-batches by file MODIFICATION TIME, and
+    // a parallel write stamps every part with the same mtime — which
+    // would make batch order arbitrary and feed late rows into stateful
+    // operators. part-NNNNN names follow the range order, so stamp
+    // strictly increasing mtimes along them.
+    val parts = new java.io.File(staged.toString).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L): Unit
+    }
     (staged.toString, schema)
   }
 
@@ -249,6 +265,63 @@ object EventStream {
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Streaming sessionization via `flatMapGroupsWithState` (the
+    * variable-arity custom-state API `mapGroupsWithState` can't express:
+    * a group emits ZERO OR MORE completed sessions per batch). Sessions
+    * split on >30 min gaps; a closed session is emitted inline as soon
+    * as the user's next event arrives, and a dangling open session is
+    * flushed by an event-time timeout once the (global) watermark passes
+    * its gap horizon — so state per user is exactly one open session,
+    * watermark-bounded.
+    *
+    * Emission contract (what the spec pins): every emitted session is
+    * field-exact equal to the batch sessionization's, and every session
+    * except possibly each user's final one (which may still be open, or
+    * not yet timed out, when the bounded stream ends) is emitted.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMicros = 1800L * 1000000L
+    val (staged, schema) = stageSortedByTime(spark, dir, 8)
+    val in = readEventsSorted(spark, staged, schema, filesPerTrigger = 2)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"))
+      .as[SessIn]
+    val sessions = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single((user, s.start, s.end, s.n))
+        } else {
+          val emitted = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+          var cur = state.getOption
+          rows.map(_.tsMicros).toSeq.sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.end <= gapMicros =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                emitted += ((user, s.start, s.end, s.n))
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // flush once the watermark passes end + gap (ms precision)
+            state.setTimeoutTimestamp(s.end / 1000L + gapMicros / 1000L)
+          }
+          emitted.iterator
+        }
+      }
+    runToTable(
+      sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append")
+      .orderBy(col("user_id"), col("start_micros"))
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded

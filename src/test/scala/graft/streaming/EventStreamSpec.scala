@@ -17,6 +17,43 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("flatMapGroupsWithState sessionization matches batch sessions; non-final sessions all emitted") {
+    val dir = "/root/testdata/sf0.001"
+    val emitted = EventStream.sessionizeStream(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // Batch truth: fold each user's sorted event times on >30min gaps.
+    val gap = 1800L * 1000000L
+    val byUser = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expected = byUser.flatMap { case (u, ts) =>
+      val sessions = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var end = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - end <= gap) { end = t; n += 1 }
+        else { sessions += ((u, start, end, n)); start = t; end = t; n = 1L }
+      }
+      sessions += ((u, start, end, n))
+      sessions
+    }.toSet
+    val lastPerUser = expected.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+
+    // Every emitted session is a real batch session…
+    assert(emitted.subsetOf(expected),
+      s"phantom sessions: ${emitted.diff(expected).take(3)}")
+    // …and everything except possibly each user's final (still-open or
+    // not-yet-timed-out) session was emitted.
+    assert((expected -- lastPerUser).subsetOf(emitted),
+      s"missing closed sessions: ${(expected -- lastPerUser -- emitted).take(3)}")
+    assert(emitted.nonEmpty)
+  }
+
   test("foreachBatch ingestion into the idempotent sink is effectively-once") {
     import spark.implicits._
     val src = tmpDir("ing_src")
