@@ -354,6 +354,42 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Range join (an operator family Spark has no dedicated node for —
+    * composed as the SCALABLE shape: the band table is tiny by
+    * construction, so `broadcast` + a nested-loop probe per row beats any
+    * shuffle formulation; the fact side never moves). Bands here are
+    * quantity brackets; the same plan serves time-bucket or price-band
+    * joins.
+    */
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 1000.0, "large"))
+      .toDF("lo", "hi", "band")
+    Tables(spark, dir, "lineitem")
+      .select($"l_quantity", c100($"l_extendedprice").as("cents"))
+      .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("cnt"), (sum($"cents") / 100.0).as("sum_price"))
+      .orderBy($"band")
+  }
+
+  /** Pivot (wide-format reshaping): per-user event-type counts with an
+    * EXPLICIT value list — at scale the value list must be declared (an
+    * inferred pivot is a driver-side distinct scan); missing cells
+    * coalesce to 0 so the shape is total.
+    */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select($"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
   /** Chain-linkage integrity audit (reference: previous/next hashes the
     * API delivers vs the chain itself — raw_cardano_blocks.py:23-24).
     * Builds a deterministic md5-hash chain over the consecutive event_id
@@ -382,6 +418,8 @@ object Relational {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_chain_linkage" -> (q20ChainLinkage _),
+    "q21_range_join" -> (q21RangeJoin _),
+    "q22_pivot" -> (q22Pivot _),
     "r1_range_batch" -> (r1RangeBatch _),
     "q19_percentiles" -> (q19Percentiles _),
     "q18_asof_join" -> (q18AsofJoin _),
@@ -404,6 +442,22 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q21_range_join" ->
+      """SELECT band, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'),
+        |             (25.0, 1000.0, 'large')) b(lo, hi, band)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q22_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q20_chain_linkage" ->
       """WITH blocks AS (
         |  SELECT CAST(event_id AS BIGINT) AS height,
