@@ -137,9 +137,9 @@ object IdempotentSink {
       stagingSuffix: String = UUID.randomUUID().toString.replace("-", "")): (String, Seq[String]) = {
     val staging = s"stg_${table}_$stagingSuffix"
     val d = JdbcSink.PostgresDialect
-    (staging, Seq(
-      d.createStagingSql(table, staging),
-      d.mergeSql(table, staging, columns, keys),
-      d.dropSql(staging)))
+    (staging,
+      (d.createStagingSql(table, staging) +:
+        d.preMergeSql(staging, keys)) ++
+        (d.mergeSql(table, staging, columns, keys) +: d.dropSql(staging)))
   }
 }

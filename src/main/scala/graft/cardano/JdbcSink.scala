@@ -40,9 +40,15 @@ object JdbcSink {
     def quote(id: String): String = "\"" + id + "\""
     /** DDL cloning the target's column shape into `staging`. */
     def createStagingSql(target: String, staging: String): String
+    /** Statements run inside the merge transaction BEFORE the merge —
+      * e.g. deduping rows a retried-and-recommitted executor transaction
+      * double-staged, for dialects whose merge can't dedup inline.
+      */
+    def preMergeSql(staging: String, keys: Seq[String]): Seq[String] = Nil
     /** Single-statement merge: insert rows whose key is absent. */
     def mergeSql(target: String, staging: String, columns: Seq[String], keys: Seq[String]): String
-    def dropSql(staging: String): String = s"DROP TABLE $staging"
+    /** Cleanup statements — MUST tolerate the merge having failed. */
+    def dropSql(staging: String): Seq[String] = Seq(s"DROP TABLE $staging")
     /** One-time Spark-side setup (e.g. JdbcDialect registration). */
     def prepare(): Unit = ()
   }
@@ -72,14 +78,25 @@ object JdbcSink {
     override def createStagingSql(target: String, staging: String): String =
       // AS SELECT … WITH NO DATA clones column names/types (not constraints).
       s"CREATE TABLE $staging AS SELECT * FROM $target WITH NO DATA"
+
+    /** Derby's MERGE source must be a base table and two identical
+      * double-staged rows would both be NOT MATCHED → PK violation, so
+      * dedup into a clone first (full-row DISTINCT: retry duplicates are
+      * byte-identical — timestamps are query constants).
+      */
+    override def preMergeSql(staging: String, keys: Seq[String]): Seq[String] = Seq(
+      s"CREATE TABLE ${staging}_d AS SELECT * FROM $staging WITH NO DATA",
+      s"INSERT INTO ${staging}_d SELECT DISTINCT * FROM $staging")
     override def mergeSql(target: String, staging: String,
         columns: Seq[String], keys: Seq[String]): String = {
       val on = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
       val cols = columns.map(quote).mkString(", ")
       val vals = columns.map(c => s"s.${quote(c)}").mkString(", ")
-      s"MERGE INTO $target t USING $staging s ON $on " +
+      s"MERGE INTO $target t USING ${staging}_d s ON $on " +
         s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)"
     }
+    override def dropSql(staging: String): Seq[String] =
+      Seq(s"DROP TABLE $staging", s"DROP TABLE ${staging}_d")
   }
 
   /** PostgreSQL: `INSERT … SELECT DISTINCT ON (pk) … ON CONFLICT DO
@@ -130,25 +147,41 @@ object JdbcSink {
   }
 
   /** Steps 3-4 for several staged tables in FK order: ONE transaction for
-    * all merges, then drop the stagings. Returns rows inserted per table.
+    * all merges, then drop the stagings. Staging cleanup runs in a
+    * finally (best-effort per table) so a failed/rolled-back merge never
+    * leaks the uniquely-named staging tables — in a deployment with
+    * retried batches they would otherwise accumulate unboundedly, each
+    * holding a full batch copy. Returns rows inserted per table.
     */
   def mergeAll(url: String, props: Properties, staged: Seq[Staged],
-      dialect: Dialect): Map[String, Int] = {
-    val inserted = withConnection(url, props) { conn =>
-      conn.setAutoCommit(false)
-      try {
-        val counts = staged.map { s =>
-          s.table -> exec(conn, dialect.mergeSql(s.table, s.staging, s.columns, s.keys))
+      dialect: Dialect): Map[String, Int] =
+    try {
+      withConnection(url, props) { conn =>
+        conn.setAutoCommit(false)
+        try {
+          val counts = staged.map { s =>
+            dialect.preMergeSql(s.staging, s.keys).foreach(exec(conn, _))
+            s.table -> exec(conn, dialect.mergeSql(s.table, s.staging, s.columns, s.keys))
+          }
+          conn.commit()
+          counts.toMap
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
         }
-        conn.commit()
-        counts.toMap
-      } catch {
-        case t: Throwable => conn.rollback(); throw t
       }
+    } finally {
+      dropStaging(url, props, staged, dialect)
     }
-    withConnection(url, props)(c => staged.foreach(s => exec(c, dialect.dropSql(s.staging))))
-    inserted
-  }
+
+  /** Best-effort staging cleanup — tolerates partially-created state
+    * (e.g. a pre-merge clone that never materialized).
+    */
+  def dropStaging(url: String, props: Properties, staged: Seq[Staged],
+      dialect: Dialect): Unit =
+    try withConnection(url, props) { c =>
+      for (s <- staged; sql <- dialect.dropSql(s.staging))
+        try exec(c, sql) catch { case _: java.sql.SQLException => () }
+    } catch { case _: java.sql.SQLException => () }
 
   /** Single-table convenience: stage + merge + drop. */
   def upsertJdbc(df: DataFrame, url: String, table: String, keys: Seq[String],

@@ -39,33 +39,37 @@ final class Pipelines(
 
   def readTable(name: String): DataFrame = spark.read.parquet(table(name))
 
+  /** Re-read exactly the batch directory the fetch just wrote (never a
+    * whole-zone glob: re-scanning the full raw zone per batch is O(B²)
+    * file opens over a B-batch backfill).
+    */
+  private def loadRawBatch(entity: String, endBlock: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(lake.rawDir(entity, endBlock))
+
+  /** Record the lake→warehouse load watermark from the files actually
+    * loaded (K4/Q2 — one listing call, no Spark job). MUST run only
+    * after the warehouse upsert committed: recording first would mark a
+    * failed load complete and make watermark-driven incremental readers
+    * (S7, `readRawJsonSince`) skip the batch forever.
+    */
+  private def recordLoaded(entity: String, table: String, endBlock: Long): Unit =
+    graft.core.Fs.latestModification(spark, lake.rawDir(entity, endBlock))
+      .foreach(ts => watermarks.recordFileLoad(table, ts))
+
   /** EP1 stage a+b: blocks → raw zone → DTO → warehouse merge. The fetch
     * fans out over `spark.range`; the watermark makes completed batches
     * no-ops on re-run.
     */
-  /** Re-read exactly the batch directory the fetch just wrote (never a
-    * whole-zone glob: re-scanning the full raw zone per batch is O(B²)
-    * file opens over a B-batch backfill), then record the lake→warehouse
-    * load watermark from the files actually loaded (K4/Q2 — one listing
-    * call, no Spark job).
-    */
-  private def loadRawBatch(entity: String, table: String, endBlock: Long,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val dir = lake.rawDir(entity, endBlock)
-    val df = spark.read.schema(schema).json(dir)
-    graft.core.Fs.latestModification(spark, dir)
-      .foreach(ts => watermarks.recordFileLoad(table, ts))
-    df
-  }
-
   def runBlocks(start: Long, end: Long): Unit = {
     val from = math.max(start, watermarks.highestExportedBlock("cardano_blocks") + 1)
     batches(from, end).foreach { case (a, b) =>
       val heights = spark.range(a, b + 1).map(java.lang.Long.valueOf(_))
       val raw = BlockfrostSource.fetchBlocks(heights, backend)
       lake.writeRawJson(raw, "blocks", b)
-      val dto = Transforms.blockDto(loadRawBatch("blocks", "cardano_blocks", b, Schemas.rawBlock))
+      val dto = Transforms.blockDto(loadRawBatch("blocks", b, Schemas.rawBlock))
       upsert(dto, "cardano_blocks")
+      recordLoaded("blocks", "cardano_blocks", b)
       watermarks.recordBlockExport("cardano_blocks", b)
     }
   }
@@ -78,8 +82,9 @@ final class Pipelines(
       val raw = BlockfrostSource.fetchBlockTxs(heights, backend)
       lake.writeRawJson(raw, "block_tx", b)
       val dto = Transforms.blockTransactionsDto(
-        loadRawBatch("block_tx", "cardano_block_transactions", b, Schemas.rawBlockTransactions))
+        loadRawBatch("block_tx", b, Schemas.rawBlockTransactions))
       upsert(dto, "cardano_block_transactions")
+      recordLoaded("block_tx", "cardano_block_transactions", b)
       watermarks.recordBlockExport("cardano_block_transactions", b)
     }
   }
@@ -99,8 +104,9 @@ final class Pipelines(
       val raw = BlockfrostSource.fetchTransactions(hashes, backend)
       lake.writeRawJson(raw, "transactions", b)
       val dto = Transforms.transactionDto(
-        loadRawBatch("transactions", "cardano_transactions", b, Schemas.rawTransaction))
+        loadRawBatch("transactions", b, Schemas.rawTransaction))
       upsert(dto, "cardano_transactions")
+      recordLoaded("transactions", "cardano_transactions", b)
       watermarks.recordBlockExport("cardano_transactions", b)
     }
   }
@@ -116,7 +122,7 @@ final class Pipelines(
         .select(col("hash")).as[String]
       val raw = BlockfrostSource.fetchTxUtxos(hashes, backend)
       lake.writeRawJson(raw, "transaction_utxo", b)
-      val docs = loadRawBatch("transaction_utxo", "cardano_tx_utxo", b, Schemas.rawTxUtxo)
+      val docs = loadRawBatch("transaction_utxo", b, Schemas.rawTxUtxo)
       val t = Transforms.normalizeUtxo(docs)
       // FK-safe order: parent tables before child tables.
       upsert(t.utxo, "cardano_tx_utxo")
@@ -124,6 +130,7 @@ final class Pipelines(
       upsert(t.inputAmounts, "cardano_tx_utxo_input_amount")
       upsert(t.outputs, "cardano_tx_utxo_output")
       upsert(t.outputAmounts, "cardano_tx_utxo_output_amount")
+      recordLoaded("transaction_utxo", "cardano_tx_utxo", b)
       watermarks.recordBlockExport("cardano_tx_utxo", b)
     }
   }

@@ -153,16 +153,31 @@ object Transforms {
     */
   def validateChainLinkage(blocks: DataFrame): DataFrame = {
     val base = blocks.select(col("height"), col("hash"), col("previous_block"), col("next_block"))
+    // Chain bounds (two scalar aggregates over a pushed-down 1-column
+    // scan): a null join result is legitimate ONLY at the chain ends —
+    // anywhere else it means the neighbor block is MISSING from the
+    // loaded chain, which is exactly what an integrity audit must flag
+    // (an unguarded null-tolerant rule would validate ingestion holes).
+    val bounds = base.agg(min(col("height")), max(col("height"))).head()
+    if (bounds.isNullAt(0))
+      return base
+        .withColumn("derived_prev", lit(null).cast("string"))
+        .withColumn("derived_next", lit(null).cast("string"))
+        .withColumn("prev_ok", lit(true))
+        .withColumn("next_ok", lit(true))
+    val (minH, maxH) = (bounds.getLong(0), bounds.getLong(1))
     val prev = base.select((col("height") + 1).as("height"), col("hash").as("derived_prev"))
     val next = base.select((col("height") - 1).as("height"), col("hash").as("derived_next"))
     base
       .join(prev, Seq("height"), "left")
       .join(next, Seq("height"), "left")
       .withColumn("prev_ok",
-        col("previous_block").isNull || col("derived_prev").isNull ||
-          (col("previous_block") === col("derived_prev")))
+        when(col("height") === minH, lit(true))
+          .otherwise(col("derived_prev").isNotNull &&
+            (col("previous_block").isNull || col("previous_block") === col("derived_prev"))))
       .withColumn("next_ok",
-        col("next_block").isNull || col("derived_next").isNull ||
-          (col("next_block") === col("derived_next")))
+        when(col("height") === maxH, lit(true))
+          .otherwise(col("derived_next").isNotNull &&
+            (col("next_block").isNull || col("next_block") === col("derived_next"))))
   }
 }

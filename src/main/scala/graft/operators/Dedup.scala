@@ -199,9 +199,12 @@ object Dedup {
     * diameter(G) rounds. Near-dup graphs have tiny components, so this
     * converges in a handful of rounds; each round is ONE shuffle-join on
     * the vertex key plus a partial-aggregated min. The driver loop is
-    * over rounds (plans), never rows; per-round frames are persisted and
-    * the previous round explicitly unpersisted, so peak storage is two
-    * label tables.
+    * over rounds (plans), never rows; each round is localCheckpoint'ed so
+    * peak live storage is a couple of label tables and lineage never
+    * deepens. Throws if the fixpoint is not reached within `maxIter` —
+    * returning partially-propagated labels would silently split true
+    * clusters (and keep duplicate keepers), which a dedup pipeline must
+    * never do; raise `maxIter` for graphs with longer chains.
     *
     * Output: (doc_id, component, cluster_size, is_keeper) for every
     * vertex; keeper = the component's minimum id (deterministic).
@@ -244,6 +247,10 @@ object Dedup {
       labels = next.drop("prev")
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component chains longer than maxIter; raise maxIter")
     val singletons = vertices.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))

@@ -70,7 +70,10 @@ object EventStream {
     * event-time timestamp column (same convention as
     * [[graft.core.Tables.events]]).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsStaged(spark, dir)._1
+
+  private def readEventsStaged(spark: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
     // File-source needs a directory; stage the single parquet file.
     val staged = scratchDir("events_stream")
     Files.copy(
@@ -79,9 +82,11 @@ object EventStream {
       StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(staged.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val df =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    (df, staged)
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
@@ -112,11 +117,14 @@ object EventStream {
     * epoch-aligned so any engine reproduces the boundaries).
     */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+    val (events, staged) = readEventsStaged(spark, dir)
+    val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    runToTable(agg, "complete")
+    val out = runToTable(agg, "complete")
+    reap(staged)
+    out
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("cnt"))
@@ -160,7 +168,8 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
-    val in = readEvents(spark, dir)
+    val (events, staged) = readEventsStaged(spark, dir)
+    val in = events
       .select(col("user_id"), col("value"),
         unix_micros(col("ts")).as("tsMicros"))
       .as[EventIn]
@@ -180,7 +189,10 @@ object EventStream {
     // that row with max_by. (Independent max() per column would be wrong:
     // value_cents is a running sum, not monotone when values go negative,
     // and per-column maxes could mix snapshots.)
-    runToTable(out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
+    val snapshots = runToTable(
+      out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
+    reap(staged)
+    snapshots
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
@@ -200,9 +212,9 @@ object EventStream {
     */
   private def stageSortedByTime(spark: SparkSession, dir: String, nFiles: Int): (String, StructType) = {
     val staged = scratchDir("events_sorted")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.read.parquet(s"$dir/events.parquet")
-      .repartitionByRange(nFiles, col("ts"))
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val schema = src.schema
+    src.repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged.toString)
     // The file source orders micro-batches by file MODIFICATION TIME, and
@@ -239,8 +251,9 @@ object EventStream {
     * what the oracle checks.
     */
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (stagedP, schema) = stageSortedByTime(spark, dir, 8)
-    val (stagedC, _) = stageSortedByTime(spark, dir, 8)
+    // ONE staged copy serves both sides: each readStream gets its own
+    // source instance with independent file tracking over the same dir.
+    val (staged, schema) = stageSortedByTime(spark, dir, 8)
     // Join state lives in 4 stores (left/right × key maps) PER shuffle
     // partition PER micro-batch commit; at per-key state this small the
     // store-commit fixed cost dominates, so run the stateful stage on few
@@ -249,11 +262,11 @@ object EventStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val purchases = readEventsSorted(spark, stagedP, schema, filesPerTrigger = 4)
+      val purchases = readEventsSorted(spark, staged, schema, filesPerTrigger = 4)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val clicks = readEventsSorted(spark, stagedC, schema, filesPerTrigger = 4)
+      val clicks = readEventsSorted(spark, staged, schema, filesPerTrigger = 4)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "2 hours")
@@ -261,9 +274,13 @@ object EventStream {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
-      runToTable(joined, "append")
+      val out = runToTable(joined, "append")
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
+      // the result is materialized (localCheckpoint) — the RAM-backed
+      // staged copy is dead weight from here on
+      reap(java.nio.file.Paths.get(staged))
+      out
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -319,20 +336,24 @@ object EventStream {
           emitted.iterator
         }
       }
-    runToTable(
+    val out = runToTable(
       sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append")
       .orderBy(col("user_id"), col("start_micros"))
+    reap(java.nio.file.Paths.get(staged))
+    out
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded
     * state) — the streaming twin of the sink's PK conflict-skip.
     */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = readEvents(spark, dir)
+    val (events, staged) = readEventsStaged(spark, dir)
+    val deduped = events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"), col("user_id"))
-    runToTable(deduped, "append")
-      .orderBy(col("event_id"))
+    val out = runToTable(deduped, "append")
+    reap(staged)
+    out.orderBy(col("event_id"))
   }
 }

@@ -111,4 +111,25 @@ class PipelinesSpec extends SparkSpec {
     val v = Transforms.validateChainLinkage(pipelines.readTable("cardano_blocks"))
     assert(v.filter(!col("prev_ok") || !col("next_ok")).count() == 0)
   }
+
+  test("chain-linkage validation flags MISSING blocks, not just wrong hashes") {
+    import spark.implicits._
+    // heights 1,2,4,5 — block 3 is an ingestion hole. Both neighbors of
+    // the hole must be flagged (2's next and 4's prev are underivable);
+    // the true chain ends (1, 5) stay valid.
+    def h(n: Long) = s"hash$n"
+    val blocks = Seq(
+      (1L, h(1), null.asInstanceOf[String], h(2)),
+      (2L, h(2), h(1), h(3)),
+      (4L, h(4), h(3), h(5)),
+      (5L, h(5), h(4), null.asInstanceOf[String]))
+      .toDF("height", "hash", "previous_block", "next_block")
+    val v = Transforms.validateChainLinkage(blocks)
+      .select("height", "prev_ok", "next_ok")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(v(1L) == ((true, true)))
+    assert(v(2L) == ((true, false))) // next block 3 missing
+    assert(v(4L) == ((false, true))) // prev block 3 missing
+    assert(v(5L) == ((true, true)))
+  }
 }
