@@ -139,7 +139,7 @@ object IdempotentSink {
     val d = JdbcSink.PostgresDialect
     (staging,
       (d.createStagingSql(table, staging) +:
-        d.preMergeSql(staging, keys)) ++
+        d.preMergeSql(staging, columns, keys)) ++
         (d.mergeSql(table, staging, columns, keys) +: d.dropSql(staging)))
   }
 }

@@ -44,7 +44,7 @@ object JdbcSink {
       * e.g. deduping rows a retried-and-recommitted executor transaction
       * double-staged, for dialects whose merge can't dedup inline.
       */
-    def preMergeSql(staging: String, keys: Seq[String]): Seq[String] = Nil
+    def preMergeSql(staging: String, columns: Seq[String], keys: Seq[String]): Seq[String] = Nil
     /** Single-statement merge: insert rows whose key is absent. */
     def mergeSql(target: String, staging: String, columns: Seq[String], keys: Seq[String]): String
     /** Cleanup statements — MUST tolerate the merge having failed. */
@@ -79,14 +79,26 @@ object JdbcSink {
       // AS SELECT … WITH NO DATA clones column names/types (not constraints).
       s"CREATE TABLE $staging AS SELECT * FROM $target WITH NO DATA"
 
-    /** Derby's MERGE source must be a base table and two identical
-      * double-staged rows would both be NOT MATCHED → PK violation, so
-      * dedup into a clone first (full-row DISTINCT: retry duplicates are
-      * byte-identical — timestamps are query constants).
+    /** Derby's MERGE source must be a base table and two double-staged
+      * rows with the same key would both be NOT MATCHED → PK violation,
+      * so dedup into a clone first. The clone carries an identity
+      * discriminator and keeps exactly ONE real staged row per key (the
+      * lowest-rid one) — per-key, not full-row, because a retried
+      * executor can stage same-key rows with different payloads (shuffle
+      * pick order is attempt-dependent) and those must not re-fail the
+      * whole FK transaction forever.
       */
-    override def preMergeSql(staging: String, keys: Seq[String]): Seq[String] = Seq(
-      s"CREATE TABLE ${staging}_d AS SELECT * FROM $staging WITH NO DATA",
-      s"INSERT INTO ${staging}_d SELECT DISTINCT * FROM $staging")
+    override def preMergeSql(staging: String, columns: Seq[String],
+        keys: Seq[String]): Seq[String] = {
+      val keyEq = keys.map(k => s"s.${quote(k)} = t.${quote(k)}").mkString(" AND ")
+      val cols = columns.map(quote).mkString(", ")
+      Seq(
+        s"CREATE TABLE ${staging}_d AS SELECT * FROM $staging WITH NO DATA",
+        s"""ALTER TABLE ${staging}_d ADD COLUMN "_rid" INT GENERATED ALWAYS AS IDENTITY""",
+        s"INSERT INTO ${staging}_d ($cols) SELECT $cols FROM $staging",
+        s"""DELETE FROM ${staging}_d t WHERE EXISTS
+           | (SELECT 1 FROM ${staging}_d s WHERE $keyEq AND s."_rid" < t."_rid")""".stripMargin)
+    }
     override def mergeSql(target: String, staging: String,
         columns: Seq[String], keys: Seq[String]): String = {
       val on = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
@@ -142,8 +154,14 @@ object JdbcSink {
     dialect.prepare()
     val staging = s"stg_${table}_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     withConnection(url, props)(exec(_, dialect.createStagingSql(table, staging)))
-    df.dropDuplicates(keys).write.mode(SaveMode.Append).jdbc(url, staging, props)
-    Staged(table, staging, df.columns.toSeq, keys)
+    val s = Staged(table, staging, df.columns.toSeq, keys)
+    try df.dropDuplicates(keys).write.mode(SaveMode.Append).jdbc(url, staging, props)
+    catch {
+      // The bulk load is the long-running phase where failures are most
+      // likely — drop the just-created staging table rather than leak it.
+      case t: Throwable => dropStaging(url, props, Seq(s), dialect); throw t
+    }
+    s
   }
 
   /** Steps 3-4 for several staged tables in FK order: ONE transaction for
@@ -160,7 +178,7 @@ object JdbcSink {
         conn.setAutoCommit(false)
         try {
           val counts = staged.map { s =>
-            dialect.preMergeSql(s.staging, s.keys).foreach(exec(conn, _))
+            dialect.preMergeSql(s.staging, s.columns, s.keys).foreach(exec(conn, _))
             s.table -> exec(conn, dialect.mergeSql(s.table, s.staging, s.columns, s.keys))
           }
           conn.commit()
@@ -180,8 +198,18 @@ object JdbcSink {
       dialect: Dialect): Unit =
     try withConnection(url, props) { c =>
       for (s <- staged; sql <- dialect.dropSql(s.staging))
-        try exec(c, sql) catch { case _: java.sql.SQLException => () }
-    } catch { case _: java.sql.SQLException => () }
+        try exec(c, sql) catch {
+          case e: java.sql.SQLException =>
+            // A pre-merge clone that never materialized is expected here
+            // (rolled-back DDL); a real failed drop after a committed
+            // merge must at least be visible — it leaks a batch copy.
+            if (!Option(e.getSQLState).exists(_.startsWith("42"))) // 42* = object missing
+              System.err.println(s"[JdbcSink] WARN: drop of ${s.staging} failed: $e")
+        }
+    } catch {
+      case e: java.sql.SQLException =>
+        System.err.println(s"[JdbcSink] WARN: staging cleanup connection failed: $e")
+    }
 
   /** Single-table convenience: stage + merge + drop. */
   def upsertJdbc(df: DataFrame, url: String, table: String, keys: Seq[String],
@@ -193,7 +221,14 @@ object JdbcSink {
     */
   def upsertAllJdbc(frames: Seq[(DataFrame, String, Seq[String])], url: String,
       dialect: Dialect = DerbyDialect, props: Properties = new Properties): Map[String, Int] = {
-    val staged = frames.map { case (df, table, keys) => stage(df, url, props, table, keys, dialect) }
-    mergeAll(url, props, staged, dialect)
+    // If staging frame N fails, frames 1..N-1 are already loaded — drop
+    // them before rethrowing (stage() cleans its own table).
+    val staged = scala.collection.mutable.Buffer.empty[Staged]
+    try frames.foreach { case (df, table, keys) =>
+      staged += stage(df, url, props, table, keys, dialect)
+    } catch {
+      case t: Throwable => dropStaging(url, props, staged.toSeq, dialect); throw t
+    }
+    mergeAll(url, props, staged.toSeq, dialect)
   }
 }

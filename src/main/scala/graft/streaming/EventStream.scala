@@ -70,9 +70,6 @@ object EventStream {
     * event-time timestamp column (same convention as
     * [[graft.core.Tables.events]]).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    readEventsStaged(spark, dir)._1
-
   private def readEventsStaged(spark: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
     // File-source needs a directory; stage the single parquet file.
     val staged = scratchDir("events_stream")
@@ -102,8 +99,9 @@ object EventStream {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    reap(ckpt)
+    // reap in finally: a failed query must not leak its RAM-backed
+    // checkpoint until JVM exit
+    try q.awaitTermination() finally reap(ckpt)
     // Hand back a materialized copy and drop the sink table: memory-sink
     // tables pin their full result in the driver for the life of the
     // session, and a long-lived bench/verify JVM accumulates one per
@@ -122,8 +120,7 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val out = runToTable(agg, "complete")
-    reap(staged)
+    val out = try runToTable(agg, "complete") finally reap(staged)
     out
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
@@ -189,9 +186,9 @@ object EventStream {
     // that row with max_by. (Independent max() per column would be wrong:
     // value_cents is a running sum, not monotone when values go negative,
     // and per-column maxes could mix snapshots.)
-    val snapshots = runToTable(
+    val snapshots = try runToTable(
       out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
-    reap(staged)
+    finally reap(staged)
     snapshots
       .groupBy(col("user_id"))
       .agg(
@@ -274,14 +271,15 @@ object EventStream {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
-      val out = runToTable(joined, "append")
+      runToTable(joined, "append")
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the result is materialized (localCheckpoint) — the RAM-backed
-      // staged copy is dead weight from here on
+      // staged copy is dead weight from here on, success or failure
       reap(java.nio.file.Paths.get(staged))
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Streaming sessionization via `flatMapGroupsWithState` (the
@@ -336,11 +334,10 @@ object EventStream {
           emitted.iterator
         }
       }
-    val out = runToTable(
+    val out = try runToTable(
       sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append")
-      .orderBy(col("user_id"), col("start_micros"))
-    reap(java.nio.file.Paths.get(staged))
-    out
+    finally reap(java.nio.file.Paths.get(staged))
+    out.orderBy(col("user_id"), col("start_micros"))
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded
@@ -352,8 +349,7 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val out = runToTable(deduped, "append")
-    reap(staged)
+    val out = try runToTable(deduped, "append") finally reap(staged)
     out.orderBy(col("event_id"))
   }
 }

@@ -137,6 +137,21 @@ class JdbcSinkSpec extends SparkSpec {
     assert(second.values.sum == 0)
   }
 
+  test("double-staged same-key rows (retried executor) merge cleanly, one row per key") {
+    import spark.implicits._
+    val url = freshDb("retry")
+    exec(url, """CREATE TABLE t_r ("pk" BIGINT PRIMARY KEY, "v" VARCHAR(32))""")
+    val st = JdbcSink.stage(Seq((1L, "a"), (2L, "b")).toDF("pk", "v"),
+      url, props, "t_r", Seq("pk"), JdbcSink.DerbyDialect)
+    // Simulate a committed-then-retried executor transaction: a second
+    // copy of pk=1 lands in staging with a DIFFERENT payload. The merge
+    // must keep exactly one row per key, not abort on the PK constraint.
+    exec(url, s"""INSERT INTO ${st.staging} ("pk", "v") VALUES (1, 'a-retry')""")
+    val n = JdbcSink.mergeAll(url, props, Seq(st), JdbcSink.DerbyDialect)("t_r")
+    assert(n == 2)
+    assert(count(url, "t_r") == 2)
+  }
+
   test("mergeAll rolls back the whole transaction on failure (no partial commit)") {
     import spark.implicits._
     val url = freshDb("rollback")
