@@ -143,6 +143,26 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    * (apostrophe contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs) — the unit a byte-pair tokenizer starts from, and
+    * a closer proxy for LLM token budgets than word counts. The pattern
+    * uses only alternation + character classes, so Java regex (Spark)
+    * and RE2 (DuckDB) agree byte-for-byte.
+    */
+  def x8BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    val t = lower(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(pat), lit(0))).cast("long").as("n_bpe_tokens"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_word_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_word_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting (whitespace-word regex; SURVEY north-star text op). */
   def x1TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -280,6 +300,7 @@ object TrainingData {
     "d9_dedup_clusters" -> (d9DedupClusters _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
+    "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
@@ -373,6 +394,15 @@ object TrainingData {
       """SELECT w AS token, count(*) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "x8_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS DOUBLE) /
+        |    len(regexp_extract_all(lower(text), '\w+')) AS bpe_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x9_decontaminate" ->
       s"""WITH $grams3,
          |bsh AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),
