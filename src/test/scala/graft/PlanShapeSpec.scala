@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.Relational
+
+/** Regression guards for the PLAN properties the 100 TB design depends
+  * on — a query can stay result-correct while silently losing its
+  * pushdown or broadcasting the wrong side, so the properties are pinned
+  * here explicitly.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q9: watermark filter pushes on the RAW long ts column") {
+    val p = plan("q9_incremental_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
+  test("q6: dimension sides broadcast; fact side never exchanges before the join") {
+    val p = plan("q6_volume_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k without a global sort materialization
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q3/q7: top-k plans use TakeOrderedAndProject, not a global Sort+Limit") {
+    assert(plan("q3_topk_group_count").contains("TakeOrderedAndProject"))
+    assert(plan("q7_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("d2: shingle self-join is a shuffled hash join (corpus side must never broadcast)") {
+    val p = plan("d2_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q20: chain-linkage validator contains no Window operator") {
+    val p = plan("q20_chain_linkage")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q11: projection prunes the events scan to the referenced columns") {
+    val p = plan("q11_dto_projection")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), p) // unreferenced wide column stays out of the scan
+  }
+}
