@@ -94,7 +94,9 @@ object JdbcSink {
       val cols = columns.map(quote).mkString(", ")
       Seq(
         s"CREATE TABLE ${staging}_d AS SELECT * FROM $staging WITH NO DATA",
-        s"""ALTER TABLE ${staging}_d ADD COLUMN "_rid" INT GENERATED ALWAYS AS IDENTITY""",
+        // BIGINT: a single staged batch can exceed 2^31-1 rows at the
+        // 100 TB design point; an INT identity would overflow mid-load.
+        s"""ALTER TABLE ${staging}_d ADD COLUMN "_rid" BIGINT GENERATED ALWAYS AS IDENTITY""",
         s"INSERT INTO ${staging}_d ($cols) SELECT $cols FROM $staging",
         s"""DELETE FROM ${staging}_d t WHERE EXISTS
            | (SELECT 1 FROM ${staging}_d s WHERE $keyEq AND s."_rid" < t."_rid")""".stripMargin)
@@ -201,9 +203,15 @@ object JdbcSink {
         try exec(c, sql) catch {
           case e: java.sql.SQLException =>
             // A pre-merge clone that never materialized is expected here
-            // (rolled-back DDL); a real failed drop after a committed
-            // merge must at least be visible — it leaks a batch copy.
-            if (!Option(e.getSQLState).exists(_.startsWith("42"))) // 42* = object missing
+            // (rolled-back DDL) and surfaces as a missing-object state:
+            // Derby 42X05 (table does not exist) / 42Y55 (drop of
+            // non-existent object), Postgres 42P01 (undefined_table).
+            // Everything else — including other 42-class states like
+            // 42501 insufficient_privilege — is a REAL failed drop that
+            // leaks a full batch copy and must be visible.
+            val missingObject =
+              Set("42X05", "42Y55", "42P01").contains(String.valueOf(e.getSQLState))
+            if (!missingObject)
               System.err.println(s"[JdbcSink] WARN: drop of ${s.staging} failed: $e")
         }
     } catch {

@@ -467,17 +467,20 @@ object Relational {
         |         ELSE md5('blk:' || (CAST(event_id AS BIGINT) - 1)) END AS previous_block,
         |    md5('blk:' || (CAST(event_id AS BIGINT) + 1)) AS next_block
         |  FROM events),
+        |bounds AS (SELECT min(height) AS min_h, max(height) AS max_h FROM blocks),
         |d AS (
         |  SELECT b.height, b.hash, b.previous_block, b.next_block,
         |    p.hash AS derived_prev, n.hash AS derived_next
         |  FROM blocks b
         |  LEFT JOIN blocks p ON p.height = b.height - 1
         |  LEFT JOIN blocks n ON n.height = b.height + 1)
-        |SELECT height, hash, previous_block, derived_prev FROM d
-        |WHERE NOT ((previous_block IS NULL OR derived_prev IS NULL
-        |             OR previous_block = derived_prev)
-        |       AND (next_block IS NULL OR derived_next IS NULL
-        |             OR next_block = derived_next))
+        |SELECT height, hash, previous_block, derived_prev FROM d, bounds
+        |WHERE NOT ((height = min_h
+        |             OR (derived_prev IS NOT NULL
+        |                 AND (previous_block IS NULL OR previous_block = derived_prev)))
+        |       AND (height = max_h
+        |             OR (derived_next IS NOT NULL
+        |                 AND (next_block IS NULL OR next_block = derived_next))))
         |ORDER BY height""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag,

@@ -153,9 +153,14 @@ object SourcesAndStreams {
       new BlockfrostSource.FixtureBackend,
       batchSize = 50)
     pipelines.runFull(1, 60)
+    // Long output on both sides: DuckDB decays DECIMAL(38,0) to float64 in
+    // the driver's comparison path ("2383740.0" vs Spark's "2383740"), so
+    // the hash could never match. Fixture volumes fit comfortably in a
+    // long; exactness is unchanged.
     Analytics.topProtocolsByVolume(
-      pipelines.readTable("cardano_tx_utxo_input"),
-      pipelines.readTable("cardano_tx_utxo_input_amount"))
+        pipelines.readTable("cardano_tx_utxo_input"),
+        pipelines.readTable("cardano_tx_utxo_input_amount"))
+      .withColumn("volume", col("volume").cast("long"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,7 +180,7 @@ object SourcesAndStreams {
     // inputs with n%5==0 carry reference_script_hash "script"+(n%7) and
     // lovelace quantity n%2000000 — summed per script, top-10 by volume.
     "c1_cardano_backfill_q8" ->
-      """SELECT reference_script_hash, CAST(volume AS DECIMAL(38,0)) AS volume
+      """SELECT reference_script_hash, CAST(volume AS BIGINT) AS volume
         |FROM (VALUES
         |  ('script1', 2383740), ('script5', 2163185), ('script3', 945860),
         |  ('script6', 589875), ('script4', 121515))

@@ -39,7 +39,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("d2: shingle self-join is a shuffled hash join (corpus side must never broadcast)") {
-    val p = plan("d2_ngram_jaccard")
+    // The query materializes through Dedup.withPersisted (checkpoint
+    // truncation), so the join lives in the captured inner plan, not the
+    // returned frame's.
+    plan("d2_ngram_jaccard")
+    val p = graft.operators.Dedup.lastMaterializedPlan
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
