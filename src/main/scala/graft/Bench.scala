@@ -21,6 +21,7 @@ object Bench {
     // Untimed warmup: JIT + whole-stage-codegen compile + page cache.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally graft.core.Caches.release()
     }
     // Two timed passes, min per query: this host has multi-second
     // noisy-neighbor stalls, and the minimum is the sustained-throughput
@@ -31,6 +32,8 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Tracked-cache release is billed to the query that persisted them.
+      finally graft.core.Caches.release()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = timedPass()

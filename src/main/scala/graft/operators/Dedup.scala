@@ -17,30 +17,6 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextOps.{h60, tokens}
 
-  /** Persist a multiply-consumed intermediate for the duration of `body`,
-    * eagerly materialize the (small) result, and release the cached
-    * blocks. Relying on ContextCleaner GC instead leaks cached corpus-
-    * sized tables in long-lived drivers that run many queries
-    * (Bench/Verify) — the blocks survive until a GC happens to collect
-    * the plan reference.
-    */
-  private[graft] def withPersisted(hot: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
-    val cached = hot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val result = body(cached)
-      // The checkpoint truncates the returned frame's plan to a block
-      // scan, so record the REAL physical plan first — plan-shape guards
-      // (PlanShapeSpec) and tools/Explain read it.
-      lastMaterializedPlan = result.queryExecution.executedPlan.toString
-      result.localCheckpoint()
-    } finally cached.unpersist()
-  }
-
-  /** Physical plan of the most recent [[withPersisted]] body, captured
-    * before checkpoint truncation (diagnostics only).
-    */
-  @volatile private[graft] var lastMaterializedPlan: String = ""
-
   /** Exact dedup by content hash (reference Q5's PK-conflict-skip applied
     * to content): one hash-partitioned aggregation.
     */
@@ -94,30 +70,31 @@ object Dedup {
     * scale ALWAYS set it; None keeps the exact uncapped semantics.
     */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double,
-      maxDocFreq: Option[Long] = None): DataFrame =
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // The shingle table feeds three subtrees (both self-join sides +
     // sizes); without an explicit persist each one re-runs tokenization
     // and the cap join (alias ids differ, so exchange reuse can't kick
-    // in). MEMORY_AND_DISK spills rather than OOMs at corpus scale.
-    withPersisted(maxDocFreq.fold(sh0)(capShingles(sh0, _))) { sh =>
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.as("a")
-      val b = sh.as("b")
-      // Both sides are corpus-sized: force a shuffled hash join — a
-      // broadcast here would ship the whole shingle table to every task
-      // (and at 100 TB could not exist at all).
-      val common = a.hint("shuffle_hash")
-        .join(b, col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-        .filter(col("jaccard") >= minJaccard)
-    }
+    // in). Tracked: drivers release via graft.core.Caches after the
+    // consuming action.
+    val sh = graft.core.Caches.persistTracked(maxDocFreq.fold(sh0)(capShingles(sh0, _)))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    // Both sides are corpus-sized: force a shuffled hash join — a
+    // broadcast here would ship the whole shingle table to every task
+    // (and at 100 TB could not exist at all).
+    val common = a.hint("shuffle_hash")
+      .join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** MinHash signature per document: k min-hashes of the shingle set in
     * one partial-aggregated pass. The shingle is md5-hashed ONCE
@@ -148,20 +125,19 @@ object Dedup {
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bh"))
     }
-    // Both self-join sides read the banded table; persist so signature
-    // computation (the minhash aggregation upstream) runs once.
-    withPersisted(
+    // Both self-join sides read the banded table; persist (tracked) so
+    // signature computation (the minhash aggregation upstream) runs once.
+    val banded = graft.core.Caches.persistTracked(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
-        .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))) { banded =>
-      val a = banded.as("a")
-      val b = banded.as("b")
-      // Same-size self-join: shuffled hash, not broadcast (see jaccardPairs).
-      a.hint("shuffle_hash")
-        .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }
+        .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // Same-size self-join: shuffled hash, not broadcast (see jaccardPairs).
+    a.hint("shuffle_hash")
+      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** The production near-dup composition: LSH generates candidates, exact
@@ -182,33 +158,35 @@ object Dedup {
       k: Int,
       bands: Int,
       minJaccard: Double,
-      maxDocFreq: Long): DataFrame =
+      maxDocFreq: Long): DataFrame = {
     // Four subtrees consume the capped shingle table (signatures, both
-    // verify-join sides, sizes): persist it once — at corpus scale the
-    // alternative is 4x the tokenize+cap work, not a bigger shuffle.
-    withPersisted(capShingles(shingles(df, idCol, text, n), maxDocFreq)) { sh =>
-      val cand = lshCandidatePairs(minhash(sh, k), k, bands)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // Attach both docs' shingle sets to each candidate pair; the shingle
-      // equi-key makes the intersection a join condition, the count the
-      // intersection size. Candidate side is the small one but still scales
-      // with the corpus — shuffled hash joins on doc_id.
-      val common = cand
-        .hint("shuffle_hash")
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .hint("shuffle_hash")
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-    }
+    // verify-join sides, sizes): persist it once (tracked) — at corpus
+    // scale the alternative is 4x the tokenize+cap work, not a bigger
+    // shuffle.
+    val sh = graft.core.Caches.persistTracked(
+      capShingles(shingles(df, idCol, text, n), maxDocFreq))
+    val cand = lshCandidatePairs(minhash(sh, k), k, bands)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Attach both docs' shingle sets to each candidate pair; the shingle
+    // equi-key makes the intersection a join condition, the count the
+    // intersection size. Candidate side is the small one but still scales
+    // with the corpus — shuffled hash joins on doc_id.
+    val common = cand
+      .hint("shuffle_hash")
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .hint("shuffle_hash")
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
 
   /** Connected components over near-dup pairs — the cluster-resolution
     * step every dedup pipeline needs after pair generation: near-dup is
@@ -249,8 +227,13 @@ object Dedup {
     // over that (usually tiny) subgraph and union the untouched
     // singletons back at the end. At corpus scale this is the difference
     // between iterating over duplicates and iterating over everything.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component"))
+    // Initial labels skip a whole join round: propagating self-labels one
+    // step is algebraically least(self, min(neighbor)), one partial
+    // aggregation over the edge list (which also IS the touched-vertex
+    // set — no separate distinct()).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("component"))
       .localCheckpoint()
     var it = 0
     var converged = false

@@ -128,22 +128,20 @@ object TrainingData {
     val benchShingles = Dedup
       .shingles(docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), 3)
       .select(col("shingle")).distinct()
-    // Two subtrees consume the corpus shingles (totals + overlap); scope
-    // the cache so the blocks are released when the result materializes.
-    Dedup.withPersisted(
-      Dedup.shingles(docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"), 3)) {
-      corpusShingles =>
-        val totals = corpusShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-        val contaminated = corpusShingles
-          .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-        totals.join(contaminated, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
-          .withColumn("contamination_rate",
-            col("n_contaminated").cast("double") / col("n_shingles"))
-          .orderBy(col("doc_id"))
-    }
+    // Two subtrees consume the corpus shingles (totals + overlap);
+    // tracked persist — drivers release after materializing.
+    val corpusShingles = graft.core.Caches.persistTracked(Dedup
+      .shingles(docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"), 3))
+    val totals = corpusShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val contaminated = corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
   }
 
   /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex

@@ -86,6 +86,20 @@ object EventStream {
     (df, staged)
   }
 
+  /** Stateful stages pay a fixed state-store commit cost PER shuffle
+    * partition PER micro-batch (HDFS-backed store: delta file + fsync
+    * each). With small per-key state the commit overhead dominates, so
+    * pin the stateful stage to few partitions — the state partitioning is
+    * fixed at the query's FIRST run by this conf and is independent of
+    * the surrounding batch session's shuffle size. A real deployment with
+    * large keyspaces raises it; these are the local defaults.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and hand back the materialized result.
     */
@@ -120,7 +134,8 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val out = try runToTable(agg, "complete") finally reap(staged)
+    val out = try withStatePartitions(spark, 4)(runToTable(agg, "complete"))
+    finally reap(staged)
     out
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
@@ -186,8 +201,8 @@ object EventStream {
     // that row with max_by. (Independent max() per column would be wrong:
     // value_cents is a running sum, not monotone when values go negative,
     // and per-column maxes could mix snapshots.)
-    val snapshots = try runToTable(
-      out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")
+    val snapshots = try withStatePartitions(spark, 4)(runToTable(
+      out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update"))
     finally reap(staged)
     snapshots
       .groupBy(col("user_id"))
@@ -251,14 +266,9 @@ object EventStream {
     // ONE staged copy serves both sides: each readStream gets its own
     // source instance with independent file tracking over the same dir.
     val (staged, schema) = stageSortedByTime(spark, dir, 8)
-    // Join state lives in 4 stores (left/right × key maps) PER shuffle
-    // partition PER micro-batch commit; at per-key state this small the
-    // store-commit fixed cost dominates, so run the stateful stage on few
-    // partitions (state partitioning is fixed at first run by this conf,
-    // independent of the batch session's shuffle size).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    // Join state lives in 4 stores (left/right × key maps) per partition
+    // per micro-batch commit — see [[withStatePartitions]].
+    try withStatePartitions(spark, 4) {
       val purchases = readEventsSorted(spark, staged, schema, filesPerTrigger = 4)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
@@ -275,7 +285,6 @@ object EventStream {
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the result is materialized (localCheckpoint) — the RAM-backed
       // staged copy is dead weight from here on, success or failure
       reap(java.nio.file.Paths.get(staged))
@@ -334,8 +343,8 @@ object EventStream {
           emitted.iterator
         }
       }
-    val out = try runToTable(
-      sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append")
+    val out = try withStatePartitions(spark, 4)(runToTable(
+      sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append"))
     finally reap(java.nio.file.Paths.get(staged))
     out.orderBy(col("user_id"), col("start_micros"))
   }
@@ -349,7 +358,10 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val out = try runToTable(deduped, "append") finally reap(staged)
+    // 8 (not 4): dedup state carries EVERY event key, the largest
+    // keyspace of the streaming queries.
+    val out = try withStatePartitions(spark, 8)(runToTable(deduped, "append"))
+    finally reap(staged)
     out.orderBy(col("event_id"))
   }
 }

@@ -20,14 +20,7 @@ object Explain {
       .filter(q => only.forall(_ == q._1))
       .foreach { case (name, fn) =>
         println(s"========== $name ==========")
-        graft.operators.Dedup.lastMaterializedPlan = ""
         fn(spark, dir).explain("formatted")
-        // Queries that materialize through Dedup.withPersisted show a
-        // truncated block-scan plan above; the real inner plan is here.
-        if (graft.operators.Dedup.lastMaterializedPlan.nonEmpty) {
-          println(s"---------- $name (materialized inner plan) ----------")
-          println(graft.operators.Dedup.lastMaterializedPlan)
-        }
       }
     spark.stop()
   }

@@ -25,7 +25,8 @@ object Profile {
       .filter(q => only.forall(_ == q._1)).foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        try fn(spark, sfDir).count()
+        finally graft.core.Caches.release()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")

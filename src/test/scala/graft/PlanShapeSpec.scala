@@ -39,11 +39,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("d2: shingle self-join is a shuffled hash join (corpus side must never broadcast)") {
-    // The query materializes through Dedup.withPersisted (checkpoint
-    // truncation), so the join lives in the captured inner plan, not the
-    // returned frame's.
-    plan("d2_ngram_jaccard")
-    val p = graft.operators.Dedup.lastMaterializedPlan
+    val p = plan("d2_ngram_jaccard")
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
