@@ -257,6 +257,24 @@ object Relational {
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Arbitrary grouping sets (beyond rollup's strict hierarchy):
+    * per-(status, priority), per-priority, and the grand total in ONE
+    * pass — Catalyst expands to a single Expand node feeding one
+    * partial-aggregated shuffle, not three scans of the fact table.
+    */
+  def q23GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(c100($"o_totalprice")) / 100.0).as("sum_price"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** Exact distinct aggregation (count + sum of distincts). */
   def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -424,6 +442,7 @@ object Relational {
     "q19_percentiles" -> (q19Percentiles _),
     "q18_asof_join" -> (q18AsofJoin _),
     "q13_rollup" -> (q13Rollup _),
+    "q23_grouping_sets" -> (q23GroupingSets _),
     "q14_distinct_agg" -> (q14DistinctAgg _),
     "q15_set_ops" -> (q15SetOps _),
     "q16_salted_skew_join" -> (q16SaltedSkewJoin _),
@@ -510,6 +529,13 @@ object Relational {
         | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q14_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt

@@ -295,7 +295,125 @@ object TrainingData {
           Multimodal.asMedia(Tables(spark, dir, "documents"))))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1): the
+    * fraction of a document occupied by its most frequent 2-gram and the
+    * duplicate-bigram mass. Pure per-document aggregation — one partial-
+    * aggregated shuffle on (doc, bigram), one on doc — so the cost is one
+    * pass over token pairs regardless of corpus size. Bigrams keep their
+    * multiplicity here (repetition IS multiplicity), unlike the dedup
+    * shingles which are per-doc distinct.
+    */
+  def x10Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val grams = filter(
+      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(2)), " ")),
+      g => size(split(g, " ")) === 2)
+    val perGram = withToks.select(col("doc_id"), explode(grams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    perGram.groupBy(col("doc_id"))
+      .agg(
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+      .withColumn("top_bigram_frac",
+        col("top_cnt").cast("double") / col("n_bigrams"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+      // Gopher's thresholds: flag documents a quality pipeline would drop.
+      .withColumn("flagged",
+        col("top_bigram_frac") > 0.18 || col("dup_bigram_frac") > 0.5)
+      .select(col("doc_id"), col("top_cnt"), col("n_bigrams"),
+        col("top_bigram_frac"), col("dup_bigram_frac"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum Bernoulli keep
+    * decisions from a pure hash of the doc id — the data-mixing primitive
+    * (downsample the dominant language, keep the rest) that must be
+    * reproducible across runs, engines and cluster sizes. Zero shuffle:
+    * the keep decision is a codegen'd projection + filter; rates ride a
+    * CASE expression (a broadcast rate table at many strata).
+    */
+  def x11StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val perMille = when(col("lang") === "en", 100L).otherwise(500L)
+    Tables(spark, dir, "documents")
+      .withColumn("bucket",
+        TextOps.h60(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000)
+      .filter(col("bucket") < perMille)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing for LLM pretraining: map every document to its
+    * global token offset in the doc_id-ordered token stream and the
+    * fixed-size training sequences (2048 tokens) it lands in — the
+    * concat-and-chunk layout pretraining dataloaders consume.
+    *
+    * The global prefix sum is the scale problem: a single
+    * `Window.orderBy(doc_id)` serializes the corpus through one task (the
+    * q20 lesson). Two-phase instead: per-bucket cumulative sums under a
+    * PARTITIONED window (parallel), bucket totals prefix-summed in a
+    * second tiny window (rows = corpus/bucketWidth; at larger scale widen
+    * buckets or add a third level — prefix-sum composes), then broadcast
+    * the bucket offsets back. Every corpus-sized step is partition-local.
+    */
+  def x12SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 2048L
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr("doc_id div 64").as("bkt"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = toks.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = toks.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("bkt_off", coalesce(sum(col("btot")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    local.join(broadcast(bktOff), "bkt")
+      .withColumn("start_off", col("bkt_off") + col("local_off"))
+      .withColumn("seq_start", expr(s"start_off div $seqLen"))
+      .withColumn("seq_end",
+        when(col("n_tokens") === 0, expr(s"start_off div $seqLen"))
+          .otherwise(expr(s"(start_off + n_tokens - 1) div $seqLen")))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_start"), col("seq_end"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Int8 scalar quantization of the embedding column (the memory-side
+    * half of IVF-PQ-style ANN): per-dimension corpus min/max, then each
+    * value to its 0..255 code. Stats are one partial-aggregated shuffle
+    * over 64 dim groups; the stats table (64 rows) broadcasts back; the
+    * quantization itself is a codegen'd projection. Float→double casts
+    * are exact and the scale math uses only IEEE-exact ops, so any engine
+    * reproduces the codes bit-for-bit.
+    */
+  def d10QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val stats = e.groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))))
+      .select(col("vec_id"), col("dim"), col("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_repetition" -> (x10Repetition _),
+    "x11_stratified_sample" -> (x11StratifiedSample _),
+    "x12_sequence_pack" -> (x12SequencePack _),
+    "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
     "d9_dedup_clusters" -> (d9DedupClusters _),
@@ -356,6 +474,51 @@ object TrainingData {
        |           WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x10_repetition" ->
+      """WITH tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+        |             FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+        |                   FROM documents)),
+        |bi AS (SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+        |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |pg AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |          CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |          CAST(count(*) AS BIGINT) AS n_distinct FROM pg GROUP BY doc_id)
+        |SELECT doc_id, top_cnt, n_bigrams,
+        |  CAST(top_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+        |  (CAST(top_cnt AS DOUBLE) / n_bigrams > 0.18
+        |    OR CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.5) AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "x11_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ${h60sql.format("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+         |FROM documents
+         |WHERE ${h60sql.format("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |        < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+         |ORDER BY doc_id""".stripMargin,
+    "x12_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 2048 AS seq_start,
+        |  CASE WHEN n_tokens = 0 THEN start_off // 2048
+        |       ELSE (start_off + n_tokens - 1) // 2048 END AS seq_end
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "d10_quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  CAST(CASE WHEN s.mx = s.mn THEN 0
+        |            ELSE least(255, floor((e.x - s.mn) * 255.0 / (s.mx - s.mn))) END
+        |       AS BIGINT) AS code
+        |FROM e JOIN s USING (dim) ORDER BY e.vec_id, e.dim""".stripMargin,
     "d7_embedding_neardup" ->
       s"""WITH centroids AS (
          |  SELECT c, list((${h60sql.format("'cent' || c || ':' || i")} % 2001 - 1000) / 1000.0

@@ -48,6 +48,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x12: corpus-sized window is bucket-partitioned; bucket offsets broadcast") {
+    val p = plan("x12_sequence_pack")
+    // the only windows are (a) partitioned by bkt over the corpus and
+    // (b) unpartitioned over the tiny bucket-totals table, which must
+    // come back via broadcast — never a corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window [sum(n_tokens#"), p)
+  }
+
+  test("q23: grouping sets expand to ONE aggregation pass, not three scans") {
+    val p = plan("q23_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d10: per-dim stats broadcast back; quantization is a projection") {
+    val p = plan("d10_quantize_embeddings")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
