@@ -266,6 +266,47 @@ object Dedup {
         (col("doc_id") === col("component")).as("is_keeper"))
   }
 
+  /** SimHash near-dup pairs via pigeonhole LSH (the Manku/Jain/Sarma
+    * WWW'07 web-dedup shape): split the 60-bit signature into `chunks`
+    * contiguous chunks — two signatures within `maxHamming` bits differ
+    * in at most `maxHamming` chunks, so with `chunks > maxHamming` they
+    * MUST agree exactly on at least one chunk (pigeonhole; recall is
+    * exact, not probabilistic). Candidates are a self-join on the
+    * (chunk index, chunk value) key — bucket sizes are corpus/2^bitsPer
+    * per chunk, never all-pairs — and the cheap exact Hamming distance
+    * (one xor + popcount, codegen'd) verifies. The chunks/maxHamming
+    * trade-off is inherent: a larger threshold needs more (smaller)
+    * chunks, which coarsens buckets; 4×15-bit chunks (≤3 bits) is the
+    * classic web-scale setting.
+    *
+    * Output: (doc_a, doc_b, hamming) for verified pairs.
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > maxHamming, "pigeonhole guarantee needs chunks > maxHamming")
+    require(60 % chunks == 0, "chunks must divide the 60-bit signature")
+    val bitsPer = 60 / chunks
+    val mask = (1L << bitsPer) - 1
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("c"), expr(s"(simhash >> ${c * bitsPer}) & $mask").as("v"))
+    }
+    // Both self-join sides read the chunked table; persist (tracked) so
+    // the signature aggregation upstream runs once.
+    val chunked = graft.core.Caches.persistTracked(
+      sig.select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    // Corpus-sized self-join: shuffled hash, not broadcast (see jaccardPairs).
+    a.hint("shuffle_hash")
+      .join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a close pair agrees on several chunks — one row per pair
+      .distinct()
+  }
+
   /** 60-bit SimHash per document: per-bit majority vote over token
     * hashes. The bit explode (x60) happens AFTER the token explode and
     * feeds a partial aggregate, so the shuffle carries only (doc, 60

@@ -54,6 +54,15 @@ object TrainingData {
     Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs: pigeonhole-chunk candidates + exact Hamming
+    * verify (4 chunks, ≤ 3 bits) — see [[Dedup.simhashPairs]].
+    */
+  def d11SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text")),
+        maxHamming = 3, chunks = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   private def queryVec(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .filter(col("vec_id") === 0)
@@ -428,6 +437,7 @@ object TrainingData {
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
+    "d11_simhash_pairs" -> (d11SimhashPairs _),
     "d5_cosine_topk" -> (d5CosineTopk _),
     "d6_ann_lsh" -> (d6AnnLsh _),
     "x1_token_stats" -> (x1TokenStats _),
@@ -444,6 +454,20 @@ object TrainingData {
       |          JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
 
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  /** CTE chain producing per-document 60-bit SimHashes (`sh`) — shared by
+    * the d4 and d11 oracles.
+    */
+  private lazy val simhashCtes =
+    s"""tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+       |        FROM documents),
+       |h AS (SELECT doc_id, ${h60sql.format("w")} AS h FROM tok),
+       |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM h, range(60) r(b) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+       |           AS simhash
+       |       FROM votes GROUP BY doc_id)""".stripMargin
 
   /** CTE chain producing the df-capped, LSH-candidate, exact-Jaccard
     * verified near-dup pairs (`vpairs`) — shared by the d8 and d9
@@ -633,13 +657,19 @@ object TrainingData {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
-         |             FROM documents),
-         |h AS (SELECT doc_id, ${h60sql.format("w")} AS h FROM tok),
-         |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |          FROM h, range(60) r(b) GROUP BY 1, 2)
-         |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "d11_simhash_pairs" ->
+      // The oracle checks the SEMANTICS (all pairs within the Hamming
+      // bound): pigeonhole candidate generation is recall-exact for
+      // chunks > maxHamming, so the engine's chunk-join result must equal
+      // the all-pairs filter.
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

@@ -68,6 +68,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d11: simhash chunk self-join is a shuffled hash join") {
+    assert(plan("d11_simhash_pairs").contains("ShuffledHashJoin"))
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
