@@ -163,7 +163,75 @@ object SourcesAndStreams {
       .withColumn("volume", col("volume").cast("long"))
   }
 
+  /** Dynamic partition pruning: the fact table lands partitioned on the
+    * join key; the dim side's filter is on a NON-key attribute, so static
+    * pruning can't apply — at runtime Spark turns the broadcast dim's key
+    * set into a partition filter on the fact scan (`PartitionFilters:
+    * [dynamicpruning#…]`, pinned by PlanShapeSpec). At 100 TB this is the
+    * difference between scanning 2 of N date/type partitions and scanning
+    * the table: pruning happens at the FILE level before any fact bytes
+    * are read.
+    */
+  def s10DynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("s10dpp")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode(SaveMode.Overwrite).parquet(path)
+    val fact = spark.read.parquet(path)
+    // The dim must be a SCANNED relation with a real (non-constant-folded)
+    // filter on a non-key attribute — DPP keys off a selective predicate
+    // in the build side's plan; an inline LocalRelation folds the filter
+    // away and no pruning subquery is planned.
+    val dimPath = scratch("s10dim")
+    Seq(
+      ("click", "browse"), ("view", "browse"), ("purchase", "conversion"),
+      ("signup", "conversion"), ("error", "ops")).toDF("event_type", "category")
+      .write.mode(SaveMode.Overwrite).parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    fact.join(broadcast(dim.filter(col("category") === "conversion")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Bucketed co-located join: both sides land bucketed (8 buckets) on
+    * their join key, so the join consumes bucket-aligned scans with ZERO
+    * Exchange on either side — the pre-shuffled layout a 100 TB
+    * fact↔fact join needs (broadcast is impossible, an ad-hoc shuffle
+    * moves the whole table every query). The zero-shuffle plan property
+    * is pinned by BucketedSinkSpec for the merge path; this query makes
+    * the layout driver-visible end-to-end. Scratch tables are dropped
+    * after the (materialized) result is taken.
+    */
+  def s11BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = UUID.randomUUID().toString.replace("-", "").take(10)
+    val ot = s"s11_orders_$tag"
+    val ct = s"s11_customer_$tag"
+    try {
+      Tables(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.format("parquet").bucketBy(8, "o_custkey").saveAsTable(ot)
+      Tables(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("parquet").bucketBy(8, "c_custkey").saveAsTable(ct)
+      spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+        .localCheckpoint()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      spark.sql(s"DROP TABLE IF EXISTS $ct"): Unit
+    }
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_dpp" -> (s10DynamicPartitionPruning _),
+    "s11_bucketed_join" -> (s11BucketedJoin _),
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
     "s8_schema_evolution" -> (s8SchemaEvolution _),
@@ -175,6 +243,16 @@ object SourcesAndStreams {
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
+    "s10_dpp" ->
+      """SELECT event_type, count(*) AS cnt,
+        | sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s11_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Exact expected Q8 output of the fixture backfill over heights 1-60:
     // for each block h with h%3 txs, tx i has n = int(hash[12:24], 16);
     // inputs with n%5==0 carry reference_script_hash "script"+(n%7) and

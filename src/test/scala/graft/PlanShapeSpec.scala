@@ -68,6 +68,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s10: fact scan carries a runtime dynamic-partition-pruning filter") {
+    val p = plan("s10_dpp")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("d11: simhash chunk self-join is a shuffled hash join") {
     assert(plan("d11_simhash_pairs").contains("ShuffledHashJoin"))
   }
