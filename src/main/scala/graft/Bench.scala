@@ -32,8 +32,9 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // Tracked-cache release is billed to the query that persisted them.
-      finally graft.core.Caches.release()
+      // Blocking: eviction is billed to the query that persisted the
+      // data, not leaked into the next query's timed window.
+      finally graft.core.Caches.release(blocking = true)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = timedPass()

@@ -1,5 +1,7 @@
 package graft.core
 
+import java.lang.ref.WeakReference
+
 import org.apache.spark.sql.DataFrame
 
 /** Tracked persists for multiply-consumed intermediates (shingle tables,
@@ -7,30 +9,39 @@ import org.apache.spark.sql.DataFrame
   * returned plan, so consumers get the full optimized DAG — but every
   * cached frame is registered here, and drivers that run MANY queries in
   * one session (Verify, Bench, Profile) call [[release]] after
-  * materializing each one. Relying on ContextCleaner GC instead leaks
-  * cached corpus-sized tables until a major GC happens to collect the
-  * plan reference.
+  * materializing each one.
+  *
+  * Registration holds only a WEAK reference: a consumer that never calls
+  * release() (a test suite, a library user composing operators) falls
+  * back to the ContextCleaner GC path — once the plan is unreachable the
+  * blocks are collectable — instead of this registry pinning them for
+  * the JVM lifetime.
   */
 object Caches {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[WeakReference[DataFrame]]()
 
   /** Persist (MEMORY_AND_DISK — spills rather than OOMs at corpus scale)
     * and track for later [[release]].
     */
   def persistTracked(df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(cached)
+    live.add(new WeakReference(cached))
     cached
   }
 
-  /** Unpersist every tracked frame. Call after the consuming action; a
-    * frame released early is recomputed, never wrong.
+  /** Unpersist every tracked frame still reachable. Call after the
+    * consuming action; a frame released early is recomputed, never wrong.
+    * `blocking = true` makes eviction complete before returning, so a
+    * benchmark bills the cleanup to the query that persisted the data
+    * rather than leaking it into the next timed window.
     */
-  def release(): Unit = {
-    var df = live.poll()
-    while (df != null) {
-      df.unpersist()
-      df = live.poll()
+  def release(blocking: Boolean = false): Unit = {
+    var ref = live.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) df.unpersist(blocking)
+      ref = live.poll()
     }
   }
 }

@@ -1,0 +1,30 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+/** Tracked scratch directories for queries that stage data (format
+  * round-trips, partitioned copies for pruning demos). The returned
+  * DataFrames read lazily from scratch, so the dirs can't be deleted when
+  * the query function returns — they are removed at JVM exit instead,
+  * which keeps repeated Bench/Verify sessions from accumulating staged
+  * copies on disk. (Streaming scratch in `graft.streaming.EventStream`
+  * has its own eager reaper because checkpoints CAN be deleted as soon as
+  * the query finishes.)
+  */
+object Scratch {
+  private val dirs = scala.collection.mutable.ListBuffer.empty[Path]
+  sys.addShutdownHook { dirs.synchronized { dirs.foreach(deleteTree) } }
+
+  def dir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    dirs.synchronized { dirs += d }
+    d.toString
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 object SourcesAndStreams {
 
   private def scratch(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString + "/data"
+    graft.core.Scratch.dir(prefix) + "/data"
 
   /** S5: raw-zone JSON with explicit schema (multiLine-less JSON lines,
     * schema-on-read — no inference in prod paths).

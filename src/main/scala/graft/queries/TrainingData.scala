@@ -372,9 +372,13 @@ object TrainingData {
   def x12SequencePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seqLen = 2048L
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), expr("doc_id div 64").as("bkt"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // Both the per-bucket window and the bucket-totals aggregate consume
+    // this; tracked persist so regex tokenization runs once (the cached
+    // frame is 3 longs per doc — tiny next to the recompute).
+    val toks = graft.core.Caches.persistTracked(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 64").as("bkt"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = toks.withColumn("local_off",
@@ -404,6 +408,10 @@ object TrainingData {
     * reproduces the codes bit-for-bit.
     */
   def d10QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    // `e` feeds both the stats aggregate and the quantize join and is
+    // deliberately NOT cached: the exploded table is dims× the source
+    // size, so materializing it costs more than the second columnar scan
+    // it would save (the explode itself is a codegen'd projection).
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),

@@ -26,7 +26,7 @@ object Profile {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
-        finally graft.core.Caches.release()
+        finally graft.core.Caches.release(blocking = true)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
