@@ -130,6 +130,13 @@ object SourcesAndStreams {
   def st4StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     EventStream.purchaseClickJoin(spark, dir)
 
+  /** Streaming into a durable parquet sink, read back as a batch table
+    * (the production sink path; the other st queries use the memory-sink
+    * harness for synchronous checks).
+    */
+  def st5StreamFileSink(spark: SparkSession, dir: String): DataFrame =
+    EventStream.purchasesToFileSink(spark, dir)
+
   /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
     * offline fixture chain) finishing with the reference's Q8 analytics.
     * Independent of the star schema — but the fixture chain is fully
@@ -239,6 +246,7 @@ object SourcesAndStreams {
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stateful_stats" -> (st3StatefulStats _),
     "st4_stream_stream_join" -> (st4StreamStreamJoin _),
+    "st5_stream_file_sink" -> (st5StreamFileSink _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
@@ -285,6 +293,9 @@ object SourcesAndStreams {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "st5_stream_file_sink" ->
+      """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "st4_stream_stream_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c

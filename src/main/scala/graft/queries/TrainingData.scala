@@ -153,6 +153,39 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** PII detection + redaction: emails, IPv4 addresses, and phone-shaped
+    * digit runs counted then replaced with typed placeholder tokens — the
+    * scrub every training corpus needs before anything else sees it.
+    * The corpus text carries no PII, so deterministic synthetic PII is
+    * injected first (derived from doc_id) and the scrubber must find
+    * exactly it; counts + an md5 of the redacted text keep the checked
+    * row narrow. Pure codegen'd projections, zero shuffle; the regexes
+    * stay inside the Java-regex/RE2 common subset so both engines agree.
+    */
+  def x13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"),
+      lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(injected, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(injected, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(injected, lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(injected, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex
     * (apostrophe contractions, space-prefixed letter runs, digit runs,
     * punctuation runs) — the unit a byte-pair tokenizer starts from, and
@@ -438,6 +471,7 @@ object TrainingData {
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
+    "x13_pii_redact" -> (x13PiiRedact _),
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -506,6 +540,23 @@ object TrainingData {
        |           WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x13_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        |         || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "x10_repetition" ->
       """WITH tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
         |             FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t

@@ -349,6 +349,35 @@ object EventStream {
     out.orderBy(col("user_id"), col("start_micros"))
   }
 
+  /** Streaming into a DURABLE sink: transform + parquet file sink with
+    * exactly-once semantics (the sink's transaction log + the source
+    * checkpoint make replayed batches idempotent) — the production
+    * counterpart of the memory-sink harness the other streaming queries
+    * use for synchronous oracle checks. The output directory is read
+    * back as a normal batch table, which is exactly how a downstream
+    * consumer sees a streaming-written lake zone.
+    */
+  def purchasesToFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val (events, staged) = readEventsStaged(spark, dir)
+    // Output must outlive this function (the returned frame reads it
+    // lazily) — JVM-exit scratch, not the eager reaper.
+    val out = graft.core.Scratch.dir("st5out") + "/data"
+    val ckpt = scratchDir("st5ckpt")
+    val q = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { reap(ckpt); reap(staged) }
+    spark.read.parquet(out).orderBy(col("event_id"))
+  }
+
   /** Stateful streaming dedup on the event key (watermark-bounded
     * state) — the streaming twin of the sink's PK conflict-skip.
     */
