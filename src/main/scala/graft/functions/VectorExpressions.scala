@@ -71,11 +71,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier(VectorExpressions.DotName),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, VectorExpressions.DotName),
       { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
+    e.injectFunction((
+      FunctionIdentifier(TextExpressions.TokensName),
+      new ExpressionInfo(classOf[WordTokens].getCanonicalName, TextExpressions.TokensName),
+      { exprs: Seq[Expression] => WordTokens(exprs.head) }))
+  }
 }
 
 object VectorExpressions {

@@ -19,8 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Word tokens (\\w+ runs), lowercased. */
+  /** Word tokens (\\w+ runs), lowercased — the codegen'd
+    * [[graft.functions.WordTokens]] scan, semantically identical to
+    * [[tokensRegex]] (parity pinned by TextExpressionsSpec; every text
+    * oracle re-derives tokens via regex in DuckDB). Sessions get the
+    * function via `GraftExtensions` (`spark.sql.extensions`) or
+    * `TextExpressions.register`.
+    */
   def tokens(text: Column): Column =
+    graft.functions.TextExpressions.toks(text)
+
+  /** The regex formulation of [[tokens]] (the parity reference, and the
+    * fallback for sessions without graft functions wired).
+    */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\w+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))

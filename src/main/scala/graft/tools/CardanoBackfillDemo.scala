@@ -15,6 +15,7 @@ object CardanoBackfillDemo {
     val (start, end) =
       if (args.length >= 2) (args(0).toLong, args(1).toLong) else (1L, 200L)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

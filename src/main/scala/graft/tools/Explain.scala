@@ -9,6 +9,7 @@ object Explain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
