@@ -73,13 +73,81 @@ final class BlockfrostTable(schema: StructType, properties: Map[String, String])
 }
 
 final class BlockfrostScanBuilder(fullSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var readSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  // The height column that drives the fan-out range per entity.
+  private val heightCol =
+    if (options.getOrElse("entity", "blocks") == "block_tx") "block_height" else "height"
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Preserve declared field order/type from the full schema; an empty
     // projection (count(*)) keeps zero fields — the parser still counts rows.
     readSchema = requiredSchema
-  override def build(): Scan = new BlockfrostScan(readSchema, options)
+
+  /** For an API fan-out source, filter pushdown is not an optimization of
+    * bytes read — it bounds the number of HTTP CALLS MADE. A height-range
+    * predicate narrows `[start, end]` before partitions are planned, so
+    * `load().filter(height between a and b)` fetches b−a+1 blocks, not
+    * the whole configured range. All filters are also returned as
+    * residual (Spark re-applies them post-scan), so pushdown can only
+    * remove work, never rows.
+    */
+  // Only INTEGRAL values are pushable: truncating a fractional bound
+  // (height < 10.5 → < 10) would over-narrow and drop rows the residual
+  // filter can't bring back.
+  private def intVal(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(c, v) => c == heightCol && intVal(v).isDefined
+      case GreaterThan(c, v) => c == heightCol && intVal(v).isDefined
+      case GreaterThanOrEqual(c, v) => c == heightCol && intVal(v).isDefined
+      case LessThan(c, v) => c == heightCol && intVal(v).isDefined
+      case LessThanOrEqual(c, v) => c == heightCol && intVal(v).isDefined
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** [lo, hi] bounds implied by the pushed height predicates. */
+  private def heightBounds: (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def raiseLo(v: Long): Unit = if (lo.forall(_ < v)) lo = Some(v)
+    def lowerHi(v: Long): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    pushed.foreach {
+      case EqualTo(_, v) => intVal(v).foreach { x => raiseLo(x); lowerHi(x) }
+      case GreaterThan(_, v) => intVal(v).foreach(x => raiseLo(x + 1))
+      case GreaterThanOrEqual(_, v) => intVal(v).foreach(raiseLo)
+      case LessThan(_, v) => intVal(v).foreach(x => lowerHi(x - 1))
+      case LessThanOrEqual(_, v) => intVal(v).foreach(lowerHi)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  override def build(): Scan = {
+    // User-option sanity is checked on the CONFIGURED range; a range made
+    // empty by filter narrowing is a legitimate zero-row scan.
+    val userStart = options.getOrElse("start", "1").toLong
+    options.get("end").foreach(e =>
+      require(e.toLong >= userStart, s"empty height range [$userStart, $e]"))
+    val (lo, hi) = heightBounds
+    val narrowed = options ++
+      lo.map(v => "start" -> math.max(v, userStart).toString) ++
+      hi.map(v => "end" -> options.get("end").fold(v)(e => math.min(v, e.toLong)).toString)
+    new BlockfrostScan(readSchema, narrowed)
+  }
 }
 
 final case class HeightRangePartition(from: Long, to: Long) extends InputPartition
@@ -94,7 +162,8 @@ final class BlockfrostScan(readSchema: StructType, options: Map[String, String])
     val end = options.getOrElse("end", sys.error("option 'end' is required")).toLong
     val n = math.max(1, options.getOrElse("numpartitions",
       options.getOrElse("numPartitions", "8")).toInt)
-    require(end >= start, s"empty height range [$start, $end]")
+    // Filter narrowing can legally empty the range → zero partitions.
+    if (end < start) return Array.empty
     val total = end - start + 1
     val per = (total + n - 1) / n
     (0L until n.toLong)

@@ -49,6 +49,31 @@ class BlockfrostDataSourceSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("height filters narrow the fan-out range BEFORE partitions are planned") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // For an API source, pushdown bounds the number of HTTP calls made —
+    // the filtered read must plan partitions over [10, 14] only, even
+    // though the configured range is [1, 1000].
+    val df = spark.read.format("blockfrost")
+      .option("entity", "blocks").option("start", "1").option("end", "1000")
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("height") >= 10 && col("height") <= 14)
+    val parts = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputPartitions
+    }.get
+    val ranges = parts.map(_.asInstanceOf[HeightRangePartition])
+    assert(ranges.map(_.from).min == 10L && ranges.map(_.to).max == 14L,
+      s"fan-out range not narrowed: $ranges")
+    assert(df.select("height").collect().map(_.getLong(0)).sorted.sameElements(10L to 14L))
+    // a filter-empty range is a zero-row scan, not an error
+    val empty = spark.read.format("blockfrost")
+      .option("entity", "blocks").option("start", "1").option("end", "1000")
+      .load()
+      .filter(col("height") > 50 && col("height") < 40)
+    assert(empty.count() == 0)
+  }
+
   test("uneven ranges split without loss; single-height range works") {
     val df = spark.read.format("blockfrost")
       .option("entity", "blocks").option("start", "5").option("end", "5")

@@ -54,6 +54,27 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("stateful plans are state-backend-agnostic: RocksDB provider yields identical results") {
+    // The default HDFS-backed store keeps all state on the JVM heap — at
+    // 100 TB keyspaces the store must spill; RocksDB is the production
+    // backend for large state. Same plan, same results, config-only swap.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val deduped = EventStream.dedupedEvents(spark, dir)
+      val expected = graft.core.Tables.events(spark, dir)
+        .select(col("event_id")).distinct().count()
+      assert(deduped.count() == expected)
+      assert(deduped.select("event_id").distinct().count() == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch ingestion into the idempotent sink is effectively-once") {
     import spark.implicits._
     val src = tmpDir("ing_src")
