@@ -93,6 +93,49 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keeper selection — the end-to-end dedup decision a
+    * production pipeline actually ships: near-dup clusters (d9's
+    * pipeline) joined with per-document quality (x3's score), keeping
+    * the HIGHEST-QUALITY document per cluster rather than d9's
+    * positional min-id keeper. Ranking is a window partitioned by
+    * component (parallel across clusters; cluster sizes are tiny by
+    * construction), with the doc id as the deterministic tiebreak —
+    * scores are bit-identical across engines (IEEE-exact ops only), so
+    * the keep set reproduces exactly.
+    */
+  def d12QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.lshVerifiedPairs(
+      docs, col("doc_id"), col("text"),
+      n = 3, k = minhashK, bands = minhashBands,
+      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf)
+    val clusters = Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    val t = col("text")
+    // Same arithmetic SHAPE as x3QualityScore (ratio first, then the
+    // weighted sum) so the score is the same bit pattern both compute.
+    val quality = docs
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_chars_len"),
+        TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
+        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
+      .select(col("doc_id"),
+        ((col("stop_cnt").cast("double") / col("n_tokens")) * 5.0
+          - (col("punct_cnt").cast("double") / col("n_chars_len")) * 3.0
+          - (col("digit_cnt").cast("double") / col("n_chars_len")) * 2.0
+          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+          .as("quality_score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("quality_score"), (col("rn") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split (80/10/10): the assignment is a
     * pure hash of the stable doc id — reproducible across runs, engines
     * and cluster sizes (no RNG state, no sampling drift), which is what a
@@ -467,6 +510,7 @@ object TrainingData {
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
     "d9_dedup_clusters" -> (d9DedupClusters _),
+    "d12_quality_keeper" -> (d12QualityKeeper _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
@@ -636,6 +680,28 @@ object TrainingData {
          |SELECT c.doc_id, c.component, s.cluster_size,
          |       (c.doc_id = c.component) AS is_keeper
          |FROM comp c JOIN csize s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+    "d12_quality_keeper" ->
+      s"""WITH RECURSIVE $verifiedPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         |closure(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a),
+         |csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component),
+         |q AS (SELECT doc_id,
+         |  (CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS DOUBLE)
+         |     / len(regexp_extract_all(lower(text), '\\w+'))) * 5.0
+         |  - (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)) * 3.0
+         |  - (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 2.0
+         |  + (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END) AS quality_score
+         |  FROM documents)
+         |SELECT c.doc_id, c.component, s.cluster_size, q.quality_score,
+         |  (row_number() OVER (PARTITION BY c.component
+         |                      ORDER BY q.quality_score DESC, c.doc_id) = 1) AS keep
+         |FROM comp c JOIN csize s USING (component) JOIN q USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "x7_vocab_topk" ->
       """SELECT w AS token, count(*) AS cnt
