@@ -432,6 +432,30 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset balancing / mixing: downsample every language to the
+    * smallest language's size with deterministic hash sampling — the
+    * data-mixing step that equalizes corpus composition before training.
+    * Unlike [[x11StratifiedSample]]'s fixed rates, the per-stratum rates
+    * are DERIVED from the data: a tiny per-language count table (one
+    * partial-aggregated shuffle over ~#languages groups) crossed with
+    * its own minimum, broadcast back onto the corpus — so the corpus
+    * side stays one narrow filter pass and nothing corpus-sized
+    * shuffles.
+    */
+  def x14DatasetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), (col("min_n").cast("double") / col("n")).as("keep_rate"))
+    docs.join(broadcast(rates), "lang")
+      .filter(
+        (TextOps.h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000).cast("double")
+          < col("keep_rate") * 1000000.0)
+      .select(col("doc_id"), col("lang"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing for LLM pretraining: map every document to its
     * global token offset in the doc_id-ordered token stream and the
     * fixed-size training sequences (2048 tokens) it lands in — the
@@ -516,6 +540,7 @@ object TrainingData {
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
     "x13_pii_redact" -> (x13PiiRedact _),
+    "x14_dataset_mix" -> (x14DatasetMix _),
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -601,6 +626,16 @@ object TrainingData {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
         |FROM inj ORDER BY doc_id""".stripMargin,
+    "x14_dataset_mix" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |rates AS (SELECT lang,
+         |    CAST((SELECT min(n) FROM counts) AS DOUBLE) / n AS keep_rate
+         |  FROM counts)
+         |SELECT d.doc_id, d.lang, r.keep_rate
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE CAST(${h60sql.format("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+         |        < r.keep_rate * 1000000.0
+         |ORDER BY doc_id""".stripMargin,
     "x10_repetition" ->
       """WITH tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
         |             FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
