@@ -205,12 +205,13 @@ object JdbcSink {
             // A pre-merge clone that never materialized is expected here
             // (rolled-back DDL) and surfaces as a missing-object state:
             // Derby 42X05 (table does not exist) / 42Y55 (drop of
-            // non-existent object), Postgres 42P01 (undefined_table).
-            // Everything else — including other 42-class states like
-            // 42501 insufficient_privilege — is a REAL failed drop that
-            // leaks a full batch copy and must be visible.
+            // non-existent object), Postgres 42P01 (undefined_table),
+            // ODBC-style 42S02 (base table not found — H2/MySQL/SQL
+            // Server). Everything else — including other 42-class states
+            // like 42501 insufficient_privilege — is a REAL failed drop
+            // that leaks a full batch copy and must be visible.
             val missingObject =
-              Set("42X05", "42Y55", "42P01").contains(String.valueOf(e.getSQLState))
+              Set("42X05", "42Y55", "42P01", "42S02").contains(String.valueOf(e.getSQLState))
             if (!missingObject)
               System.err.println(s"[JdbcSink] WARN: drop of ${s.staging} failed: $e")
         }

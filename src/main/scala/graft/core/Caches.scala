@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
   * back to the ContextCleaner GC path — once the plan is unreachable the
   * blocks are collectable — instead of this registry pinning them for
   * the JVM lifetime.
+  *
+  * Scope: the registry is process-global and [[release]] unpersists
+  * EVERY tracked frame, which assumes one sequential driver per JVM
+  * (the Verify/Bench/Profile shape). Concurrent drivers sharing a
+  * SparkSession would release each other's in-flight intermediates —
+  * correctness-safe (recompute), but a perf surprise; such callers
+  * should skip release() and rely on the GC fallback.
   */
 object Caches {
   private val live =
@@ -25,6 +32,10 @@ object Caches {
     * and track for later [[release]].
     */
   def persistTracked(df: DataFrame): DataFrame = {
+    // Opportunistically drop queue nodes whose referents were collected,
+    // so a long-lived session that never calls release() doesn't
+    // accumulate empty nodes unboundedly.
+    live.removeIf(_.get() == null)
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     live.add(new WeakReference(cached))
     cached

@@ -24,7 +24,10 @@ object Scratch {
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      // Materialize before closing: an open walk stream holds a directory
+      // handle, which on some filesystems makes the deletes below fail.
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverseIterator.foreach(f => Files.deleteIfExists(f))
     }
 }

@@ -110,6 +110,49 @@ object Similarity {
     (greatest(scored: _*).getField("negc") * -1).cast("int")
   }
 
+  /** Batch ANN: EVERY vector gets its k nearest in-bucket neighbors —
+    * the corpus-wide similarity-search workload (retrieval indexing,
+    * embedding-level near-dup mining) rather than [[lshTopK]]'s single
+    * query vector.
+    *
+    * Scale design: the all-pairs formulation is quadratic and dies at
+    * corpus scale; SRP bucketing turns it into ONE hash-partitioned
+    * self-join on the bucket key (`shuffle_hash` hint — neither side of a
+    * corpus self-join may broadcast) whose cost is sum(bucket²), the
+    * standard LSH trade (cross-bucket neighbors are the recall cost).
+    * The per-vector top-k window is keyed `(bucket, vec_id)`: vec_id
+    * determines its bucket, so the ranking is per vector, but leading
+    * with the join key lets the window REUSE the join's hash
+    * partitioning — Spark inserts only a partition-local sort, no second
+    * corpus-sized Exchange (pinned by PlanShapeSpec). Norms are computed
+    * once per vector, never per pair; the bucketed projection is
+    * persisted (tracked) so the corpus is scanned once, not once per
+    * join side.
+    */
+  def batchTopK(corpus: DataFrame, nPlanes: Int, k: Int, dims: Int = 64): DataFrame = {
+    ensure(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val n = graft.core.Caches.persistTracked(
+      corpus.select(
+        col("vec_id"),
+        srpBucket(col("embedding"), nPlanes, dims).as("bucket"),
+        col("embedding"),
+        norm(col("embedding")).as("nrm")))
+    val a = n.select(col("bucket"), col("vec_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("bucket").as("bb"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.hint("shuffle_hash")
+      .join(b, col("bucket") === col("bb") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("bucket"), col("vec_id"), col("neighbor_id"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+    val w = Window.partitionBy(col("bucket"), col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .select(col("vec_id"), col("nn_rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** ANN via SRP-LSH: restrict the exact cosine scan to the query's
     * bucket. Recall < 1 by construction (that is the trade); the bucketed
     * scan touches corpus/2^nPlanes of the data in expectation.

@@ -78,6 +78,16 @@ object TrainingData {
   def d6AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), srpPlanes, 10)
 
+  /** Corpus-wide batch ANN: every embedding's 3 nearest in-bucket
+    * neighbors (4 SRP planes → 16 buckets keeps buckets populated at
+    * these SFs; production raises planes with corpus size). See
+    * [[Similarity.batchTopK]] for the scale design — one bucket-keyed
+    * self-join, window rides the join partitioning.
+    */
+  def d13BatchAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.batchTopK(Tables(spark, dir, "embeddings"), nPlanes = 4, k = 3)
+      .orderBy(col("vec_id"), col("nn_rank"))
+
   /** Near-dup cluster resolution: connected components over the verified
     * LSH pairs (d8's output), yielding one canonical keeper per cluster —
     * the step that turns pair lists into actual row drops. See
@@ -551,6 +561,7 @@ object TrainingData {
     "d11_simhash_pairs" -> (d11SimhashPairs _),
     "d5_cosine_topk" -> (d5CosineTopk _),
     "d6_ann_lsh" -> (d6AnnLsh _),
+    "d13_batch_ann" -> (d13BatchAnn _),
     "x1_token_stats" -> (x1TokenStats _),
     "x2_lang_id" -> (x2LangId _),
     "x3_quality_score" -> (x3QualityScore _),
@@ -856,6 +867,30 @@ object TrainingData {
          |   sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cos_sim
          |FROM bucketed b, q WHERE b.bucket = q.qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "d13_batch_ann" ->
+      s"""WITH planes AS (
+         |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
+         |                 ORDER BY i) AS w
+         |  FROM range(4) rp(p), range(64) ri(i) GROUP BY p),
+         |n AS (
+         |  SELECT vec_id,
+         |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
+         |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         |          FROM planes pl) AS bucket,
+         |         CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings e),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS nn_rank
+         |  FROM pairs)
+         |SELECT vec_id, nn_rank, neighbor_id, cos_sim
+         |FROM ranked WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin,
     "x1_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars_len,
         |  CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,

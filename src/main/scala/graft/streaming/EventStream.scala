@@ -93,6 +93,12 @@ object EventStream {
     * fixed at the query's FIRST run by this conf and is independent of
     * the surrounding batch session's shuffle size. A real deployment with
     * large keyspaces raises it; these are the local defaults.
+    *
+    * Not thread-safe: the conf is session-scoped, so a query PLANNED
+    * concurrently on the same SparkSession during the body would capture
+    * the temporary value. All drivers here (Verify/Bench/specs) plan
+    * sequentially; a concurrent caller should instead build its stream on
+    * `spark.newSession()` with the conf set there.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

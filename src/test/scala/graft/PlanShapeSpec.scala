@@ -77,6 +77,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("d11_simhash_pairs").contains("ShuffledHashJoin"))
   }
 
+  test("d13: batch-ANN window rides the join's bucket partitioning — no Exchange between join and Window") {
+    val p = plan("d13_batch_ann")
+    assert(p.contains("ShuffledHashJoin"), p)
+    // rank-limit pushdown prunes each group to top-k before the window
+    assert(p.contains("WindowGroupLimit"), p)
+    // between the join and the Window there must be only Project/Sort/
+    // WindowGroupLimit — a second corpus-sized Exchange would mean the
+    // window failed to reuse the join's hash partitioning
+    val join = p.indexOf("ShuffledHashJoin")
+    val win = p.indexOf("Window ")
+    assert(win >= 0 && join > win, p) // executedPlan prints top-down: Window above join
+    assert(!p.substring(win, join).contains("Exchange"), p.substring(win, join))
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
