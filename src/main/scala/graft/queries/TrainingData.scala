@@ -475,20 +475,33 @@ object TrainingData {
     * `Window.orderBy(doc_id)` serializes the corpus through one task (the
     * q20 lesson). Two-phase instead: per-bucket cumulative sums under a
     * PARTITIONED window (parallel), bucket totals prefix-summed in a
-    * second tiny window (rows = corpus/bucketWidth; at larger scale widen
-    * buckets or add a third level — prefix-sum composes), then broadcast
-    * the bucket offsets back. Every corpus-sized step is partition-local.
+    * second tiny window, then broadcast the bucket offsets back. Every
+    * corpus-sized step is partition-local.
+    *
+    * The bucket width is DERIVED from the corpus size (one cheap
+    * count()): bucket count ≈ max(shuffle partitions, √N), which bounds
+    * BOTH windows at ~√N rows — the level-2 window never scales linearly
+    * with the corpus (at 10B docs it sees ~100k rows, not 150M). The
+    * bucket key `doc_id div width` is monotone in doc_id, which is what
+    * makes the two-level sum equal the global prefix sum.
     */
+  private[graft] def packBuckets(n: Long, partitions: Int): Long = {
+    val buckets = math.max(partitions.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).max(1L)
+    math.max(1L, (n + buckets - 1) / buckets) // width
+  }
+
   def x12SequencePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seqLen = 2048L
+    val docs = Tables(spark, dir, "documents")
+    val width = packBuckets(docs.count(),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // Both the per-bucket window and the bucket-totals aggregate consume
     // this; tracked persist so regex tokenization runs once (the cached
     // frame is 3 longs per doc — tiny next to the recompute).
     val toks = graft.core.Caches.persistTracked(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), expr("doc_id div 64").as("bkt"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
+      docs.select(col("doc_id"), expr(s"doc_id div $width").as("bkt"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = toks.withColumn("local_off",

@@ -55,6 +55,23 @@ class PlanShapeSpec extends SparkSpec {
     // come back via broadcast — never a corpus-sized shuffle join
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("Window [sum(n_tokens#"), p)
+    // the unpartitioned window may only see the OUTPUT of the per-bucket
+    // aggregate (rows = bucket count, ~√N), never corpus-proportional
+    // rows: the plan must aggregate on bkt before that window runs
+    assert(p.contains("keys=[bkt"), p)
+  }
+
+  test("x12: bucket width derivation bounds both window levels at ~sqrt(N)") {
+    import graft.queries.TrainingData.packBuckets
+    for (n <- Seq(1L, 500L, 50000L, 10000000000L); parts <- Seq(4, 32, 2000)) {
+      val width = packBuckets(n, parts)
+      val buckets = (n + width - 1) / width
+      // level-1 window: ≤ width rows per bucket; level-2: buckets rows.
+      assert(width <= math.max(math.ceil(math.sqrt(n.toDouble)).toLong, 1L),
+        s"n=$n parts=$parts width=$width")
+      assert(buckets <= math.max(parts.toLong, math.ceil(math.sqrt(n.toDouble)).toLong) + 1,
+        s"n=$n parts=$parts buckets=$buckets")
+    }
   }
 
   test("q23: grouping sets expand to ONE aggregation pass, not three scans") {
