@@ -266,6 +266,30 @@ object Dedup {
         (col("doc_id") === col("component")).as("is_keeper"))
   }
 
+  /** Quality-aware keeper selection over PRECOMPUTED clusters — the
+    * library seam between cluster resolution and the final keep/drop
+    * decision, so a pipeline that already ran
+    * [[lshVerifiedPairs]]→[[connectedComponents]] doesn't pay LSH twice
+    * (the standalone d12 query recomputes them because every
+    * driver-checked query must be self-contained).
+    *
+    * `clusters`: (doc_id, component, cluster_size) — connectedComponents'
+    * shape; `quality`: (doc_id, quality_score). Ranking is a window
+    * partitioned per component (parallel across clusters; cluster sizes
+    * are bounded by construction upstream), doc_id as the deterministic
+    * tiebreak. Output adds `keep` = this doc is its cluster's
+    * highest-quality member.
+    */
+  def qualityKeeper(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("quality_score"), (col("rn") === 1).as("keep"))
+  }
+
   /** SimHash near-dup pairs via pigeonhole LSH (the Manku/Jain/Sarma
     * WWW'07 web-dedup shape): split the 60-bit signature into `chunks`
     * contiguous chunks — two signatures within `maxHamming` bits differ

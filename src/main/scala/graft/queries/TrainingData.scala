@@ -114,7 +114,6 @@ object TrainingData {
     * the keep set reproduces exactly.
     */
   def d12QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val pairs = Dedup.lshVerifiedPairs(
       docs, col("doc_id"), col("text"),
@@ -137,13 +136,7 @@ object TrainingData {
           - (col("digit_cnt").cast("double") / col("n_chars_len")) * 2.0
           + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
           .as("quality_score"))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    clusters.join(quality, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .select(col("doc_id"), col("component"), col("cluster_size"),
-        col("quality_score"), (col("rn") === 1).as("keep"))
-      .orderBy(col("doc_id"))
+    Dedup.qualityKeeper(clusters, quality).orderBy(col("doc_id"))
   }
 
   /** Deterministic train/val/test split (80/10/10): the assignment is a

@@ -20,6 +20,26 @@ class DedupClusterSpec extends SparkSpec {
       .toSeq
   }
 
+  test("qualityKeeper keeps exactly the highest-quality member per cluster (id tiebreak)") {
+    import spark.implicits._
+    // clusters: {1,2,3} (component 1), {7,8} (component 7), singleton 9
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L), (9L, 9L, 1L))
+      .toDF("doc_id", "component", "cluster_size")
+    // doc 2 wins component 1 on score; 7 and 8 tie → min id 7 wins
+    val quality = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7),
+      (7L, 0.4), (8L, 0.4), (9L, -1.0))
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.qualityKeeper(clusters, quality)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, false), (2L, true), (3L, false),
+      (7L, true), (8L, false), (9L, true)))
+  }
+
   test("chain of pairs collapses to one component with min-id keeper") {
     // 1-2, 2-3, 3-4 is a chain: near-dup is not transitive but the
     // cluster must still be one component keyed by its min id.
