@@ -28,5 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // embedded Derby (JdbcSink tests) writes its log to CWD otherwise
   "-Dderby.stream.error.file=/tmp/derby.log",
   "-Dspark.sql.session.timeZone=UTC",
+  // javax.imageio (Multimodal PNG decode) without a display
+  "-Djava.awt.headless=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: media as opaque `binary` payloads with a
@@ -11,77 +11,165 @@ import org.apache.spark.sql.functions._
   *
   * Spark-side plumbing is real: explicit schemas, typed Dataset rows, a
   * per-partition batch iterator (the shape a native decoder wants —
-  * amortize model/codec init per PARTITION, not per row), and narrow
-  * plans (no shuffle introduced by decode). The actual byte decoding is a
-  * STUB — this container has no image/audio codecs — implemented as a
-  * deterministic digest-based fake so tests and the DuckDB oracle can
-  * verify the plumbing end to end. Swap [[StubDecoder.decode]] for a real
-  * codec and nothing else changes.
+  * amortize codec init per PARTITION, not per row), and narrow plans (no
+  * shuffle introduced by decode). Image rows carry REAL PNG payloads and
+  * are decoded by the in-JDK `javax.imageio` reader ([[ImageIoDecoder]] —
+  * header-only dimension read, no full pixel decode); corrupt payloads
+  * surface as a None/`decode_ok=false` row instead of failing the job.
+  * Audio/video byte decoding stays a deterministic digest-based stub
+  * ([[StubDecoder]]) — this container has no audio/video codecs — so
+  * tests and the DuckDB oracle can verify that plumbing end to end. Swap
+  * [[StubDecoder.decode]] for a real codec and nothing else changes.
   *
   * Scale notes: payloads ride the executors as column values; feature
   * extraction is mapPartitions (one decoder init per partition, streaming
   * iterator — no materialized batch). Frame sampling is a lateral explode
-  * bounded by `maxFrames`, so output cardinality is controlled.
+  * bounded by the decoded frame count, so output cardinality is
+  * controlled.
   */
 object Multimodal {
 
   /** One media item: payload + metadata the lake would store alongside. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (deterministic stub of a decoder's output). */
+  /** Extracted features; `width`/`height` are None when the payload did
+    * not decode (`decode_ok=false`).
+    */
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,
-      n_bytes: Long,
-      content_md5: String,
-      fake_width: Long,
-      fake_height: Long,
-      n_frames: Long)
+      width: Option[Long],
+      height: Option[Long],
+      n_frames: Long,
+      decode_ok: Boolean)
 
-  /** Deterministic stand-in for a codec: digest-derived pseudo-features.
-    * Everything here is reproducible from the bytes alone, in any engine.
+  /** Deterministic stand-in for an audio/video codec: digest-derived
+    * pseudo-features, reproducible from the bytes alone in any engine.
     */
   object StubDecoder {
-    def decode(payload: Array[Byte], mediaType: String): (String, Long, Long, Long) = {
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
       val md5hex = MessageDigest.getInstance("MD5").digest(payload)
         .map("%02x".format(_)).mkString
       val h = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
       val w = 64L + h % 1857L // [64, 1920]
       val ht = 64L + (h / 1857L) % 1017L // [64, 1080]
       val frames = 1L + h % 7L // [1, 7]
-      (md5hex, w, ht, frames)
+      (w, ht, frames)
     }
   }
 
-  /** Wrap a text corpus as media rows: utf-8 payload bytes + a
-    * deterministic media_type. Stands in for reading a binary column off
-    * the lake.
+  /** Real image decode via the in-JDK `javax.imageio` PNG reader. Reads
+    * dimensions and frame count from the image HEADER (`reader.getWidth`
+    * never decodes pixel data) — at corpus scale that is the difference
+    * between scanning bytes and decompressing every image. Any
+    * malformed/truncated payload yields None; a decoder must never fail
+    * the task over one bad row.
+    */
+  object ImageIoDecoder {
+    def decode(payload: Array[Byte]): Option[(Long, Long, Long)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              val frames = reader.getNumImages(/*allowSearch=*/ true).toLong
+              // a truncated stream can still present a parseable header;
+              // force the first frame so corruption actually surfaces
+              reader.read(0)
+              Some((w, h, frames))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic PNG fixture: dims + pixels are pure functions of the
+    * seed, encoded with the JDK PNG writer — so the round-trip through
+    * [[ImageIoDecoder]] tests a REAL encoder/decoder pair while the
+    * expected dimensions stay arithmetic any engine (and the SQL oracle)
+    * can re-derive.
+    */
+  private[graft] def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 31 + y) * 131 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image dims as pure functions of the id — the contract the oracle
+    * checks the decoded values against.
+    */
+  private[graft] def imgWidth(id: Long): Int = (16 + id % 32).toInt
+  private[graft] def imgHeight(id: Long): Int = (8 + (id / 7) % 24).toInt
+  /** Every 51st doc (co-prime with the %3 media split) ships a truncated
+    * payload to exercise the corrupt-row path.
+    */
+  private[graft] def isCorrupt(id: Long): Boolean = id % 51 == 0
+
+  /** Wrap a text corpus as media rows: image rows get a real generated
+    * PNG payload (deterministic dims; every 51st truncated), audio/video
+    * keep utf-8 payload bytes for the stub codec. Stands in for reading a
+    * binary column off the lake; typed map, partition-parallel, no
+    * shuffle.
     */
   def asMedia(df: DataFrame): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    df.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val mediaType =
+          if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        val payload =
+          if (mediaType == "image") {
+            val png = pngBytes(imgWidth(id), imgHeight(id), seed = id)
+            if (isCorrupt(id)) png.take(png.length / 2) else png
+          } else text.getBytes("UTF-8")
+        MediaRow(id, mediaType, payload)
+      }
+    }
   }
 
   /** Per-partition feature extraction: decoder initialized once per
-    * partition, rows streamed through it.
+    * partition, rows streamed through it; bad payloads become
+    * `decode_ok=false` rows, never task failures.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // Real codecs hook in here: per-partition init happens at this
-      // point, before the row loop.
+      // Per-partition codec init happens here, before the row loop (for
+      // ImageIO: drop the disk-backed stream cache — payloads are
+      // in-memory byte arrays).
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (md5hex, w, h, frames) = StubDecoder.decode(r.payload, r.media_type)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          md5hex, w, h, frames)
+        if (r.media_type == "image")
+          ImageIoDecoder.decode(r.payload) match {
+            case Some((w, h, frames)) =>
+              MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
+            case None =>
+              MediaFeatures(r.doc_id, r.media_type, None, None, 0L, decode_ok = false)
+          }
+        else {
+          val (w, h, frames) = StubDecoder.decode(r.payload)
+          MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
+        }
       }
     }
   }

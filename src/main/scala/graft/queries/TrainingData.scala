@@ -367,8 +367,13 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
-  /** Multimodal decode plumbing: binary payload + typed metadata through
-    * a per-partition (stub) decoder — see [[Multimodal]].
+  /** Multimodal decode: image rows are REAL generated PNGs decoded by
+    * the in-JDK javax.imageio reader (every 51st payload truncated →
+    * decode_ok=false, NULL dims); audio/video ride the deterministic
+    * stub codec — see [[Multimodal]]. The oracle re-derives the image
+    * dims arithmetically (they are pure functions of doc_id by fixture
+    * construction) — a wrong decode or a swallowed corrupt row breaks
+    * the hash.
     */
   def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
@@ -796,11 +801,18 @@ object TrainingData {
       s"""SELECT doc_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
          |       ELSE 'video' END AS media_type,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  md5(text) AS content_md5,
-         |  CAST(64 + ${h60sql.format("text")} % 1857 AS BIGINT) AS fake_width,
-         |  CAST(64 + (${h60sql.format("text")} // 1857) % 1017 AS BIGINT) AS fake_height,
-         |  CAST(1 + ${h60sql.format("text")} % 7 AS BIGINT) AS n_frames
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN CASE WHEN doc_id % 51 = 0 THEN NULL
+         |                 ELSE CAST(16 + doc_id % 32 AS BIGINT) END
+         |       ELSE CAST(64 + ${h60sql.format("text")} % 1857 AS BIGINT) END AS width,
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN CASE WHEN doc_id % 51 = 0 THEN NULL
+         |                 ELSE CAST(8 + (doc_id // 7) % 24 AS BIGINT) END
+         |       ELSE CAST(64 + (${h60sql.format("text")} // 1857) % 1017 AS BIGINT) END AS height,
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN CAST(CASE WHEN doc_id % 51 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         |       ELSE CAST(1 + ${h60sql.format("text")} % 7 AS BIGINT) END AS n_frames,
+         |  (doc_id % 3 <> 0 OR doc_id % 51 <> 0) AS decode_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, 1 + ${h60sql.format("text")} % 7 AS n_frames
