@@ -20,6 +20,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-lifetime bucketed tables (s11) land in scratch, not CWD
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.dir("graft_wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -15,6 +15,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-lifetime bucketed tables (s11) land in scratch, not CWD
+      .config("spark.sql.warehouse.dir", graft.core.Scratch.dir("graft_wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.toSeq.sortBy(_._1)
