@@ -146,11 +146,19 @@ object SourcesAndStreams {
     EventStream.purchaseClickJoin(spark, dir)
 
   /** Streaming into a durable parquet sink, read back as a batch table
-    * (the production sink path; the other st queries use the memory-sink
-    * harness for synchronous checks).
+    * (every streaming query here lands in a durable sink — append-mode
+    * file sink or update-mode parquet changelog; none ride the
+    * driver-memory harness).
     */
   def st5StreamFileSink(spark: SparkSession, dir: String): DataFrame =
     EventStream.purchasesToFileSink(spark, dir)
+
+  /** Checkpointed incremental ingestion with PK-merge, run twice against
+    * one checkpoint (second run must add zero rows) — the reference's
+    * watermark + ON CONFLICT loop end-to-end as a stream.
+    */
+  def st6IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
+    EventStream.incrementalIngest(spark, dir)
 
   /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
     * offline fixture chain) finishing with the reference's Q8 analytics.
@@ -265,6 +273,7 @@ object SourcesAndStreams {
     "st3_stateful_stats" -> (st3StatefulStats _),
     "st4_stream_stream_join" -> (st4StreamStreamJoin _),
     "st5_stream_file_sink" -> (st5StreamFileSink _),
+    "st6_incremental_ingest" -> (st6IncrementalIngest _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
@@ -314,6 +323,10 @@ object SourcesAndStreams {
     "st5_stream_file_sink" ->
       """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "st6_incremental_ingest" ->
+      """SELECT event_id, event_type, user_id,
+        | CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "st4_stream_stream_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c

@@ -1,8 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.UUID
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -14,11 +12,15 @@ import org.apache.spark.sql.types.StructType
   * instead of a hand-rolled status table — plus event-time windowed
   * aggregation and stateful dedup.
   *
-  * Batch-driven here via `Trigger.AvailableNow` + memory sink so local
-  * runs and the DuckDB oracle can verify results synchronously; the same
-  * plans run unbounded against a live directory by swapping trigger and
-  * sink. At scale the windowed agg shuffles on (window, key) with
-  * watermark-bounded state; dedup state is bounded by the watermark too.
+  * Batch-driven here via `Trigger.AvailableNow` into DURABLE parquet
+  * sinks — append-mode queries use the transactional file sink
+  * (exactly-once via its commit log), update-mode stateful queries land
+  * each micro-batch's changed rows in an append-only parquet changelog
+  * (the lakehouse CDC shape) that the reader compacts to final values.
+  * Nothing depends on the driver-memory sink; the same plans run
+  * unbounded against a live directory by swapping the trigger. At scale
+  * the windowed agg shuffles on (window, key) with watermark-bounded
+  * state; dedup state is bounded by the watermark too.
   */
 object EventStream {
 
@@ -106,33 +108,49 @@ object EventStream {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
-    * sink and hand back the materialized result.
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * DURABLE parquet sink and hand back the materialized result.
+    *
+    * `append` rides the transactional file sink (`_spark_metadata`
+    * commit log → replayed batches are invisible to readers): the output
+    * IS the result. `update` rides `foreachBatch` appending each
+    * micro-batch's changed rows to a parquet changelog — the production
+    * shape for stateful streams feeding a lake table (CDC log +
+    * compaction view); the CALLER resolves snapshots to final values
+    * (e.g. max of a monotone counter per key). No query here touches the
+    * driver-memory sink, so results never pin driver heap and the same
+    * wiring runs unbounded by swapping the trigger.
     */
-  def runToTable(df: DataFrame, outputMode: String): DataFrame = {
-    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = scratchDir("ckpt")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt.toString)
+  def runDurable(df: DataFrame, outputMode: String): DataFrame = {
+    val root = scratchDir("sink")
+    val out = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    val writer = outputMode match {
+      case "append" =>
+        df.writeStream.format("parquet").option("path", out).outputMode("append")
+      case mode =>
+        df.writeStream.outputMode(mode).foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }
+    }
+    val q = writer
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    // reap in finally: a failed query must not leak its RAM-backed
-    // checkpoint until JVM exit
-    try q.awaitTermination() finally reap(ckpt)
-    // Hand back a materialized copy and drop the sink table: memory-sink
-    // tables pin their full result in the driver for the life of the
-    // session, and a long-lived bench/verify JVM accumulates one per
-    // streaming query run.
-    val out = df.sparkSession.table(name).localCheckpoint()
-    df.sparkSession.catalog.dropTempView(name): Unit
-    out
+    // Materialize (localCheckpoint is eager), then reap in finally: the
+    // RAM-backed sink+checkpoint must not outlive the run, success or
+    // failure.
+    try {
+      q.awaitTermination()
+      df.sparkSession.read.parquet(out).localCheckpoint()
+    } finally reap(root)
   }
 
   /** Event-time windowed counts with a watermark (6h tumbling windows,
-    * epoch-aligned so any engine reproduces the boundaries).
+    * epoch-aligned so any engine reproduces the boundaries). Update-mode
+    * changelog into parquet; a window's count is monotone across its
+    * snapshots, so compaction is max(cnt) per (window, type).
     */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
     val (events, staged) = readEventsStaged(spark, dir)
@@ -140,9 +158,11 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val out = try withStatePartitions(spark, 4)(runToTable(agg, "complete"))
+    val log = try withStatePartitions(spark, 4)(runDurable(agg, "update"))
     finally reap(staged)
-    out
+    log
+      .groupBy(col("window"), col("event_type"))
+      .agg(max(col("cnt")).as("cnt"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("cnt"))
@@ -163,8 +183,11 @@ object EventStream {
       schema: StructType,
       targetPath: String,
       keys: Seq[String],
-      checkpoint: String): Unit = {
-    val q = spark.readStream.schema(schema).parquet(srcDir)
+      checkpoint: String,
+      filesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString): Unit)
+    val q = reader.parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.cardano.IdempotentSink.upsertParquet(
@@ -201,13 +224,13 @@ object EventStream {
           state.update(next)
           (user, next.n, next.cents, next.lastTs)
       }
-    // The memory sink holds one state snapshot per (user, micro-batch).
+    // The changelog holds one state snapshot per (user, micro-batch).
     // n_events is strictly increasing across a user's snapshots, so the
     // row with max n_events IS the final state — pick every column from
     // that row with max_by. (Independent max() per column would be wrong:
     // value_cents is a running sum, not monotone when values go negative,
     // and per-column maxes could mix snapshots.)
-    val snapshots = try withStatePartitions(spark, 4)(runToTable(
+    val snapshots = try withStatePartitions(spark, 4)(runDurable(
       out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update"))
     finally reap(staged)
     snapshots
@@ -287,7 +310,7 @@ object EventStream {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
-      runToTable(joined, "append")
+      runDurable(joined, "append")
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
     } finally {
@@ -349,39 +372,78 @@ object EventStream {
           emitted.iterator
         }
       }
-    val out = try withStatePartitions(spark, 4)(runToTable(
+    val out = try withStatePartitions(spark, 4)(runDurable(
       sessions.toDF("user_id", "start_micros", "end_micros", "n_events"), "append"))
     finally reap(java.nio.file.Paths.get(staged))
     out.orderBy(col("user_id"), col("start_micros"))
   }
 
-  /** Streaming into a DURABLE sink: transform + parquet file sink with
-    * exactly-once semantics (the sink's transaction log + the source
-    * checkpoint make replayed batches idempotent) — the production
-    * counterpart of the memory-sink harness the other streaming queries
-    * use for synchronous oracle checks. The output directory is read
-    * back as a normal batch table, which is exactly how a downstream
-    * consumer sees a streaming-written lake zone.
+  /** Streaming transform into the parquet file sink with exactly-once
+    * semantics (the sink's transaction log + the source checkpoint make
+    * replayed batches idempotent). The output directory is read back as
+    * a normal batch table, which is exactly how a downstream consumer
+    * sees a streaming-written lake zone.
     */
   def purchasesToFileSink(spark: SparkSession, dir: String): DataFrame = {
     val (events, staged) = readEventsStaged(spark, dir)
-    // Output must outlive this function (the returned frame reads it
-    // lazily) — JVM-exit scratch, not the eager reaper.
-    val out = graft.core.Scratch.dir("st5out") + "/data"
-    val ckpt = scratchDir("st5ckpt")
-    val q = events
+    val filtered = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally { reap(ckpt); reap(staged) }
-    spark.read.parquet(out).orderBy(col("event_id"))
+    val out = try runDurable(filtered, "append")
+    finally reap(staged)
+    out.orderBy(col("event_id"))
+  }
+
+  /** Continuous ingestion made driver-checkable (st6): the reference's
+    * watermark + `ON CONFLICT DO NOTHING` polling loop
+    * (`cardano_block_dao.py:140-148` + the etl watermark table) as ONE
+    * checkpointed stream. Two overlapping source files (the second
+    * replays every key of the first) feed one-file micro-batches through
+    * [[ingestIncremental]]'s foreachBatch PK-merge; the stream is then
+    * run a SECOND time against the same checkpoint and must add zero
+    * rows — effectively-once end to end: the checkpoint dedups files,
+    * the PK merge dedups replayed rows within a batch.
+    */
+  def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val schema = events.schema
+    val src = scratchDir("st6src")
+    // File A: even event ids. File B: ALL rows — every key of A replays.
+    stageSingleFile(events.filter(col("event_id") % 2 === 0), src, "a.parquet")
+    stageSingleFile(events, src, "b.parquet")
+    val root = scratchDir("st6")
+    val target = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    def run(): Unit = ingestIncremental(
+      spark, src.toString, schema, target, Seq("event_id"), ckpt,
+      filesPerTrigger = Some(1))
+    try {
+      run()
+      val afterFirst = spark.read.parquet(target).count()
+      run() // same checkpoint, no new files: must be a no-op
+      val afterReplay = spark.read.parquet(target).count()
+      require(afterReplay == afterFirst,
+        s"replayed ingest changed the table: $afterFirst -> $afterReplay rows")
+      spark.read.parquet(target).orderBy(col("event_id")).localCheckpoint()
+    } finally { reap(root); reap(src) }
+  }
+
+  /** Stage `df` as a single named parquet file inside `destDir` (the
+    * file-source staging twin of [[readEventsStaged]] for multi-file
+    * sources with controlled contents).
+    */
+  private def stageSingleFile(df: DataFrame, destDir: java.nio.file.Path, name: String): Unit = {
+    val tmp = scratchDir("stage1")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.isFile && f.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      Files.move(part.toPath, destDir.resolve(name), StandardCopyOption.REPLACE_EXISTING): Unit
+    } finally reap(tmp)
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded
@@ -395,7 +457,7 @@ object EventStream {
       .select(col("event_id"), col("event_type"), col("user_id"))
     // 8 (not 4): dedup state carries EVERY event key, the largest
     // keyspace of the streaming queries.
-    val out = try withStatePartitions(spark, 8)(runToTable(deduped, "append"))
+    val out = try withStatePartitions(spark, 8)(runDurable(deduped, "append"))
     finally reap(staged)
     out.orderBy(col("event_id"))
   }
