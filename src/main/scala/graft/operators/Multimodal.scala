@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * amortize codec init per PARTITION, not per row), and narrow plans (no
   * shuffle introduced by decode). Image rows carry REAL PNG payloads and
   * are decoded by the in-JDK `javax.imageio` reader ([[ImageIoDecoder]] —
-  * header-only dimension read, no full pixel decode); corrupt payloads
-  * surface as a None/`decode_ok=false` row instead of failing the job.
-  * Audio/video byte decoding stays a deterministic digest-based stub
-  * ([[StubDecoder]]) — this container has no audio/video codecs — so
-  * tests and the DuckDB oracle can verify that plumbing end to end. Swap
-  * [[StubDecoder.decode]] for a real codec and nothing else changes.
+  * header-only dimension read, no full pixel decode); audio rows carry
+  * REAL PCM WAV payloads decoded by the in-JDK `javax.sound.sampled`
+  * reader ([[WavDecoder]]). Corrupt payloads of either kind surface as a
+  * None/`decode_ok=false` row instead of failing the job. Only VIDEO byte
+  * decoding stays a deterministic digest-based stub ([[StubDecoder]]) —
+  * this container has no video codecs; swap [[StubDecoder.decode]] for a
+  * real codec and nothing else changes. [[resizeTo]] runs the full
+  * decode → pixel transform → re-encode loop (aspect-fit nearest-neighbor
+  * into a bounding box), the CPU shape of real image preprocessing.
   *
   * Scale notes: payloads ride the executors as column values; feature
   * extraction is mapPartitions (one decoder init per partition, streaming
@@ -33,7 +36,10 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
   /** Extracted features; `width`/`height` are None when the payload did
-    * not decode (`decode_ok=false`).
+    * not decode (`decode_ok=false`). The triple is media-generic: for
+    * audio rows it carries (sample_rate, channels, n_frames) — one typed
+    * feature row per media item regardless of modality, the union schema
+    * a multimodal lake table wants.
     */
   case class MediaFeatures(
       doc_id: Long,
@@ -43,7 +49,16 @@ object Multimodal {
       n_frames: Long,
       decode_ok: Boolean)
 
-  /** Deterministic stand-in for an audio/video codec: digest-derived
+  /** Output of [[resizeTo]]; None dims when the source did not decode. */
+  case class ResizedImage(
+      doc_id: Long,
+      orig_w: Option[Long],
+      orig_h: Option[Long],
+      new_w: Option[Long],
+      new_h: Option[Long],
+      resize_ok: Boolean)
+
+  /** Deterministic stand-in for a video codec: digest-derived
     * pseudo-features, reproducible from the bytes alone in any engine.
     */
   object StubDecoder {
@@ -90,6 +105,58 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** Real audio decode via the in-JDK `javax.sound.sampled` WAV reader:
+    * sample rate / channels from the format header, duration from the
+    * frame count. The stream is drained so TRUNCATED payloads (header
+    * promises more frames than the bytes carry) surface as None rather
+    * than a silently short decode — a decoder must never fail the task
+    * over one bad row, and must never mistake a bad row for a good one.
+    */
+  object WavDecoder {
+    /** (sample_rate, channels, n_frames), or None on malformed payloads. */
+    def decode(payload: Array[Byte]): Option[(Long, Long, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val expectBytes = frames * fmt.getFrameSize
+          var seen = 0L
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { seen += n; n = in.read(buf) }
+          if (seen == expectBytes)
+            Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames))
+          else None
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic PCM WAV fixture (16-bit mono RIFF): rate/length are
+    * pure functions of the seed, samples a fixed integer recurrence — the
+    * audio twin of [[pngBytes]]: a REAL encoder/decoder round-trip whose
+    * expected features stay arithmetic for the SQL oracle.
+    */
+  private[graft] def wavBytes(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(((((i * 2654435761L + seed) % 65536L) - 32768L)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic PNG fixture: dims + pixels are pure functions of the
     * seed, encoded with the JDK PNG writer — so the round-trip through
     * [[ImageIoDecoder]] tests a REAL encoder/decoder pair while the
@@ -118,16 +185,26 @@ object Multimodal {
     */
   private[graft] def imgWidth(id: Long): Int = (16 + id % 32).toInt
   private[graft] def imgHeight(id: Long): Int = (8 + (id / 7) % 24).toInt
-  /** Every 51st doc (co-prime with the %3 media split) ships a truncated
-    * payload to exercise the corrupt-row path.
+  /** Every 51st doc (51 = 3·17 → always an image row under the %3 split)
+    * ships a truncated payload to exercise the corrupt-image path.
     */
   private[graft] def isCorrupt(id: Long): Boolean = id % 51 == 0
 
+  /** Audio params as pure functions of the id (same contract as the
+    * image dims); 34 = 2·17 intersects the audio residue class (id≡1
+    * mod 3) so some audio rows are truncated mid-data — the header
+    * parses but the drain check in [[WavDecoder]] must reject them.
+    */
+  private[graft] def wavRate(id: Long): Int = (8000 + (id % 5) * 2000).toInt
+  private[graft] def wavSamples(id: Long): Int = (256 + id % 1000).toInt
+  private[graft] def isCorruptAudio(id: Long): Boolean = id % 34 == 0
+
   /** Wrap a text corpus as media rows: image rows get a real generated
-    * PNG payload (deterministic dims; every 51st truncated), audio/video
-    * keep utf-8 payload bytes for the stub codec. Stands in for reading a
-    * binary column off the lake; typed map, partition-parallel, no
-    * shuffle.
+    * PNG payload (deterministic dims; every 51st truncated), audio rows
+    * a real PCM WAV payload (deterministic rate/length; truncated when
+    * id%34=0), video rows keep utf-8 payload bytes for the stub codec.
+    * Stands in for reading a binary column off the lake; typed map,
+    * partition-parallel, no shuffle.
     */
   def asMedia(df: DataFrame): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -136,11 +213,17 @@ object Multimodal {
       rows.map { case (id, text) =>
         val mediaType =
           if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        val payload =
-          if (mediaType == "image") {
+        val payload = mediaType match {
+          case "image" =>
             val png = pngBytes(imgWidth(id), imgHeight(id), seed = id)
             if (isCorrupt(id)) png.take(png.length / 2) else png
-          } else text.getBytes("UTF-8")
+          case "audio" =>
+            val wav = wavBytes(wavRate(id), wavSamples(id), seed = id)
+            // cut mid-data: the 44-byte header stays intact and claims
+            // the full frame count
+            if (isCorruptAudio(id)) wav.take(44 + wavSamples(id)) else wav
+          case _ => text.getBytes("UTF-8")
+        }
         MediaRow(id, mediaType, payload)
       }
     }
@@ -159,16 +242,71 @@ object Multimodal {
       // in-memory byte arrays).
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        if (r.media_type == "image")
-          ImageIoDecoder.decode(r.payload) match {
-            case Some((w, h, frames)) =>
-              MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
-            case None =>
-              MediaFeatures(r.doc_id, r.media_type, None, None, 0L, decode_ok = false)
+        r.media_type match {
+          case "image" =>
+            ImageIoDecoder.decode(r.payload) match {
+              case Some((w, h, frames)) =>
+                MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
+              case None =>
+                MediaFeatures(r.doc_id, r.media_type, None, None, 0L, decode_ok = false)
+            }
+          case "audio" =>
+            WavDecoder.decode(r.payload) match {
+              case Some((rate, channels, frames)) =>
+                MediaFeatures(r.doc_id, r.media_type, Some(rate), Some(channels), frames,
+                  decode_ok = true)
+              case None =>
+                MediaFeatures(r.doc_id, r.media_type, None, None, 0L, decode_ok = false)
+            }
+          case _ =>
+            val (w, h, frames) = StubDecoder.decode(r.payload)
+            MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
+        }
+      }
+    }
+  }
+
+  /** Real image preprocessing: full pixel decode → aspect-fit
+    * nearest-neighbor resize into a `box`×`box` bounding box → PNG
+    * re-encode, per partition, streaming. Target dims use integer
+    * arithmetic (`max(1, d·box / max(w,h))`) so the oracle re-derives
+    * them; `resize_ok` additionally requires the re-encoded frame to
+    * decode back to exactly the target dims — the transform is verified
+    * on-row, not assumed. Corrupt sources become `resize_ok=false` rows,
+    * never task failures. Narrow plan: no shuffle introduced.
+    */
+  def resizeTo(media: Dataset[MediaRow], box: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image").as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) ResizedImage(r.doc_id, None, None, None, None, resize_ok = false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val side = math.max(w, h)
+            val nw = math.max(1, w * box / side)
+            val nh = math.max(1, h * box / side)
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val ok = ImageIoDecoder.decode(bos.toByteArray)
+              .exists { case (dw, dh, _) => dw == nw && dh == nh }
+            ResizedImage(r.doc_id, Some(w.toLong), Some(h.toLong),
+              Some(nw.toLong), Some(nh.toLong), resize_ok = ok)
           }
-        else {
-          val (w, h, frames) = StubDecoder.decode(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), frames, decode_ok = true)
+        } catch {
+          case _: Exception =>
+            ResizedImage(r.doc_id, None, None, None, None, resize_ok = false)
         }
       }
     }

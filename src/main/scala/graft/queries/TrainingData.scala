@@ -369,15 +369,28 @@ object TrainingData {
 
   /** Multimodal decode: image rows are REAL generated PNGs decoded by
     * the in-JDK javax.imageio reader (every 51st payload truncated →
-    * decode_ok=false, NULL dims); audio/video ride the deterministic
-    * stub codec — see [[Multimodal]]. The oracle re-derives the image
-    * dims arithmetically (they are pure functions of doc_id by fixture
-    * construction) — a wrong decode or a swallowed corrupt row breaks
-    * the hash.
+    * decode_ok=false, NULL dims); audio rows are REAL PCM WAVs decoded
+    * by the in-JDK javax.sound reader (id%34=0 truncated mid-data — the
+    * header parses, the drain check must reject); only video rides the
+    * deterministic stub codec — see [[Multimodal]]. The oracle
+    * re-derives image dims and audio rate/frames arithmetically (pure
+    * functions of doc_id by fixture construction) — a wrong decode or a
+    * swallowed corrupt row breaks the hash.
     */
   def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** Real image preprocessing end-to-end: decode → aspect-fit
+    * nearest-neighbor resize into 64×64 → re-encode → verify the target
+    * dims by re-decoding, all per-partition ([[Multimodal.resizeTo]]).
+    * Corrupt sources surface as resize_ok=false rows.
+    */
+  def m3ImageResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeTo(
+        Multimodal.asMedia(Tables(spark, dir, "documents")), box = 64)
       .toDF()
       .orderBy(col("doc_id"))
 
@@ -565,6 +578,7 @@ object TrainingData {
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "m3_image_resize" -> (m3ImageResize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -804,16 +818,42 @@ object TrainingData {
          |  CASE WHEN doc_id % 3 = 0
          |       THEN CASE WHEN doc_id % 51 = 0 THEN NULL
          |                 ELSE CAST(16 + doc_id % 32 AS BIGINT) END
+         |       WHEN doc_id % 3 = 1
+         |       THEN CASE WHEN doc_id % 34 = 0 THEN NULL
+         |                 ELSE CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) END
          |       ELSE CAST(64 + ${h60sql.format("text")} % 1857 AS BIGINT) END AS width,
          |  CASE WHEN doc_id % 3 = 0
          |       THEN CASE WHEN doc_id % 51 = 0 THEN NULL
          |                 ELSE CAST(8 + (doc_id // 7) % 24 AS BIGINT) END
+         |       WHEN doc_id % 3 = 1
+         |       THEN CASE WHEN doc_id % 34 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END
          |       ELSE CAST(64 + (${h60sql.format("text")} // 1857) % 1017 AS BIGINT) END AS height,
          |  CASE WHEN doc_id % 3 = 0
          |       THEN CAST(CASE WHEN doc_id % 51 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         |       WHEN doc_id % 3 = 1
+         |       THEN CAST(CASE WHEN doc_id % 34 = 0 THEN 0
+         |                      ELSE 256 + doc_id % 1000 END AS BIGINT)
          |       ELSE CAST(1 + ${h60sql.format("text")} % 7 AS BIGINT) END AS n_frames,
-         |  (doc_id % 3 <> 0 OR doc_id % 51 <> 0) AS decode_ok
+         |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 51 <> 0
+         |       WHEN doc_id % 3 = 1 THEN doc_id % 34 <> 0
+         |       ELSE TRUE END AS decode_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_image_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 51 = 0 THEN NULL
+        |       ELSE CAST(16 + doc_id % 32 AS BIGINT) END AS orig_w,
+        |  CASE WHEN doc_id % 51 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id // 7) % 24 AS BIGINT) END AS orig_h,
+        |  CASE WHEN doc_id % 51 = 0 THEN NULL
+        |       ELSE CAST(GREATEST(1, ((16 + doc_id % 32) * 64)
+        |              // GREATEST(16 + doc_id % 32, 8 + (doc_id // 7) % 24)) AS BIGINT)
+        |       END AS new_w,
+        |  CASE WHEN doc_id % 51 = 0 THEN NULL
+        |       ELSE CAST(GREATEST(1, ((8 + (doc_id // 7) % 24) * 64)
+        |              // GREATEST(16 + doc_id % 32, 8 + (doc_id // 7) % 24)) AS BIGINT)
+        |       END AS new_h,
+        |  (doc_id % 51 <> 0) AS resize_ok
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, 1 + ${h60sql.format("text")} % 7 AS n_frames
          |           FROM documents WHERE doc_id % 3 = 2)
