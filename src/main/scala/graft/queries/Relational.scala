@@ -434,7 +434,63 @@ object Relational {
       .orderBy($"height")
   }
 
+  /** Session-conf override helper for queries that demonstrate a
+    * runtime-planner feature needing non-default thresholds at toy
+    * scale. Same single-sequential-driver caveat as
+    * `EventStream.withStatePartitions`: not safe under concurrent
+    * planning on the same session.
+    */
+  private[graft] def withConf[A](spark: SparkSession, kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[graft] def bloomJoinConfs(): Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // Toy-scale thresholds. At 100 TB the DEFAULTS select exactly this
+    // shape on their own: creation side (selectively filtered dim) under
+    // 10 MB, application side scan over 10 GB.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def q24Plan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", c100($"l_extendedprice").as("cents"))
+      .hint("merge")
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"o_orderdate", "yyyy").as("year"))
+      .agg(count(lit(1)).as("cnt"), (sum($"cents") / 100.0).as("sum_price"))
+  }
+
+  /** Runtime bloom-filter join pruning (the non-partitioned sibling of
+    * DPP, s10): the selective filter on the orders side is turned into a
+    * bloom filter applied to the lineitem scan BEFORE the join shuffle,
+    * so at 100 TB the fact side ships only probably-matching rows into
+    * the exchange instead of the whole table — for a 1/5-selective dim
+    * that is 5× less shuffle I/O on the biggest table in the plan.
+    * Executed eagerly inside the conf scope (a lazily-returned frame
+    * would re-plan under restored defaults); the `might_contain`
+    * application is pinned by PlanShapeSpec. Oracle = the plain join:
+    * the filter is pure optimization, rows are identical.
+    */
+  def q24BloomFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = withConf(spark, bloomJoinConfs(): _*) {
+      q24Plan(spark, dir).localCheckpoint()
+    }
+    out.orderBy($"year")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_bloom_join" -> (q24BloomFilterJoin _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -461,6 +517,12 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    "q24_bloom_join" ->
+      """SELECT strftime(o_orderdate, '%Y') AS year, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY year ORDER BY year""".stripMargin,
     "q21_range_join" ->
       """SELECT band, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price

@@ -169,6 +169,30 @@ object TrainingData {
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
 
+  /** Vocabulary coverage / OOV rate: build the corpus top-100 vocabulary
+    * (x7's shape), broadcast it back, and score every document by the
+    * fraction of its tokens outside the vocabulary — the tokenizer-fit
+    * metric a training pipeline tracks per source/snapshot. Scale shape:
+    * the vocab is top-K (broadcast-sized BY CONSTRUCTION no matter the
+    * corpus), the corpus side is one narrow tokenize pass + one partial-
+    * aggregated shuffle on doc_id; the vocab membership probe is a
+    * broadcast hash join, so the corpus never shuffles for it.
+    */
+  def x15OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: shingle-overlap of every corpus document
     * against a held-out benchmark set (doc_id ≡ 0 mod 97 stands in for
     * the eval suite). The benchmark's distinct shingles are the small
@@ -571,6 +595,7 @@ object TrainingData {
     "d12_quality_keeper" -> (d12QualityKeeper _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
+    "x15_oov_rate" -> (x15OovRate _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
     "x13_pii_redact" -> (x13PiiRedact _),
@@ -778,6 +803,19 @@ object TrainingData {
       """SELECT w AS token, count(*) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "x15_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM toks
+        |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100))
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "x8_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text),

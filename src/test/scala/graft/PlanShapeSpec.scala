@@ -108,6 +108,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(win, join).contains("Exchange"), p.substring(win, join))
   }
 
+  test("q24: runtime bloom filter from the filtered dim is applied on the fact scan side") {
+    val p = Relational.withConf(spark, Relational.bloomJoinConfs(): _*) {
+      Relational.q24Plan(spark, dir).queryExecution.optimizedPlan.toString
+    }
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterAggregate"), p)
+  }
+
+  test("x15: vocab membership probe is a broadcast join — the corpus never shuffles for it") {
+    val p = plan("x15_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k vocab without a global sort materialization
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
