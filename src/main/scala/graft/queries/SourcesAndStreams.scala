@@ -160,6 +160,19 @@ object SourcesAndStreams {
   def st6IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.incrementalIngest(spark, dir)
 
+  /** Streaming sessionization (flatMapGroupsWithState + event-time
+    * timeout) with per-user sentinel drain — emitted sessions equal
+    * batch sessionization EXACTLY, hash-checked.
+    */
+  def st7StreamSessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeStreamComplete(spark, dir)
+
+  /** Stream-static broadcast enrichment: stateless per-batch broadcast
+    * hash join against a reference dimension.
+    */
+  def st8StreamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    EventStream.enrichedEvents(spark, dir)
+
   /** The cardano backfill DAG end-to-end (EP1+EP2 over the deterministic
     * offline fixture chain) finishing with the reference's Q8 analytics.
     * Independent of the star schema — but the fixture chain is fully
@@ -274,6 +287,8 @@ object SourcesAndStreams {
     "st4_stream_stream_join" -> (st4StreamStreamJoin _),
     "st5_stream_file_sink" -> (st5StreamFileSink _),
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
+    "st7_stream_sessionize" -> (st7StreamSessionize _),
+    "st8_stream_static_join" -> (st8StreamStaticJoin _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
@@ -327,6 +342,32 @@ object SourcesAndStreams {
       """SELECT event_id, event_type, user_id,
         | CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "st7_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |d AS (
+        |  SELECT user_id, m,
+        |    CASE WHEN lag(m) OVER (PARTITION BY user_id ORDER BY m) IS NULL
+        |           OR m - lag(m) OVER (PARTITION BY user_id ORDER BY m) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |w AS (
+        |  SELECT user_id, m,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY m
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM d)
+        |SELECT user_id, min(m) AS start_micros, max(m) AS end_micros,
+        |  count(*) AS n_events
+        |FROM w GROUP BY user_id, sess ORDER BY user_id, start_micros""".stripMargin,
+    "st8_stream_static_join" ->
+      """SELECT event_id, event_type, category,
+        | CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events
+        |JOIN (VALUES ('click','browse'), ('view','browse'),
+        |             ('purchase','conversion'), ('signup','conversion'),
+        |             ('error','ops')) d(event_type, category)
+        |  USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "st4_stream_stream_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c

@@ -251,9 +251,11 @@ object EventStream {
     * per key — while time-ordered batches keep only the interval window
     * of state alive (the steady-state shape of a real deployment).
     */
-  private def stageSortedByTime(spark: SparkSession, dir: String, nFiles: Int): (String, StructType) = {
+  private def stageSortedByTime(spark: SparkSession, dir: String, nFiles: Int): (String, StructType) =
+    stageSortedFrames(spark.read.parquet(s"$dir/events.parquet"), nFiles)
+
+  private def stageSortedFrames(src: DataFrame, nFiles: Int): (String, StructType) = {
     val staged = scratchDir("events_sorted")
-    val src = spark.read.parquet(s"$dir/events.parquet")
     val schema = src.schema
     src.repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
@@ -335,10 +337,46 @@ object EventStream {
     * not yet timed out, when the bounded stream ends) is emitted.
     */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    val (staged, schema) = stageSortedByTime(spark, dir, 8)
+    runSessionize(spark, staged, schema)
+  }
+
+  /** Streaming sessionization with an EXACT batch-equal result (st7):
+    * same stateful operator as [[sessionizeStream]], but the staged
+    * stream carries one far-future SENTINEL event per user (2h past the
+    * global max, > the 30min gap), range-sorted into the FINAL
+    * micro-batch. Every user's real last session is therefore closed
+    * inline by its sentinel's arrival, so the emitted set equals batch
+    * sessionization exactly — the property the oracle hash-checks. The
+    * sentinel's own session never emits: no later event arrives, and its
+    * event-time timeout lies beyond the final watermark. This is the
+    * production recipe for draining a bounded replay through a
+    * session operator without losing the tail.
+    */
+  def sessionizeStreamComplete(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    require(src.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      "events.ts expected as nanos-long (spark.sql.legacy.parquet.nanosAsLong)")
+    val maxTs = src.agg(max(col("ts"))).head().getLong(0)
+    val sentinelTs = maxTs + 2L * 3600L * 1000000000L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(src.schema.fields.map { f =>
+        f.name match {
+          case "user_id" => col("user_id")
+          case "ts" => lit(sentinelTs).as("ts")
+          case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
+          case other => lit(null).cast(f.dataType).as(other)
+        }
+      }: _*)
+    val (staged, schema) = stageSortedFrames(src.unionByName(sentinels), 8)
+    runSessionize(spark, staged, schema)
+  }
+
+  private def runSessionize(spark: SparkSession, staged: String,
+      schema: StructType): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapMicros = 1800L * 1000000L
-    val (staged, schema) = stageSortedByTime(spark, dir, 8)
     val in = readEventsSorted(spark, staged, schema, filesPerTrigger = 2)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"))
@@ -444,6 +482,28 @@ object EventStream {
         .getOrElse(sys.error(s"no part file written under $tmp"))
       Files.move(part.toPath, destDir.resolve(name), StandardCopyOption.REPLACE_EXISTING): Unit
     } finally reap(tmp)
+  }
+
+  /** Stream-static broadcast enrichment (st8): the streaming fact joined
+    * to a STATIC dimension. Stateless — no watermark, no state store:
+    * each micro-batch plans a broadcast hash join against the dim, the
+    * production shape for reference-data enrichment at ingest time (at
+    * 100 TB/day the fact never shuffles for the join; the dim rides the
+    * broadcast).
+    */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "browse"), ("view", "browse"), ("purchase", "conversion"),
+      ("signup", "conversion"), ("error", "ops")).toDF("event_type", "category")
+    val (events, staged) = readEventsStaged(spark, dir)
+    val enriched = events
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("category"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val out = try runDurable(enriched, "append")
+    finally reap(staged)
+    out.orderBy(col("event_id"))
   }
 
   /** Stateful streaming dedup on the event key (watermark-bounded
