@@ -346,11 +346,16 @@ object TrainingData {
     */
   def d7EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     Similarity.ensure(spark)
-    val n = Tables(spark, dir, "embeddings").select(
-      col("vec_id"),
-      Similarity.coarseCell(col("embedding"), ivfCells, 64).as("cell"),
-      col("embedding"),
-      Similarity.norm(col("embedding")).as("nrm"))
+    // Persist (tracked) the celled+normed projection: both self-join
+    // sides consume it, and without the persist the corpus is scanned —
+    // and the nCentroids×dims argmax-dot cell assignment recomputed —
+    // TWICE (once per side). Same pattern as d13's bucketed projection.
+    val n = graft.core.Caches.persistTracked(
+      Tables(spark, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.coarseCell(col("embedding"), ivfCells, 64).as("cell"),
+        col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm")))
     val a = n.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("cell").as("cb"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.hint("shuffle_hash")
