@@ -377,7 +377,12 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapMicros = 1800L * 1000000L
-    val in = readEventsSorted(spark, staged, schema, filesPerTrigger = 2)
+    // 4 files/trigger over 8 staged files → 2 time-ordered micro-batches:
+    // sessions still span a batch boundary (the cross-batch state
+    // property under test) while state-store commits — the fixed cost
+    // per partition per batch — happen twice, not four times. A live
+    // deployment tunes the same knob via maxFilesPerTrigger.
+    val in = readEventsSorted(spark, staged, schema, filesPerTrigger = 4)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"))
       .as[SessIn]
