@@ -408,6 +408,28 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Unpivot / melt (the inverse reshaping of q22's pivot): a wide
+    * per-group metric row becomes one (group, metric, value) row per
+    * metric — the long format feature stores and plotting layers want.
+    * Narrow Expand projection (rows × nMetrics), no shuffle beyond the
+    * producing aggregation; metric list declared, mirroring q22's
+    * explicit pivot values.
+    */
+  def q25Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(c100($"l_quantity")).as("sum_qty_c"),
+        sum(c100($"l_extendedprice")).as("sum_price_c"),
+        sum(c100($"l_discount")).as("sum_disc_c"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty_c", $"sum_price_c", $"sum_disc_c"),
+        "metric", "value_c")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   /** Chain-linkage integrity audit (reference: previous/next hashes the
     * API delivers vs the chain itself — raw_cardano_blocks.py:23-24).
     * Builds a deterministic md5-hash chain over the consecutive event_id
@@ -491,6 +513,7 @@ object Relational {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_bloom_join" -> (q24BloomFilterJoin _),
+    "q25_unpivot" -> (q25Unpivot _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -523,6 +546,20 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY year ORDER BY year""".stripMargin,
+    "q25_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value_c FROM (
+        |  SELECT l_returnflag, 'sum_qty_c' AS metric, sum_qty_c AS value_c FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_c', sum_price_c FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q21_range_join" ->
       """SELECT band, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
