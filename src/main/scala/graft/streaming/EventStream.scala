@@ -140,10 +140,17 @@ object EventStream {
       .start()
     // Materialize (localCheckpoint is eager), then reap in finally: the
     // RAM-backed sink+checkpoint must not outlive the run, success or
-    // failure.
+    // failure. Read back with the stream's own schema: a query whose
+    // batches produced ZERO rows leaves a sink with only the
+    // `_spark_metadata` log (or, for foreachBatch with zero batches, no
+    // directory at all), and schema inference over zero files fails.
     try {
       q.awaitTermination()
-      df.sparkSession.read.parquet(out).localCheckpoint()
+      if (Files.exists(Paths.get(out)))
+        df.sparkSession.read.schema(df.schema).parquet(out).localCheckpoint()
+      else
+        df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
     } finally reap(root)
   }
 

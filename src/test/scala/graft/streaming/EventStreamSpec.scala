@@ -75,6 +75,20 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("runDurable handles a zero-row result (metadata-only file sink)") {
+    import spark.implicits._
+    val src = tmpDir("empty_src")
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .filter(col("id") < 0) // matches nothing
+    val out = EventStream.runDurable(stream, "append")
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("foreachBatch ingestion into the idempotent sink is effectively-once") {
     import spark.implicits._
     val src = tmpDir("ing_src")
