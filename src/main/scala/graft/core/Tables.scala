@@ -15,6 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The event_type → category reference dimension shared by every query
+    * that enriches events (s10's DPP build side, st8's stream-static
+    * join) AND inlined in their oracle SQL — one definition so a mapping
+    * change is a one-site edit that the oracles then catch.
+    */
+  val eventCategories: Seq[(String, String)] = Seq(
+    ("click", "browse"), ("view", "browse"), ("purchase", "conversion"),
+    ("signup", "conversion"), ("error", "ops"))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -231,9 +231,7 @@ object SourcesAndStreams {
     // away and no pruning subquery is planned.
     val dimPath = stageOnce(s"s10dim|$dir") { () =>
       val p = scratch("s10dim")
-      Seq(
-        ("click", "browse"), ("view", "browse"), ("purchase", "conversion"),
-        ("signup", "conversion"), ("error", "ops")).toDF("event_type", "category")
+      Tables.eventCategories.toDF("event_type", "category")
         .write.mode(SaveMode.Overwrite).parquet(p)
       p
     }

@@ -177,6 +177,13 @@ object TrainingData {
     * corpus), the corpus side is one narrow tokenize pass + one partial-
     * aggregated shuffle on doc_id; the vocab membership probe is a
     * broadcast hash join, so the corpus never shuffles for it.
+    *
+    * The exploded token frame feeds both the vocab aggregate and the
+    * probe, and is DELIBERATELY not persisted (unlike d7/d13's
+    * corpus-row-sized projections): it is token-row-sized — an order of
+    * magnitude larger than the corpus — so at 100 TB caching it costs
+    * more in spill I/O than re-running the codegen'd tokenizer; the
+    * second pass recomputes a projection, it does not re-shuffle.
     */
   def x15OovRate(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
@@ -518,30 +525,36 @@ object TrainingData {
     * second tiny window, then broadcast the bucket offsets back. Every
     * corpus-sized step is partition-local.
     *
-    * The bucket width is DERIVED from the corpus size (one cheap
-    * count()): bucket count ≈ max(shuffle partitions, √N), which bounds
-    * BOTH windows at ~√N rows — the level-2 window never scales linearly
-    * with the corpus (at 10B docs it sees ~100k rows, not 150M). The
-    * bucket key `doc_id div width` is monotone in doc_id, which is what
-    * makes the two-level sum equal the global prefix sum.
+    * The bucket COUNT is derived from the corpus size (one cheap
+    * count()): ≈ max(shuffle partitions, √N), which bounds BOTH windows
+    * at ~√N rows — the level-2 window never scales linearly with the
+    * corpus (at 10B docs it sees ~100k rows, not 150M). Buckets are
+    * RANGE partitions of doc_id (`repartitionByRange` + partition id),
+    * not `doc_id div width`: range bounds come from sampling, so the
+    * per-bucket row bound holds for ANY id distribution — sparse
+    * snowflake-style 64-bit ids would break a width-based bucketing
+    * (most docs collapsing into few buckets) but land balanced here.
+    * Range partitioning keeps the bucket id monotone in doc_id, which is
+    * what makes the two-level sum equal the global prefix sum; the exact
+    * boundary placement doesn't affect the result, only the balance.
     */
-  private[graft] def packBuckets(n: Long, partitions: Int): Long = {
-    val buckets = math.max(partitions.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).max(1L)
-    math.max(1L, (n + buckets - 1) / buckets) // width
-  }
+  private[graft] def packBucketCount(n: Long, partitions: Int): Long =
+    math.max(partitions.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).max(1L)
 
   def x12SequencePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seqLen = 2048L
     val docs = Tables(spark, dir, "documents")
-    val width = packBuckets(docs.count(),
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val nBuckets = math.min(packBucketCount(docs.count(),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt), Int.MaxValue.toLong).toInt
     // Both the per-bucket window and the bucket-totals aggregate consume
     // this; tracked persist so regex tokenization runs once (the cached
-    // frame is 3 longs per doc — tiny next to the recompute).
+    // frame is 3 longs per doc — tiny next to the recompute) AND both
+    // consumers see the same materialized bucket assignment.
     val toks = graft.core.Caches.persistTracked(
-      docs.select(col("doc_id"), expr(s"doc_id div $width").as("bkt"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
+      docs.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .repartitionByRange(nBuckets, col("doc_id"))
+        .withColumn("bkt", spark_partition_id().cast("long")))
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = toks.withColumn("local_off",

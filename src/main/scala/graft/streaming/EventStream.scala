@@ -60,7 +60,13 @@ object EventStream {
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator.foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      // Materialize before closing (same as core.Scratch): an open walk
+      // stream holds a directory handle, which on some filesystems makes
+      // the deletes below fail — and reap() runs once per streaming
+      // query, so a leaked handle per call adds up over a bench session.
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverseIterator.foreach(f => Files.deleteIfExists(f))
     }
 
   private def reap(p: java.nio.file.Path): Unit = {
@@ -505,9 +511,7 @@ object EventStream {
     */
   def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dim = Seq(
-      ("click", "browse"), ("view", "browse"), ("purchase", "conversion"),
-      ("signup", "conversion"), ("error", "ops")).toDF("event_type", "category")
+    val dim = graft.core.Tables.eventCategories.toDF("event_type", "category")
     val (events, staged) = readEventsStaged(spark, dir)
     val enriched = events
       .join(broadcast(dim), Seq("event_type"))

@@ -61,16 +61,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("keys=[bkt"), p)
   }
 
-  test("x12: bucket width derivation bounds both window levels at ~sqrt(N)") {
-    import graft.queries.TrainingData.packBuckets
+  test("x12: bucket count derivation bounds both window levels at ~sqrt(N)") {
+    import graft.queries.TrainingData.packBucketCount
     for (n <- Seq(1L, 500L, 50000L, 10000000000L); parts <- Seq(4, 32, 2000)) {
-      val width = packBuckets(n, parts)
-      val buckets = (n + width - 1) / width
-      // level-1 window: ≤ width rows per bucket; level-2: buckets rows.
-      assert(width <= math.max(math.ceil(math.sqrt(n.toDouble)).toLong, 1L),
-        s"n=$n parts=$parts width=$width")
-      assert(buckets <= math.max(parts.toLong, math.ceil(math.sqrt(n.toDouble)).toLong) + 1,
-        s"n=$n parts=$parts buckets=$buckets")
+      val buckets = packBucketCount(n, parts)
+      val sqrtN = math.max(math.ceil(math.sqrt(n.toDouble)).toLong, 1L)
+      // level-2 window sees `buckets` rows; level-1 sees ~n/buckets rows
+      // per balanced range partition — both bounded by max(parts, √N).
+      assert(buckets <= math.max(parts.toLong, sqrtN), s"n=$n parts=$parts buckets=$buckets")
+      assert(buckets >= math.min(parts.toLong, sqrtN), s"n=$n parts=$parts buckets=$buckets")
+      assert(n / buckets <= sqrtN, s"n=$n parts=$parts rows/bucket=${n / buckets}")
     }
   }
 

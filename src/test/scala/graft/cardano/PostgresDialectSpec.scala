@@ -124,12 +124,22 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     val merge = d.mergeSql("cardano_blocks", "stg_blocks", cols, Seq("height"))
     assert(mergeTag(sql(merge)) == 3)
     assert(scalar("SELECT count(*) FROM cardano_blocks") == "3")
+    // WITHIN a staged batch, DISTINCT ON (no ORDER BY) keeps an
+    // UNSPECIFIED one of the duplicate rows — exactly one lands, but
+    // which payload is not a contract (contrast Derby's preMergeSql,
+    // which pins the lowest-_rid row).
+    val kept = scalar("""SELECT "hash" FROM cardano_blocks WHERE "height" = 1""")
+    assert(Set("h1", "h1-retry").contains(kept), kept)
     // The reference's double-load check: replaying the same staged batch
     // inserts zero (ON CONFLICT skips every row).
     assert(mergeTag(sql(merge)) == 0)
     assert(scalar("SELECT count(*) FROM cardano_blocks") == "3")
-    // first-write-wins: the conflict row kept the original payload
-    assert(scalar("""SELECT "hash" FROM cardano_blocks WHERE "height" = 1""") == "h1")
+    // ACROSS batches first-write-wins IS deterministic (ON CONFLICT DO
+    // NOTHING never touches committed rows): a later batch replaying the
+    // key cannot change the stored payload.
+    sql("TRUNCATE stg_blocks; INSERT INTO stg_blocks VALUES (1,'h1-batch2',99)")
+    assert(mergeTag(sql(merge)) == 0)
+    assert(scalar("""SELECT "hash" FROM cardano_blocks WHERE "height" = 1""") == kept)
     d.dropSql("stg_blocks").foreach(s => sql(s): Unit)
     assert(scalar("SELECT count(*) FROM pg_class WHERE relname = 'stg_blocks'") == "0")
   }
