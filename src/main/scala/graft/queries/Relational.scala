@@ -430,6 +430,27 @@ object Relational {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** The SQL entry point (the reference's analytics run as plain SQL in
+    * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
+    * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
+    * left SEMI join: the fact side is probed once, never multiplied) and
+    * an uncorrelated scalar subquery (planned once, broadcast as a
+    * literal). Money compare stays exact: the scalar is an avg over
+    * exact cents, one IEEE division on both engines.
+    */
+  def q26SubquerySql(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_sq")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_sq o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND CAST(round(o.o_totalprice * 100) AS BIGINT) >
+        |      (SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT)) FROM orders_sq o2)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Chain-linkage integrity audit (reference: previous/next hashes the
     * API delivers vs the chain itself — raw_cardano_blocks.py:23-24).
     * Builds a deterministic md5-hash chain over the consecutive event_id
@@ -514,6 +535,7 @@ object Relational {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_bloom_join" -> (q24BloomFilterJoin _),
     "q25_unpivot" -> (q25Unpivot _),
+    "q26_subquery_sql" -> (q26SubquerySql _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -546,6 +568,14 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY year ORDER BY year""".stripMargin,
+    "q26_subquery_sql" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND CAST(round(o.o_totalprice * 100) AS BIGINT) >
+        |      (SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT)) FROM orders o2)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q25_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,

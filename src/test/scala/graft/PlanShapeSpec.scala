@@ -123,6 +123,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q26: correlated EXISTS plans as a semi join; scalar subquery planned once") {
+    val p = plan("q26_subquery_sql")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
