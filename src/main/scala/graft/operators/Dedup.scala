@@ -347,4 +347,37 @@ object Dedup {
       .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
         .otherwise(lit(0L))).as("simhash"))
   }
+
+  /** Fuzzy matching via blocked edit distance: candidate pairs share a
+    * BLOCK key (their first token) and pass a length prefilter
+    * (|len_a − len_b| ≤ maxDist — a true edit-distance lower bound,
+    * checked inside the join condition so most pairs die before the
+    * O(n·m) Levenshtein runs); survivors are verified with the codegen'd
+    * built-in `levenshtein`.
+    *
+    * Scale: all-pairs edit distance is quadratic and unrunnable;
+    * blocking bounds the join to per-block pairs, and `maxBlock` drops
+    * degenerate blocks (a stop word as first token would otherwise go
+    * quadratic — same role as [[capShingles]]'s stop-shingle cap). The
+    * block count bound is a window partitioned by the block key, fully
+    * parallel. Recall trade: edits INSIDE the first token move a doc to
+    * another block — the classic multi-pass blocking trade-off; run
+    * again keyed on last token (or a phonetic key) to recover.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: Column, title: Column,
+      maxDist: Int, maxBlock: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(idCol.as("doc_id"), title.as("title"))
+      .withColumn("blk", substring_index(col("title"), " ", 1))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bn") <= maxBlock)
+    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("ta"))
+    val b = t.select(col("blk").as("blkb"), col("doc_id").as("doc_b"), col("title").as("tb"))
+    a.hint("shuffle_hash")
+      .join(b, col("blk") === col("blkb") && col("doc_a") < col("doc_b") &&
+        abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -430,6 +430,35 @@ object Relational {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** Snapshot reconciliation (lake-vs-warehouse audit, the generalized
+    * form of the reference's ingestion-gap check Q7): FULL OUTER join of
+    * two table versions on the PK, every row classified added / removed /
+    * changed. Deterministic synthetic versions: v1 drops keys ≡0 (mod
+    * 89) ("added later"), v2 drops keys ≡0 (mod 97) ("removed") and
+    * bumps cents for keys ≡0 (mod 11) ("changed"). One hash-partitioned
+    * join on the PK — both sides shuffle once, the audit scales like any
+    * PK join; exact cents so "changed" is never a float-noise artifact.
+    */
+  def q27SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+      .select($"o_orderkey", c100($"o_totalprice").as("cents"))
+    val v1 = orders.filter($"o_orderkey" % 89 =!= 0)
+      .select($"o_orderkey", $"cents".as("cents_v1"))
+    val v2 = orders.filter($"o_orderkey" % 97 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 11 === 0, $"cents" + 100).otherwise($"cents").as("cents_v2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when($"cents_v1".isNull, "added")
+          .when($"cents_v2".isNull, "removed")
+          .when($"cents_v1" =!= $"cents_v2", "changed")
+          .otherwise("unchanged"))
+      .filter($"status" =!= "unchanged")
+      .select($"o_orderkey", $"cents_v1", $"cents_v2", $"status")
+      .orderBy($"o_orderkey")
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -536,6 +565,7 @@ object Relational {
     "q24_bloom_join" -> (q24BloomFilterJoin _),
     "q25_unpivot" -> (q25Unpivot _),
     "q26_subquery_sql" -> (q26SubquerySql _),
+    "q27_snapshot_diff" -> (q27SnapshotDiff _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -568,6 +598,25 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY year ORDER BY year""".stripMargin,
+    "q27_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |v1 AS (SELECT o_orderkey, cents AS cents_v1 FROM o WHERE o_orderkey % 89 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN cents + 100 ELSE cents END AS cents_v2
+        |       FROM o WHERE o_orderkey % 97 <> 0)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |  cents_v1, cents_v2,
+        |  CASE WHEN cents_v1 IS NULL THEN 'added'
+        |       WHEN cents_v2 IS NULL THEN 'removed'
+        |       WHEN cents_v1 <> cents_v2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE (CASE WHEN cents_v1 IS NULL THEN 'added'
+        |            WHEN cents_v2 IS NULL THEN 'removed'
+        |            WHEN cents_v1 <> cents_v2 THEN 'changed'
+        |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -169,6 +169,21 @@ object TrainingData {
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
 
+  /** Fuzzy near-dup pairs on a short derived title (first three tokens):
+    * blocked edit distance — see [[Dedup.fuzzyPairs]]. The title field
+    * stands in for the short-string columns (titles, URLs, author
+    * names) fuzzy matching targets in a real pipeline; full-document
+    * edit distance is never the production shape (that is what the
+    * shingle/MinHash family is for).
+    */
+  def d14FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val title = array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+    Dedup.fuzzyPairs(
+        Tables(spark, dir, "documents"), col("doc_id"), title,
+        maxDist = 3, maxBlock = 500)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Vocabulary coverage / OOV rate: build the corpus top-100 vocabulary
     * (x7's shape), broadcast it back, and score every document by the
     * fraction of its tokens outside the vocabulary — the tokenizer-fit
@@ -614,6 +629,7 @@ object TrainingData {
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x15_oov_rate" -> (x15OovRate _),
+    "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
     "x13_pii_redact" -> (x13PiiRedact _),
@@ -821,6 +837,21 @@ object TrainingData {
       """SELECT w AS token, count(*) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "d14_fuzzy_match" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_extract_all(lower(text), '\w+')[1:3], ' ') AS title
+        |  FROM documents),
+        |b AS (SELECT doc_id, title, split_part(title, ' ', 1) AS blk FROM t),
+        |s AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM b),
+        |f AS (SELECT * FROM s WHERE bn <= 500)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
+        |FROM f a JOIN f b2
+        |  ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        | AND abs(length(a.title) - length(b2.title)) <= 3
+        |WHERE levenshtein(a.title, b2.title) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x15_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
