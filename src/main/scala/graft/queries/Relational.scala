@@ -430,6 +430,25 @@ object Relational {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; parse it SCHEMA-FIRST (`from_json` with an explicit struct
+    * — one codegen'd Jackson parse per row, no sampling/inference pass
+    * over 100 TB) and aggregate the extracted field. Malformed JSON
+    * yields null fields, never task failures (PERMISSIVE mode), so the
+    * aggregate is total over dirty data.
+    */
+  def q28JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    Tables.events(spark, dir)
+      .select($"event_type",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   /** Snapshot reconciliation (lake-vs-warehouse audit, the generalized
     * form of the reference's ingestion-gap check Q7): FULL OUTER join of
     * two table versions on the PK, every row classified added / removed /
@@ -566,6 +585,7 @@ object Relational {
     "q25_unpivot" -> (q25Unpivot _),
     "q26_subquery_sql" -> (q26SubquerySql _),
     "q27_snapshot_diff" -> (q27SnapshotDiff _),
+    "q28_json_extract" -> (q28JsonExtract _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -598,6 +618,11 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY year ORDER BY year""".stripMargin,
+    "q28_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |           FROM orders),
