@@ -367,10 +367,14 @@ object Dedup {
   def fuzzyPairs(df: DataFrame, idCol: Column, title: Column,
       maxDist: Int, maxBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = df.select(idCol.as("doc_id"), title.as("title"))
-      .withColumn("blk", substring_index(col("title"), " ", 1))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
-      .filter(col("bn") <= maxBlock)
+    // Persist (tracked): both self-join sides consume the blocked+capped
+    // table — without it the corpus scan AND the block-count window run
+    // twice, once per side (same pattern as d7/d11/d13).
+    val t = graft.core.Caches.persistTracked(
+      df.select(idCol.as("doc_id"), title.as("title"))
+        .withColumn("blk", substring_index(col("title"), " ", 1))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+        .filter(col("bn") <= maxBlock))
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("ta"))
     val b = t.select(col("blk").as("blkb"), col("doc_id").as("doc_b"), col("title").as("tb"))
     a.hint("shuffle_hash")
