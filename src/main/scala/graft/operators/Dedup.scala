@@ -66,11 +66,14 @@ object Dedup {
 
   /** Candidate near-dup pairs by shingle co-occurrence with exact Jaccard.
     * Self-join on the shingle key (hash-partitioned). `maxDocFreq` caps
-    * stop-shingle buckets before the join (see [[capShingles]]) — at real
-    * scale ALWAYS set it; None keeps the exact uncapped semantics.
+    * stop-shingle buckets before the join (see [[capShingles]]) and is
+    * REQUIRED: the uncapped mode is quadratic in the largest shingle
+    * bucket and exists only for exact small-corpus verification — opt in
+    * explicitly with `None` (the d2 oracle query does) so a library user
+    * can't ship the quadratic join by leaving a default in place.
     */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long]): DataFrame = {
     // The shingle table feeds three subtrees (both self-join sides +
     // sizes); without an explicit persist each one re-runs tokenization
     // and the cap join (alias ids differ, so exchange reuse can't kick

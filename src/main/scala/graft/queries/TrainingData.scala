@@ -37,7 +37,9 @@ object TrainingData {
     */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables(spark, dir, "documents"), col("doc_id"), col("text"), 3)
-    Dedup.jaccardPairs(sh, jaccardThreshold)
+    // maxDocFreq = None: DELIBERATELY uncapped — d2 is the exact
+    // small-corpus verifier for the capped production path (d8).
+    Dedup.jaccardPairs(sh, jaccardThreshold, maxDocFreq = None)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
