@@ -351,31 +351,56 @@ object Dedup {
         .otherwise(lit(0L))).as("simhash"))
   }
 
-  /** Fuzzy matching via blocked edit distance: candidate pairs share a
-    * BLOCK key (their first token) and pass a length prefilter
+  /** Fuzzy matching via blocked edit distance, TWO blocking passes:
+    * candidate pairs share a BLOCK key — their first token in pass one,
+    * their LAST token in pass two — and pass a length prefilter
     * (|len_a − len_b| ≤ maxDist — a true edit-distance lower bound,
     * checked inside the join condition so most pairs die before the
     * O(n·m) Levenshtein runs); survivors are verified with the codegen'd
-    * built-in `levenshtein`.
+    * built-in threshold `levenshtein(l, r, maxDist)`, which abandons the
+    * DP early (banded) once the distance exceeds the threshold — a large
+    * constant-factor win on long strings with small maxDist.
+    *
+    * Single-pass blocking has a recall hole: an edit INSIDE the block
+    * token moves a doc to another block and the pair is unreachable. Two
+    * passes close it for any pair whose edits leave EITHER end token
+    * intact (an edit within maxDist of a multi-token string cannot touch
+    * both end tokens when maxDist < the tokens' combined length —
+    * remaining misses need a phonetic/q-gram key, the standard
+    * entity-resolution ladder). Pair lists from the passes are unioned
+    * and deduped; `dist` is identical in both, so `distinct()` suffices.
     *
     * Scale: all-pairs edit distance is quadratic and unrunnable;
     * blocking bounds the join to per-block pairs, and `maxBlock` drops
-    * degenerate blocks (a stop word as first token would otherwise go
-    * quadratic — same role as [[capShingles]]'s stop-shingle cap). The
-    * block count bound is a window partitioned by the block key, fully
-    * parallel. Recall trade: edits INSIDE the first token move a doc to
-    * another block — the classic multi-pass blocking trade-off; run
-    * again keyed on last token (or a phonetic key) to recover.
+    * degenerate blocks (a stop word as block key would otherwise go
+    * quadratic — same role as [[capShingles]]'s stop-shingle cap), bound
+    * per pass with its own pass's key. The block count bound is a window
+    * partitioned by the block key, fully parallel. The base projection
+    * is persisted once and feeds all four join sides.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, title: Column,
       maxDist: Int, maxBlock: Int): DataFrame = {
+    val base = graft.core.Caches.persistTracked(
+      df.select(idCol.as("doc_id"), title.as("title")))
+    val byFirst = blockedDistancePass(
+      base, substring_index(col("title"), " ", 1), maxDist, maxBlock)
+    val byLast = blockedDistancePass(
+      base, substring_index(col("title"), " ", -1), maxDist, maxBlock)
+    byFirst.unionByName(byLast).distinct()
+  }
+
+  /** One blocking pass of [[fuzzyPairs]]: block on `blockKey`, cap
+    * degenerate blocks, self-join within blocks, verify with the banded
+    * Levenshtein (returns −1 above the threshold — filtered out).
+    */
+  private def blockedDistancePass(base: DataFrame, blockKey: Column,
+      maxDist: Int, maxBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Persist (tracked): both self-join sides consume the blocked+capped
-    // table — without it the corpus scan AND the block-count window run
-    // twice, once per side (same pattern as d7/d11/d13).
+    // table — without it the block-count window runs twice, once per
+    // side (same pattern as d7/d11/d13).
     val t = graft.core.Caches.persistTracked(
-      df.select(idCol.as("doc_id"), title.as("title"))
-        .withColumn("blk", substring_index(col("title"), " ", 1))
+      base.withColumn("blk", blockKey)
         .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
         .filter(col("bn") <= maxBlock))
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("ta"))
@@ -383,8 +408,8 @@ object Dedup {
     a.hint("shuffle_hash")
       .join(b, col("blk") === col("blkb") && col("doc_a") < col("doc_b") &&
         abs(length(col("ta")) - length(col("tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 }

@@ -844,15 +844,27 @@ object TrainingData {
         |  SELECT doc_id,
         |    array_to_string(regexp_extract_all(lower(text), '\w+')[1:3], ' ') AS title
         |  FROM documents),
-        |b AS (SELECT doc_id, title, split_part(title, ' ', 1) AS blk FROM t),
-        |s AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM b),
-        |f AS (SELECT * FROM s WHERE bn <= 500)
-        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-        |  CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
-        |FROM f a JOIN f b2
-        |  ON a.blk = b2.blk AND a.doc_id < b2.doc_id
-        | AND abs(length(a.title) - length(b2.title)) <= 3
-        |WHERE levenshtein(a.title, b2.title) <= 3
+        |b AS (SELECT doc_id, title,
+        |        split_part(title, ' ', 1) AS blk1,
+        |        string_split(title, ' ')[-1] AS blk2 FROM t),
+        |f1 AS (SELECT * FROM (SELECT doc_id, title, blk1 AS blk,
+        |         count(*) OVER (PARTITION BY blk1) AS bn FROM b) WHERE bn <= 500),
+        |f2 AS (SELECT * FROM (SELECT doc_id, title, blk2 AS blk,
+        |         count(*) OVER (PARTITION BY blk2) AS bn FROM b) WHERE bn <= 500),
+        |p1 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |         CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
+        |       FROM f1 a JOIN f1 b2
+        |         ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |        AND abs(length(a.title) - length(b2.title)) <= 3
+        |       WHERE levenshtein(a.title, b2.title) <= 3),
+        |p2 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |         CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
+        |       FROM f2 a JOIN f2 b2
+        |         ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |        AND abs(length(a.title) - length(b2.title)) <= 3
+        |       WHERE levenshtein(a.title, b2.title) <= 3)
+        |SELECT DISTINCT doc_a, doc_b, dist
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x15_oov_rate" ->
       """WITH toks AS (

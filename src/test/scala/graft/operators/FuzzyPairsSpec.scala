@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** [[Dedup.fuzzyPairs]]: blocked edit-distance semantics — candidate
-  * generation (first-token blocks), the degenerate-block cap, the
-  * length lower-bound prefilter, and the distance threshold.
+  * generation (first-token + last-token blocking passes), the
+  * degenerate-block cap per pass, the length lower-bound prefilter, and
+  * the banded distance threshold.
   */
 class FuzzyPairsSpec extends SparkSpec {
   import spark.implicits._
@@ -19,15 +20,40 @@ class FuzzyPairsSpec extends SparkSpec {
       (1L, "alpha beta gamma"),
       (2L, "alpha beta gamba"),     // one substitution from #1
       (3L, "alpha zzzzzzzz gamma"), // dist 8 from #1 -> beyond maxDist 3
-      (4L, "omega beta gamma")),    // different block, never compared
+      (4L, "omega beta gamma")),    // shares #1's LAST token; dist 4 -> out
       maxDist = 3, maxBlock = 10)
     assert(got == Set((1L, 2L, 1L)))
   }
 
-  test("degenerate blocks above the cap are dropped entirely") {
+  test("second pass recovers pairs whose FIRST token was edited") {
+    // Single-pass first-token blocking can never produce (1,2): the edit
+    // is inside the block key. The last-token pass co-blocks them.
+    val got = pairs(Seq(
+      (1L, "cat beta gamma"),
+      (2L, "car beta gamma"),   // first-token edit, dist 1
+      (3L, "cut beta gamms")),  // first+last BOTH edited: dist 2 from #1
+      maxDist = 3, maxBlock = 10)
+    assert(got.contains((1L, 2L, 1L)), got)
+    // #3 differs from #1 in BOTH end tokens: unreachable by construction
+    // (the documented residual recall trade), even though true dist ≤ 3.
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), got)
+    // pair found by BOTH passes (edit in the middle) appears exactly once
+    val both = pairs(Seq((1L, "key mid gamma"), (2L, "key mud gamma")),
+      maxDist = 3, maxBlock = 10)
+    assert(both == Set((1L, 2L, 1L)))
+  }
+
+  test("degenerate blocks above the cap are dropped entirely, per pass") {
+    // first tokens identical (block of 5); last tokens all distinct ->
+    // pass 2 sees only singleton blocks, so the cap decides everything.
     val big = (1L to 5L).map(i => (i, s"stop word$i"))
     assert(pairs(big, maxDist = 3, maxBlock = 4).isEmpty)
     assert(pairs(big, maxDist = 3, maxBlock = 5).nonEmpty)
+    // cap binds on the LAST-token pass independently: shared last token,
+    // distinct first tokens.
+    val bigLast = (1L to 5L).map(i => (i, s"word$i stop"))
+    assert(pairs(bigLast, maxDist = 3, maxBlock = 4).isEmpty)
+    assert(pairs(bigLast, maxDist = 3, maxBlock = 5).nonEmpty)
   }
 
   test("length lower bound never drops a pair the distance threshold would keep") {
