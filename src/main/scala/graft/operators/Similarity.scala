@@ -110,45 +110,105 @@ object Similarity {
     (greatest(scored: _*).getField("negc") * -1).cast("int")
   }
 
-  /** Batch ANN: EVERY vector gets its k nearest in-bucket neighbors —
+  /** Smallest plane count `p` in [minPlanes, maxPlanes] such that the
+    * EXPECTED bucket population n / 2^p is at most `targetBucketSize` —
+    * i.e. ceil(log2(n / target)), computed in exact integer arithmetic
+    * (an FP log2 can round an exact power of two across the ceil
+    * boundary, and the SQL oracle must re-derive the identical count).
+    * This is the batch-ANN twin of sequence packing's corpus-derived
+    * `packBucketCount`: with a FIXED plane count, sum(bucket²) join cost
+    * is quadratic in the corpus; deriving planes from one cheap count()
+    * keeps expected per-bucket membership — and so per-bucket join
+    * cost — constant as the corpus grows.
+    */
+  def derivePlanes(n: Long, targetBucketSize: Long = 32,
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    require(targetBucketSize > 0 && minPlanes >= 0 && maxPlanes >= minPlanes,
+      s"bad plane bounds: target=$targetBucketSize min=$minPlanes max=$maxPlanes")
+    var p = minPlanes
+    while (p < maxPlanes && (targetBucketSize << p) < n) p += 1
+    p
+  }
+
+  /** Batch ANN: EVERY vector gets its k nearest neighbors among the
+    * vectors in its own SRP bucket or any Hamming-1 neighbor bucket —
     * the corpus-wide similarity-search workload (retrieval indexing,
     * embedding-level near-dup mining) rather than [[lshTopK]]'s single
-    * query vector.
+    * query vector. The plane count derives from the corpus size via
+    * [[derivePlanes]] (one cheap count()); pass `maxBucket` to drop
+    * pathologically dense buckets (near-duplicate pileups — the
+    * stop-shingle cap's ANN analogue) before any pairwise work.
+    */
+  def batchTopK(corpus: DataFrame, k: Int, dims: Int = 64,
+      targetBucketSize: Long = 32, minPlanes: Int = 4, maxPlanes: Int = 24,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val planes = derivePlanes(corpus.count(), targetBucketSize, minPlanes, maxPlanes)
+    batchTopKWithPlanes(corpus, planes, k, dims, maxBucket)
+  }
+
+  /** [[batchTopK]] with an explicit plane count (spec/verification seam).
     *
     * Scale design: the all-pairs formulation is quadratic and dies at
     * corpus scale; SRP bucketing turns it into ONE hash-partitioned
-    * self-join on the bucket key (`shuffle_hash` hint — neither side of a
-    * corpus self-join may broadcast) whose cost is sum(bucket²), the
-    * standard LSH trade (cross-bucket neighbors are the recall cost).
-    * The per-vector top-k window is keyed `(bucket, vec_id)`: vec_id
-    * determines its bucket, so the ranking is per vector, but leading
-    * with the join key lets the window REUSE the join's hash
-    * partitioning — Spark inserts only a partition-local sort, no second
-    * corpus-sized Exchange (pinned by PlanShapeSpec). Norms are computed
-    * once per vector, never per pair; the bucketed projection is
-    * persisted (tracked) so the corpus is scanned once, not once per
-    * join side.
+    * join (`shuffle_hash` hint — neither side of a corpus self-join may
+    * broadcast) whose per-bucket cost is bounded because [[derivePlanes]]
+    * holds expected bucket size constant. Cross-bucket recall comes from
+    * MULTI-PROBE: each vector probes its own bucket plus the nPlanes
+    * Hamming-1 buckets (each plane bit flipped), so a true neighbor on
+    * the far side of ONE hyperplane is still found; the probe side is
+    * amplified (nPlanes+1)× ≈ log2(corpus)× — logarithmic, not
+    * quadratic, and the index side shuffles exactly once. Each (vector,
+    * neighbor) pair arises from exactly one probe (the neighbor's single
+    * bucket), so no dedup is needed.
+    *
+    * Top-k is TWO-LEVEL so the pair stream never re-shuffles at corpus
+    * scale: the first window keys `(pb, vec_id)` — leading with the join
+    * key lets it REUSE the join's hash partitioning (partition-local
+    * sort only, no Exchange; pinned by PlanShapeSpec) — and prunes each
+    * probe's candidates to k; the second window re-ranks per vec_id over
+    * at most (nPlanes+1)·k surviving rows per vector, so its Exchange
+    * carries k·log(corpus) rows per vector, not the pair stream. Global
+    * top-k over a union equals top-k over per-group top-k's, so the
+    * two-level result is exact. Norms are computed once per vector,
+    * never per pair; the bucketed projection is persisted (tracked) so
+    * the corpus is scanned once, not once per join side.
     */
-  def batchTopK(corpus: DataFrame, nPlanes: Int, k: Int, dims: Int = 64): DataFrame = {
+  def batchTopKWithPlanes(corpus: DataFrame, nPlanes: Int, k: Int, dims: Int = 64,
+      maxBucket: Option[Long] = None): DataFrame = {
     ensure(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val n = graft.core.Caches.persistTracked(
-      corpus.select(
-        col("vec_id"),
-        srpBucket(col("embedding"), nPlanes, dims).as("bucket"),
-        col("embedding"),
-        norm(col("embedding")).as("nrm")))
-    val a = n.select(col("bucket"), col("vec_id"),
+    val bucketed0 = corpus.select(
+      col("vec_id"),
+      srpBucket(col("embedding"), nPlanes, dims).as("bucket"),
+      col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // Optional stop-bucket cap: a bucket holding f vectors costs f² join
+    // rows; dropping over-dense buckets bounds the worst case the same
+    // way Dedup.capShingles bounds shingle buckets.
+    val bucketed = maxBucket.fold(bucketed0) { m =>
+      bucketed0
+        .withColumn("bcnt", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bcnt") <= m).drop("bcnt")
+    }
+    val n = graft.core.Caches.persistTracked(bucketed)
+    // own bucket last so the common case (match in own bucket) is intact
+    val probeCols = (0 until nPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p))) :+ col("bucket")
+    val a = n.select(col("vec_id"), explode(array(probeCols: _*)).as("pb"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("bucket").as("bb"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = a.hint("shuffle_hash")
-      .join(b, col("bucket") === col("bb") && col("vec_id") =!= col("neighbor_id"))
-      .select(col("bucket"), col("vec_id"), col("neighbor_id"),
+      .join(b, col("pb") === col("bb") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("pb"), col("vec_id"), col("neighbor_id"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
-    val w = Window.partitionBy(col("bucket"), col("vec_id"))
+    val wLocal = Window.partitionBy(col("pb"), col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("nn_rank", row_number().over(w).cast("long"))
+    val local = pairs.withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k).drop("lr")
+    val wGlobal = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    local.withColumn("nn_rank", row_number().over(wGlobal).cast("long"))
       .filter(col("nn_rank") <= k)
       .select(col("vec_id"), col("nn_rank"), col("neighbor_id"), col("cos_sim"))
   }

@@ -80,14 +80,17 @@ object TrainingData {
   def d6AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), srpPlanes, 10)
 
-  /** Corpus-wide batch ANN: every embedding's 3 nearest in-bucket
-    * neighbors (4 SRP planes → 16 buckets keeps buckets populated at
-    * these SFs; production raises planes with corpus size). See
+  /** Corpus-wide batch ANN: every embedding's 3 nearest neighbors within
+    * its SRP bucket or any Hamming-1 neighbor bucket (multi-probe). The
+    * plane count is DERIVED from the corpus size (ceil(log2(N/32)),
+    * min 4): 4 planes / 16 buckets at sf0.01, 8 planes / 256 buckets at
+    * sf0.1 — the oracle re-derives the identical count in SQL. See
     * [[Similarity.batchTopK]] for the scale design — one bucket-keyed
-    * self-join, window rides the join partitioning.
+    * join, probe-side log-amplification, two-level top-k riding the
+    * join partitioning.
     */
   def d13BatchAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.batchTopK(Tables(spark, dir, "embeddings"), nPlanes = 4, k = 3)
+    Similarity.batchTopK(Tables(spark, dir, "embeddings"), k = 3)
       .orderBy(col("vec_id"), col("nn_rank"))
 
   /** Near-dup cluster resolution: connected components over the verified
@@ -1027,10 +1030,13 @@ object TrainingData {
          |FROM bucketed b, q WHERE b.bucket = q.qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "d13_batch_ann" ->
-      s"""WITH planes AS (
+      s"""WITH np AS (
+         |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
+         |  WHERE p >= 4 AND (CAST(32 AS BIGINT) << p) >= (SELECT count(*) FROM embeddings)),
+         |planes AS (
          |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
          |                 ORDER BY i) AS w
-         |  FROM range(4) rp(p), range(64) ri(i) GROUP BY p),
+         |  FROM range(24) rp(p), range(64) ri(i), np WHERE p < np.np GROUP BY p),
          |n AS (
          |  SELECT vec_id,
          |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
@@ -1039,10 +1045,15 @@ object TrainingData {
          |         CAST(embedding AS DOUBLE[]) AS v,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings e),
+         |probes AS (
+         |  SELECT n.vec_id, n.v, n.nrm,
+         |         CASE WHEN r.p = np.np THEN n.bucket
+         |              ELSE xor(n.bucket, CAST(1 AS BIGINT) << r.p) END AS pb
+         |  FROM n, np, range(25) r(p) WHERE r.p <= np.np),
          |pairs AS (
          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
          |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
-         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  FROM probes a JOIN n b ON a.pb = b.bucket AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT vec_id, neighbor_id, cos_sim,
          |         CAST(row_number() OVER (PARTITION BY vec_id

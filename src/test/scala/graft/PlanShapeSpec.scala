@@ -94,18 +94,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("d11_simhash_pairs").contains("ShuffledHashJoin"))
   }
 
-  test("d13: batch-ANN window rides the join's bucket partitioning — no Exchange between join and Window") {
+  test("d13: batch-ANN local window rides the join's probe partitioning — no Exchange between join and first Window") {
     val p = plan("d13_batch_ann")
     assert(p.contains("ShuffledHashJoin"), p)
-    // rank-limit pushdown prunes each group to top-k before the window
+    // rank-limit pushdown prunes each group to top-k before the windows
     assert(p.contains("WindowGroupLimit"), p)
-    // between the join and the Window there must be only Project/Sort/
-    // WindowGroupLimit — a second corpus-sized Exchange would mean the
-    // window failed to reuse the join's hash partitioning
+    // Two-level top-k: the LOCAL window (bottom-most, keyed pb+vec_id)
+    // must reuse the join's hash partitioning — only Project/Sort/
+    // WindowGroupLimit may sit between it and the join; a corpus-sized
+    // Exchange there would mean the window failed to ride the join. The
+    // GLOBAL window's Exchange above it carries only k·(planes+1) rows
+    // per vector, which is the design.
     val join = p.indexOf("ShuffledHashJoin")
-    val win = p.indexOf("Window ")
-    assert(win >= 0 && join > win, p) // executedPlan prints top-down: Window above join
-    assert(!p.substring(win, join).contains("Exchange"), p.substring(win, join))
+    val winLocal = p.lastIndexOf("Window ", join)
+    assert(winLocal >= 0 && join > winLocal, p) // executedPlan prints top-down
+    assert(!p.substring(winLocal, join).contains("Exchange"), p.substring(winLocal, join))
+    // and it IS two-level: two Window operators in the plan
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+  }
+
+  test("d13: plane count derives from corpus size (the x12 packBucketCount twin)") {
+    import graft.operators.Similarity.derivePlanes
+    // bucket count 2^p scales with N at constant expected membership
+    for (n <- Seq(500L, 5000L, 5000000L, 10000000000L); target <- Seq(16L, 32L, 128L)) {
+      val p = derivePlanes(n, target)
+      if (p < 24) assert((target << p) >= n, s"n=$n target=$target p=$p")
+      if (p > 4) assert((target << (p - 1)) < n, s"n=$n target=$target p=$p")
+    }
+    assert(derivePlanes(500) < derivePlanes(5000)) // sf0.01 vs sf0.1
   }
 
   test("q24: runtime bloom filter from the filtered dim is applied on the fact scan side") {

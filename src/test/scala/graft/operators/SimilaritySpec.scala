@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Semantics of the corpus-wide batch ANN ([[Similarity.batchTopK]]):
-  * the in-bucket top-k must equal a brute-force per-bucket all-pairs
-  * ranking, neighbors never cross buckets, and ranks are dense from 1.
+  * multi-probe top-k must equal a brute-force ranking over all
+  * Hamming-≤1 bucket pairs, neighbors never come from buckets further
+  * than one plane flip away, ranks are dense from 1, and the plane
+  * count derives from the corpus size.
   */
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -20,23 +22,20 @@ class SimilaritySpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
-  test("batchTopK equals per-bucket brute force and never crosses buckets") {
-    val k = 3
-    val nPlanes = 2
-    val got = Similarity.batchTopK(corpus, nPlanes, k, dims)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy(t => (t._1, t._2))
-
-    // Reference: bucket every vector, all pairs within bucket, rank by
-    // (cos desc, id) — computed with the interpreted fold (bit-identical
-    // to the codegen'd DotProduct by VectorExpressionsSpec).
+  /** Brute-force reference: all pairs whose buckets differ in at most
+    * one plane bit, ranked (cos desc, id) per vector — computed with the
+    * interpreted fold (bit-identical to the codegen'd DotProduct by
+    * VectorExpressionsSpec).
+    */
+  private def reference(nPlanes: Int, k: Int): Seq[(Long, Long, Long, Double)] = {
     val bucketed = corpus.select(
       col("vec_id"),
       Similarity.srpBucket(col("embedding"), nPlanes, dims).as("bucket"),
       col("embedding"))
     val a = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("ea"))
-    val b = bucketed.select(col("bucket").as("bb"), col("vec_id").as("nb"), col("embedding").as("eb"))
-    val ref = a.join(b, col("bucket") === col("bb") && col("vec_id") =!= col("nb"))
+    val b = bucketed.select(col("bucket").as("bb"), col("vec_id").as("nb"),
+      col("embedding").as("eb"))
+    a.join(b, expr("bit_count(bucket ^ bb) <= 1") && col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb"),
         Similarity.cosine(col("ea"), col("eb")).as("cos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -45,13 +44,68 @@ class SimilaritySpec extends SparkSpec {
           case ((_, nb, cos), i) => (vid, (i + 1).toLong, nb, cos)
         }
       }.sortBy(t => (t._1, t._2))
+  }
 
-    assert(got.toSeq == ref)
+  test("batchTopK equals brute force over Hamming-1 bucket pairs (multi-probe recall)") {
+    val k = 3
+    val nPlanes = 2
+    val got = Similarity.batchTopKWithPlanes(corpus, nPlanes, k, dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq == reference(nPlanes, k))
     // dense ranks from 1 per vector
     got.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong))
     }
     // no self-pairs
     assert(got.forall(t => t._1 != t._3))
+    // multi-probe matters on this corpus: some top-k neighbor crosses a
+    // bucket boundary (otherwise the test would not exercise the probes)
+    val buckets = corpus.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), nPlanes, dims).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists(t => buckets(t._1) != buckets(t._3)),
+      "corpus produced no cross-bucket neighbors; weaken the test data")
+  }
+
+  test("maxBucket drops over-dense buckets before pairwise work") {
+    val nPlanes = 2
+    // cap 0 removes every vector (all buckets have >= 1 member)
+    assert(Similarity.batchTopKWithPlanes(corpus, nPlanes, 3, dims,
+      maxBucket = Some(0L)).count() == 0)
+    // a cap above the largest bucket changes nothing
+    val uncapped = Similarity.batchTopKWithPlanes(corpus, nPlanes, 3, dims).collect().length
+    assert(Similarity.batchTopKWithPlanes(corpus, nPlanes, 3, dims,
+      maxBucket = Some(1000L)).collect().length == uncapped)
+    // a binding cap excludes members of over-dense buckets from BOTH
+    // sides (they neither query nor serve as neighbors)
+    val sizes = corpus.select(
+        Similarity.srpBucket(col("embedding"), nPlanes, dims).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.max - 1
+    val dropped = corpus.select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), nPlanes, dims).as("b"))
+      .collect().filter(r => sizes(r.getLong(1)) > cap).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty)
+    val capped = Similarity.batchTopKWithPlanes(corpus, nPlanes, 3, dims,
+      maxBucket = Some(cap)).collect()
+    assert(capped.forall(r => !dropped.contains(r.getLong(0)) && !dropped.contains(r.getLong(2))))
+  }
+
+  test("derivePlanes holds expected bucket size constant as the corpus grows") {
+    import Similarity.derivePlanes
+    for (n <- Seq(1L, 500L, 5000L, 1000000L, 10000000000L)) {
+      val p = derivePlanes(n)
+      assert(p >= 4 && p <= 24, s"n=$n p=$p")
+      if (p < 24) assert((32L << p) >= n, s"n=$n p=$p under-partitioned")
+      if (p > 4) assert((32L << (p - 1)) < n, s"n=$n p=$p over-partitioned")
+    }
+    // the SFs the driver checks: 500 vectors -> 16 buckets, 5000 -> 256
+    assert(derivePlanes(500) == 4)
+    assert(derivePlanes(5000) == 8)
+    // monotone in n
+    val ps = Seq(10L, 100L, 10000L, 100000000L).map(derivePlanes(_))
+    assert(ps == ps.sorted)
   }
 }
