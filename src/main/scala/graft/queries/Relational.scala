@@ -372,6 +372,48 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate distinct counts (HyperLogLog++) — the scale twin of
+    * [[q14DistinctAgg]]. Exact distinct aggregation on a high-cardinality
+    * key shuffles every distinct value; the HLL sketch is fixed-size per
+    * group (~ (1.04/rsd)² registers), partial-aggregates map-side, and
+    * merges associatively — at 100 TB the shuffle carries kilobytes per
+    * group instead of the key universe. rsd = 2% here.
+    *
+    * No SQL oracle BY CONSTRUCTION: DuckDB's approx_count_distinct uses
+    * a different sketch/hash, so values can't hash-match. The accuracy
+    * contract is spec-verified instead (ApproxAggSpec: relative error
+    * vs the exact q14 within 3·rsd at sf0.01).
+    */
+  def q29ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", rsd = 0.02).as("n_parts_approx"),
+        approx_count_distinct($"l_suppkey", rsd = 0.02).as("n_supps_approx"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate percentiles (GK / QuantileSummaries sketch) — the scale
+    * twin of [[q19Percentiles]]. Exact percentiles need the sorted value
+    * multiset per group; the sketch is bounded-size, mergeable, and
+    * guarantees rank error ≤ 1/accuracy (10⁻⁴ here) — the formulation a
+    * large-cluster user runs when the value universe per group no longer
+    * fits an exact sort. Same no-oracle note as [[q29ApproxDistinct]];
+    * ApproxAggSpec pins the rank-error contract against the data.
+    */
+  def q30ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_quantity", lit(0.25), lit(10000)).as("q25_approx"),
+        percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("q50_approx"),
+        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("p90_approx"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Range join (an operator family Spark has no dedicated node for —
     * composed as the SCALABLE shape: the band table is tiny by
     * construction, so `broadcast` + a nested-loop probe per row beats any
@@ -581,6 +623,13 @@ object Relational {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q29/q30 have NO oracleSql entry on purpose: approximate sketches
+    // (HLL++, GK quantiles) cannot hash-match a different engine's
+    // sketch — the driver records the weaker rows-only check and the
+    // accuracy contract is pinned by ApproxAggSpec against the exact
+    // q14/q19 answers.
+    "q29_approx_distinct" -> (q29ApproxDistinct _),
+    "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q24_bloom_join" -> (q24BloomFilterJoin _),
     "q25_unpivot" -> (q25Unpivot _),
     "q26_subquery_sql" -> (q26SubquerySql _),

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+
+/** Accuracy contracts for the approximate-aggregation family (q29/q30).
+  * These queries have NO DuckDB oracle by construction — a different
+  * engine's HLL/quantile sketch cannot hash-match — so the error bounds
+  * are pinned here against the EXACT q14/q19 answers on real data.
+  */
+class ApproxAggSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q29: HLL distinct counts within 3·rsd of the exact q14 answers") {
+    val exact = Relational.q14DistinctAgg(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Relational.q29ApproxDistinct(spark, dir).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    val tol = 3 * 0.02 // 3 standard deviations at rsd = 2%
+    approx.foreach { r =>
+      val (nParts, nSupps) = exact(r.getString(0))
+      val (aParts, aSupps) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(aParts - nParts).toDouble / nParts <= tol,
+        s"${r.getString(0)}: n_parts approx $aParts vs exact $nParts")
+      assert(math.abs(aSupps - nSupps).toDouble / nSupps <= tol,
+        s"${r.getString(0)}: n_supps approx $aSupps vs exact $nSupps")
+    }
+  }
+
+  test("q30: approx percentiles respect the rank-error guarantee") {
+    // percentile_approx(accuracy = 10000) guarantees rank error
+    // <= 1/accuracy; allow 100x slack (still 1%) so the test is immune
+    // to off-by-one-rank effects on heavily tied integer columns.
+    val eps = 0.01
+    val li = graft.core.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .cache()
+    try {
+      val approx = Relational.q30ApproxPercentile(spark, dir).collect()
+      assert(approx.nonEmpty)
+      def rankBounds(flag: String, c: String, v: Double): (Double, Double) = {
+        val g = li.filter(col("l_returnflag") === flag)
+        val n = g.count().toDouble
+        val below = g.filter(col(c) < v).count() / n   // strictly below
+        val atOrBelow = g.filter(col(c) <= v).count() / n
+        (below, atOrBelow)
+      }
+      approx.foreach { r =>
+        val flag = r.getString(0)
+        for ((cname, idx, p) <- Seq(("l_quantity", 1, 0.25), ("l_quantity", 2, 0.5),
+            ("l_extendedprice", 3, 0.9))) {
+          val v = r.get(idx) match {
+            case d: java.lang.Double => d.doubleValue()
+            case d: java.math.BigDecimal => d.doubleValue()
+            case l: java.lang.Long => l.doubleValue()
+            case x => x.toString.toDouble
+          }
+          val (lo, hi) = rankBounds(flag, cname, v)
+          assert(lo - eps <= p && p <= hi + eps,
+            s"$flag $cname p=$p: approx value $v has rank window [$lo, $hi]")
+        }
+      }
+    } finally { li.unpersist(); () }
+  }
+}
