@@ -10,7 +10,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
-    val only = if (args.length > 2) Some(args(2)) else None
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -24,8 +25,12 @@ object Profile {
       .config("spark.sql.warehouse.dir", graft.core.Scratch.dir("graft_wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B seam for the streaming state backend (same knob as Bench).
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.forall(_ == q._1)).foreach { case (name, fn) =>
+      .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
