@@ -213,16 +213,27 @@ object Similarity {
       .select(col("vec_id"), col("nn_rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** ANN via SRP-LSH: restrict the exact cosine scan to the query's
-    * bucket. Recall < 1 by construction (that is the trade); the bucketed
-    * scan touches corpus/2^nPlanes of the data in expectation.
+  /** ANN via SRP-LSH with multi-probe: the exact cosine scan is
+    * restricted to the query's bucket PLUS its Hamming-1 neighbor
+    * buckets (each plane bit flipped) — same recall recovery as
+    * [[batchTopKWithPlanes]], at (planes+1)/2^planes expected corpus
+    * fraction scanned. The plane count derives from the corpus size
+    * ([[derivePlanes]]) so the scanned fraction shrinks as the corpus
+    * grows; the probe list is query-side (tiny) and broadcast, the
+    * corpus never shuffles. Each corpus vector lives in exactly one
+    * bucket, so probes never duplicate a candidate.
     */
-  def lshTopK(corpus: DataFrame, query: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+  def lshTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      dims: Int = 64, targetBucketSize: Long = 32,
+      minPlanes: Int = 4, maxPlanes: Int = 24): DataFrame = {
     ensure(corpus.sparkSession)
-    val dims = 64
-    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), nPlanes, dims))
-    val q = query.withColumn("qbucket", srpBucket(col("qvec"), nPlanes, dims))
-    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+    val planes = derivePlanes(corpus.count(), targetBucketSize, minPlanes, maxPlanes)
+    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), planes, dims))
+    val probes = query.withColumn("qbucket", srpBucket(col("qvec"), planes, dims))
+      .select(col("qvec"), explode(array(
+        (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
+          col("qbucket"): _*)).as("pb"))
+    bucketed.join(broadcast(probes), col("bucket") === col("pb"))
       .select(col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)

@@ -21,7 +21,6 @@ object TrainingData {
   private val jaccardThreshold = 0.8
   private val minhashK = 16
   private val minhashBands = 4
-  private val srpPlanes = 8
   private val ivfCells = 8
   private val stopShingleDf = 50L
 
@@ -74,11 +73,12 @@ object TrainingData {
   def d5CosineTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), 10)
 
-  /** SRP-LSH-bucketed ANN top-10 (scale path: scan only the query's
-    * bucket).
+  /** SRP-LSH-bucketed ANN top-10 (scale path: scan the query's bucket
+    * plus its Hamming-1 probes; plane count derived from corpus size —
+    * the oracle re-derives both).
     */
   def d6AnnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), srpPlanes, 10)
+    Similarity.lshTopK(Tables(spark, dir, "embeddings"), queryVec(spark, dir), 10)
 
   /** Corpus-wide batch ANN: every embedding's 3 nearest neighbors within
     * its SRP bucket or any Hamming-1 neighbor bucket (multi-probe). The
@@ -371,7 +371,13 @@ object TrainingData {
     * IVF trade (boundary pairs split across cells are the recall cost).
     * Norms are precomputed per vector, never per pair.
     */
-  def d7EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def d7EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNeardupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** d7's pair generation without the presentation sort — reused by
+    * [[d15SemanticDedup]] as the pair source for cluster resolution.
+    */
+  private def embeddingNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     Similarity.ensure(spark)
     // Persist (tracked) the celled+normed projection: both self-join
     // sides consume it, and without the persist the corpus is scanned —
@@ -390,7 +396,25 @@ object TrainingData {
       .select(col("vec_a"), col("vec_b"),
         (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Semantic (embedding-level) dedup DECISION: d7's IVF-celled cosine
+    * pairs resolved into clusters with one canonical keeper — the
+    * vector-side twin of d9, proving the pairs→components→keeper seam
+    * ([[Dedup.connectedComponents]]) is pair-source-agnostic: the same
+    * operator consumes shingle-Jaccard pairs (d9/d12), and here cosine
+    * pairs, unchanged. Semantic near-dup is not transitive, so a chain
+    * of (a,b),(b,c) pairs must collapse to ONE keeper before rows drop —
+    * exactly what the min-label components deliver.
+    */
+  def d15SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNeardupPairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val vertices = Tables(spark, dir, "embeddings").select(col("vec_id").as("doc_id"))
+    Dedup.connectedComponents(vertices, pairs)
+      .select(col("doc_id").as("vec_id"), col("component"),
+        col("cluster_size"), col("is_keeper"))
+      .orderBy(col("vec_id"))
   }
 
   /** The production near-dup composition (judge round-1 #4): LSH
@@ -628,6 +652,7 @@ object TrainingData {
     "x12_sequence_pack" -> (x12SequencePack _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
+    "d15_semantic_dedup" -> (d15SemanticDedup _),
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
     "d9_dedup_clusters" -> (d9DedupClusters _),
     "d12_quality_keeper" -> (d12QualityKeeper _),
@@ -781,6 +806,33 @@ object TrainingData {
         |            ELSE least(255, floor((e.x - s.mn) * 255.0 / (s.mx - s.mn))) END
         |       AS BIGINT) AS code
         |FROM e JOIN s USING (dim) ORDER BY e.vec_id, e.dim""".stripMargin,
+    "d15_semantic_dedup" ->
+      s"""WITH RECURSIVE centroids AS (
+         |  SELECT c, list((${h60sql.format("'cent' || c || ':' || i")} % 2001 - 1000) / 1000.0
+         |                 ORDER BY i) AS w
+         |  FROM range(8) rc(c), range(64) ri(i) GROUP BY c),
+         |n AS (SELECT vec_id,
+         |             (SELECT c FROM centroids
+         |              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), w) DESC, c
+         |              LIMIT 1) AS cell,
+         |             CAST(embedding AS DOUBLE[]) AS v,
+         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |      FROM embeddings e),
+         |vp AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |       FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         |edges AS (SELECT va AS src, vb AS dst FROM vp
+         |          UNION ALL SELECT vb, va FROM vp),
+         |closure(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+         |comp AS (SELECT a AS vec_id, min(b) AS component FROM closure GROUP BY a),
+         |csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.vec_id, c.component, s.cluster_size,
+         |       (c.vec_id = c.component) AS is_keeper
+         |FROM comp c JOIN csize s USING (component)
+         |ORDER BY vec_id""".stripMargin,
     "d7_embedding_neardup" ->
       s"""WITH centroids AS (
          |  SELECT c, list((${h60sql.format("'cent' || c || ':' || i")} % 2001 - 1000) / 1000.0
@@ -1012,22 +1064,29 @@ object TrainingData {
         |FROM embeddings e, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "d6_ann_lsh" ->
-      s"""WITH planes AS (
+      s"""WITH np AS (
+         |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
+         |  WHERE p >= 4 AND (CAST(32 AS BIGINT) << p) >= (SELECT count(*) FROM embeddings)),
+         |planes AS (
          |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
          |                 ORDER BY i) AS w
-         |  FROM range(8) rp(p), range(64) ri(i) GROUP BY p),
+         |  FROM range(24) rp(p), range(64) ri(i), np WHERE p < np.np GROUP BY p),
          |bucketed AS (
          |  SELECT vec_id, embedding,
          |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
          |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
          |          FROM planes pl) AS bucket
          |  FROM embeddings e),
-         |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+         |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT q.qvec, CASE WHEN r.p = np.np THEN q.qbucket
+         |                      ELSE xor(q.qbucket, CAST(1 AS BIGINT) << r.p) END AS pb
+         |  FROM q, np, range(25) r(p) WHERE r.p <= np.np)
          |SELECT b.vec_id,
-         |  list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
+         |  list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])) /
          |  (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) *
-         |   sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cos_sim
-         |FROM bucketed b, q WHERE b.bucket = q.qbucket
+         |   sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])))) AS cos_sim
+         |FROM bucketed b JOIN probes pr ON b.bucket = pr.pb
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "d13_batch_ann" ->
       s"""WITH np AS (
