@@ -552,13 +552,22 @@ object EventStream {
     runDurable(enriched, "append").orderBy(col("event_id"))
   }
 
-  /** Stateful streaming dedup on the event key (watermark-bounded
-    * state) — the streaming twin of the sink's PK conflict-skip.
+  /** Stateful streaming dedup on the event key — the streaming twin of
+    * the sink's PK conflict-skip. Uses `dropDuplicatesWithinWatermark`,
+    * not `dropDuplicates`: with the key alone, plain dropDuplicates
+    * keeps EVERY key ever seen (the watermark only evicts dedup state
+    * when the event-time column is part of the keys — which would make
+    * the key (id, ts), not id), so its state grows without bound on an
+    * unbounded stream. WithinWatermark expires a key once the watermark
+    * passes its event time + delay: state is bounded by the watermark
+    * window regardless of key-universe size, and duplicates arriving
+    * within the delay (the at-least-once redelivery window a real
+    * source produces) are still dropped — the production contract.
     */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame = {
     val deduped = readEventsStaged(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("user_id"))
     // 8 (not 4): dedup state carries EVERY event key, the largest
     // keyspace of the streaming queries.
