@@ -340,6 +340,27 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Forward as-of with tolerance: each purchase matched to the same
+    * user's NEXT click within 10 minutes — pandas merge_asof's
+    * (direction='forward', tolerance=…) surface. Same one-shuffle
+    * windowed-union shape as [[q18AsofJoin]] with the time order
+    * reversed; matches outside the tolerance are nulled via the right
+    * row's time carried in the window struct (no join back).
+    */
+  def q31AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+    val clicks = ev.filter($"event_type" === "click")
+    graft.operators.AsOfJoin
+      .asOf(purchases, clicks, "user_id", "ts", "event_id", Seq("event_id"),
+        direction = "forward", toleranceMicros = Some(600L * 1000000L))
+      .select($"user_id", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+        $"asof_event_id")
+      .orderBy($"event_id")
+  }
+
   /** Skew-salted equi-join surfaced as a driver-checked query: the fact
     * side gets a content-derived salt, the dim side replicates per salt,
     * and the aggregate must equal the plain join (salting only reshapes
@@ -641,6 +662,7 @@ object Relational {
     "r1_range_batch" -> (r1RangeBatch _),
     "q19_percentiles" -> (q19Percentiles _),
     "q18_asof_join" -> (q18AsofJoin _),
+    "q31_asof_forward" -> (q31AsofForward _),
     "q13_rollup" -> (q13Rollup _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q14_distinct_agg" -> (q14DistinctAgg _),
@@ -759,6 +781,28 @@ object Relational {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q31_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id AS id,
+        |         CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS TIMESTAMP) AS r_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, event_id, CAST(ts AS TIMESTAMP)
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT user_id, ts, side, id,
+        |    last_value(r_eid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, side, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt,
+        |    last_value(r_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, side, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt_ts
+        |  FROM u)
+        |SELECT user_id, id AS event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |  CASE WHEN abs(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(nxt_ts)) <= 600000000
+        |       THEN nxt END AS asof_event_id
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q18_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS side, event_id AS id, CAST(NULL AS BIGINT) AS r_eid

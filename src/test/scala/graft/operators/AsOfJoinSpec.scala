@@ -48,6 +48,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[String]("asof_b") == null)
   }
 
+  test("forward direction: nearest FOLLOWING right row, same-instant visible, none after -> null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // next right is r2 at 10:30
+      (1L, ts("2024-01-01 12:00:00"), 102L), // exactly at r3 -> sees r3
+      (1L, ts("2024-01-01 13:00:00"), 103L)) // after every right -> null
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L),
+      (1L, ts("2024-01-01 10:30:00"), 12L),
+      (1L, ts("2024-01-01 12:00:00"), 13L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("event_id"),
+        direction = "forward")
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.lang.Long]("asof_event_id"))))
+    assert(out.toSeq == Seq(101L -> Some(12L), 102L -> Some(13L), 103L -> None))
+  }
+
+  test("tolerance nulls matches outside the window, keeps those inside") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // right 9:55 -> 5 min back, inside
+      (1L, ts("2024-01-01 11:00:00"), 102L)) // nearest preceding 9:55 -> 65 min, outside
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts("2024-01-01 09:55:00"), 11L)).toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", Seq("event_id"),
+        toleranceMicros = Some(600L * 1000000L))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.lang.Long]("asof_event_id"))))
+    assert(out.toSeq == Seq(101L -> Some(11L), 102L -> None))
+  }
+
   test("ties among right rows at the same instant break on id (deterministic)") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
