@@ -167,12 +167,19 @@ object SourcesAndStreams {
   def st5StreamFileSink(spark: SparkSession, dir: String): DataFrame =
     EventStream.purchasesToFileSink(spark, dir)
 
-  /** Checkpointed incremental ingestion with PK-merge, run twice against
-    * one checkpoint (second run must add zero rows) — the reference's
-    * watermark + ON CONFLICT loop end-to-end as a stream.
+  /** Checkpointed incremental ingestion with PK-merge — the reference's
+    * watermark + ON CONFLICT loop end-to-end as a stream (the
+    * same-checkpoint replay no-op proof lives in EventStreamSpec).
     */
   def st6IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.incrementalIngest(spark, dir)
+
+  /** Declarative sessionization via the built-in `session_window`
+    * aggregation — st7's semantics with zero custom state code; exact
+    * batch-equal via the same sentinel drain.
+    */
+  def st9SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindowAgg(spark, dir)
 
   /** Streaming sessionization (flatMapGroupsWithState + event-time
     * timeout) with per-user sentinel drain — emitted sessions equal
@@ -300,6 +307,7 @@ object SourcesAndStreams {
     "st5_stream_file_sink" -> (st5StreamFileSink _),
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
+    "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
@@ -354,6 +362,25 @@ object SourcesAndStreams {
       """SELECT event_id, event_type, user_id,
         | CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    // st9 = st7's semantics via the built-in session_window operator —
+    // the SAME oracle proves both formulations against one truth.
+    "st9_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |d AS (
+        |  SELECT user_id, m,
+        |    CASE WHEN lag(m) OVER (PARTITION BY user_id ORDER BY m) IS NULL
+        |           OR m - lag(m) OVER (PARTITION BY user_id ORDER BY m) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |w AS (
+        |  SELECT user_id, m,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY m
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM d)
+        |SELECT user_id, min(m) AS start_micros, max(m) AS end_micros,
+        |  count(*) AS n_events
+        |FROM w GROUP BY user_id, sess ORDER BY user_id, start_micros""".stripMargin,
     "st7_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m FROM events),

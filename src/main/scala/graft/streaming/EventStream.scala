@@ -375,33 +375,78 @@ object EventStream {
     * production recipe for draining a bounded replay through a
     * session operator without losing the tail.
     */
-  def sessionizeStreamComplete(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeStreamComplete(spark: SparkSession, dir: String): DataFrame =
+    sentinelStaged(spark, dir) match {
+      case None => emptySessionFrame(spark)
+      case Some((staged, schema)) => runSessionize(spark, staged, schema)
+    }
+
+  private def emptySessionFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    spark.emptyDataset[(Long, Long, Long, Long)]
+      .toDF("user_id", "start_micros", "end_micros", "n_events")
+  }
+
+  /** The sentinel-augmented, time-sorted staged source shared by the two
+    * sessionization formulations (st7's custom-state operator, st9's
+    * declarative `session_window`). None on an empty events table (max
+    * over zero rows is NULL — callers yield an empty frame, not a
+    * driver NPE).
+    */
+  private def sentinelStaged(spark: SparkSession, dir: String): Option[(String, StructType)] = {
     val src = spark.read.parquet(s"$dir/events.parquet")
     require(src.schema("ts").dataType == org.apache.spark.sql.types.LongType,
       "events.ts expected as nanos-long (spark.sql.legacy.parquet.nanosAsLong)")
-    // max over zero rows is NULL — an empty events table must yield an
-    // empty session frame, not a driver NPE on getLong.
     val maxTsOpt = Option(src.agg(max(col("ts"))).head().getAs[java.lang.Long](0))
-    if (maxTsOpt.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long, Long)]
-        .toDF("user_id", "start_micros", "end_micros", "n_events")
-    val maxTs = maxTsOpt.get.longValue()
-    val sentinelTs = maxTs + 2L * 3600L * 1000000000L
-    val sentinels = src.select(col("user_id")).distinct()
-      .select(src.schema.fields.map { f =>
-        f.name match {
-          case "user_id" => col("user_id")
-          case "ts" => lit(sentinelTs).as("ts")
-          case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
-          case other => lit(null).cast(f.dataType).as(other)
-        }
-      }: _*)
-    val (staged, schema) = stageSourceOnce(s"sentinel:$dir") {
-      stageSortedFrames(src.unionByName(sentinels), 8)
+    maxTsOpt.map { maxTs =>
+      val sentinelTs = maxTs.longValue() + 2L * 3600L * 1000000000L
+      val sentinels = src.select(col("user_id")).distinct()
+        .select(src.schema.fields.map { f =>
+          f.name match {
+            case "user_id" => col("user_id")
+            case "ts" => lit(sentinelTs).as("ts")
+            case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+      stageSourceOnce(s"sentinel:$dir") {
+        stageSortedFrames(src.unionByName(sentinels), 8)
+      }
     }
-    runSessionize(spark, staged, schema)
   }
+
+  /** Declarative streaming sessionization (st9): the BUILT-IN
+    * `session_window` gap aggregation — the "compose built-ins" rung of
+    * the ladder st7 climbs with `flatMapGroupsWithState`. Zero custom
+    * state code: Spark's session-window operator merges events into
+    * gap-bounded sessions and append mode emits a session once the
+    * watermark passes its close; the same per-user sentinel drain closes
+    * every real session before the bounded stream ends (the sentinel's
+    * own session never emits — the watermark stops at its event time,
+    * before its window end). Same exact batch-equality oracle as st7:
+    * two formulations, one semantic, both hash-checked. The window's
+    * `end` is last-event + gap by definition, so the gap is subtracted
+    * back to report the last event time st7 reports.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    sentinelStaged(spark, dir) match {
+      case None => emptySessionFrame(spark)
+      case Some((staged, schema)) =>
+        val gapMicros = 1800L * 1000000L
+        val out = withStatePartitions(spark, 4) {
+          val in = readEventsSorted(spark, staged, schema, filesPerTrigger = 4)
+            .withWatermark("ts", "0 seconds")
+          val agg = in
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"))
+          runDurable(agg, "append")
+        }
+        out.select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_micros"),
+          (unix_micros(col("session_window.end")) - gapMicros).as("end_micros"),
+          col("n_events"))
+          .orderBy(col("user_id"), col("start_micros"))
+    }
 
   private def runSessionize(spark: SparkSession, staged: String,
       schema: StructType): DataFrame = {
