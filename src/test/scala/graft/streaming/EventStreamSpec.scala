@@ -136,6 +136,10 @@ class EventStreamSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.schema.fieldNames.toSeq ==
       Seq("user_id", "start_micros", "end_micros", "n_events"))
+    // the declarative twin shares the sentinel source and the guard
+    val out9 = EventStream.sessionWindowAgg(spark, dir)
+    assert(out9.count() == 0)
+    assert(out9.schema.fieldNames.toSeq == out.schema.fieldNames.toSeq)
   }
 
   test("streaming file source tracks processed files across restarts (S7 semantics)") {
