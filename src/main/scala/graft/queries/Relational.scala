@@ -257,6 +257,47 @@ object Relational {
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Full CUBE (all 2ⁿ grouping combinations) — completes the
+    * rollup / grouping-sets / cube triad. Same single-Expand plan shape
+    * as q13/q23: 4 grouping sets in ONE aggregation pass over one scan.
+    */
+  def q32Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(c100($"o_totalprice")) / 100.0).as("sum_price"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** The ranking-function family in one windowed pass: rank (gapped),
+    * dense_rank and cume_dist over the tie-PRODUCING price order (ties
+    * share values — the functions' point), row_number and ntile(4) over
+    * the PK-tie-broken order (they require a total order to be
+    * deterministic). One shuffle on the partition key serves both
+    * windows (same partitioning, compatible sort); the row_number
+    * prefilter bounds the output to top 5 per group. Money compares in
+    * exact cents so ranks are engine-stable.
+    */
+  def q33RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wTie = Window.partitionBy($"o_orderpriority").orderBy($"cents".desc)
+    val wDet = Window.partitionBy($"o_orderpriority").orderBy($"cents".desc, $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", c100($"o_totalprice").as("cents"))
+      .withColumn("rn", row_number().over(wDet).cast("long"))
+      .withColumn("rnk", rank().over(wTie).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTie).cast("long"))
+      .withColumn("quartile", ntile(4).over(wDet).cast("long"))
+      .withColumn("cdist", cume_dist().over(wTie))
+      .filter($"rn" <= 5)
+      .select($"o_orderpriority", $"rn", $"o_orderkey",
+        ($"cents" / 100.0).as("price"), $"rnk", $"drnk", $"quartile", $"cdist")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
   /** Arbitrary grouping sets (beyond rollup's strict hierarchy):
     * per-(status, priority), per-priority, and the grand total in ONE
     * pass — Catalyst expands to a single Expand node feeding one
@@ -651,6 +692,8 @@ object Relational {
     // q14/q19 answers.
     "q29_approx_distinct" -> (q29ApproxDistinct _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
+    "q32_cube" -> (q32Cube _),
+    "q33_rank_family" -> (q33RankFamily _),
     "q24_bloom_join" -> (q24BloomFilterJoin _),
     "q25_unpivot" -> (q25Unpivot _),
     "q26_subquery_sql" -> (q26SubquerySql _),
@@ -781,6 +824,31 @@ object Relational {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q33_rank_family" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) AS BIGINT) AS drnk,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                        ORDER BY cents DESC, o_orderkey) AS BIGINT) AS quartile,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) AS cdist
+        |  FROM t)
+        |SELECT o_orderpriority, rn, o_orderkey, cents / 100.0 AS price,
+        |       rnk, drnk, quartile, cdist
+        |FROM r WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "q31_asof_forward" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS side, event_id AS id,
