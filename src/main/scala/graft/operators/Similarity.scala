@@ -141,8 +141,13 @@ object Similarity {
     */
   def batchTopK(corpus: DataFrame, k: Int, dims: Int = 64,
       targetBucketSize: Long = 32, minPlanes: Int = 4, maxPlanes: Int = 24,
-      maxBucket: Option[Long] = None): DataFrame = {
-    val planes = derivePlanes(corpus.count(), targetBucketSize, minPlanes, maxPlanes)
+      maxBucket: Option[Long] = None, knownCount: Option[Long] = None): DataFrame = {
+    // knownCount skips the derivation scan when the caller already knows
+    // the corpus size (table stats, a prior action) — the derivation is
+    // log-scaled, so an approximate count lands on the same plane count
+    // unless it is off by ~2x.
+    val n = knownCount.getOrElse(corpus.count())
+    val planes = derivePlanes(n, targetBucketSize, minPlanes, maxPlanes)
     batchTopKWithPlanes(corpus, planes, k, dims, maxBucket)
   }
 
@@ -225,9 +230,11 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, query: DataFrame, k: Int,
       dims: Int = 64, targetBucketSize: Long = 32,
-      minPlanes: Int = 4, maxPlanes: Int = 24): DataFrame = {
+      minPlanes: Int = 4, maxPlanes: Int = 24,
+      knownCount: Option[Long] = None): DataFrame = {
     ensure(corpus.sparkSession)
-    val planes = derivePlanes(corpus.count(), targetBucketSize, minPlanes, maxPlanes)
+    val planes = derivePlanes(knownCount.getOrElse(corpus.count()),
+      targetBucketSize, minPlanes, maxPlanes)
     val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), planes, dims))
     val probes = query.withColumn("qbucket", srpBucket(col("qvec"), planes, dims))
       .select(col("qvec"), explode(array(
