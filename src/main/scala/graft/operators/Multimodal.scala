@@ -49,6 +49,17 @@ object Multimodal {
       n_frames: Long,
       decode_ok: Boolean)
 
+  /** Output of [[audioStats]]; None stats when the payload did not
+    * decode or drain fully.
+    */
+  case class AudioStats(
+      doc_id: Long,
+      n_samples: Option[Long],
+      sum_abs: Option[Long],
+      max_abs: Option[Long],
+      energy: Option[Long],
+      decode_ok: Boolean)
+
   /** Output of [[resizeTo]]; None dims when the source did not decode. */
   case class ResizedImage(
       doc_id: Long,
@@ -131,6 +142,76 @@ object Multimodal {
           else None
         } finally in.close()
       } catch { case _: Exception => None }
+  }
+
+  /** Real PCM sample statistics (m4): unlike [[WavDecoder]]'s
+    * header-level features, this DRAINS THE SAMPLES — 16-bit mono LE
+    * frames decoded to ints in one streamed pass, accumulating count,
+    * sum|s|, max|s| and the exact integer energy Σs² (bounded by
+    * 2³⁰·nSamples, far inside a Long). Sample pairing carries a byte
+    * across read boundaries, so odd-sized reads can't shear the frames.
+    * Returns None for malformed, truncated, or non-16-bit-mono payloads
+    * (a stats row computed over sheared frames would be silently wrong —
+    * the same never-mistake-bad-for-good rule the decoders follow).
+    */
+  object WavSampleStats {
+    /** (n_samples, sum_abs, max_abs, energy), or None. */
+    def decode(payload: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian || fmt.getFrameSize != 2) None
+          else {
+            val frames = in.getFrameLength
+            var seen = 0L; var sumAbs = 0L; var maxAbs = 0L; var energy = 0L
+            var lo = -1 // pending low byte when a read ends mid-frame
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) {
+              var i = 0
+              while (i < n) {
+                if (lo < 0) { lo = buf(i) & 0xff }
+                else {
+                  val s = ((buf(i) << 8) | lo).toShort.toLong
+                  val a = math.abs(s)
+                  sumAbs += a; energy += s * s
+                  if (a > maxAbs) maxAbs = a
+                  lo = -1
+                }
+                i += 1
+              }
+              seen += n
+              n = in.read(buf)
+            }
+            if (lo < 0 && seen == frames * 2L)
+              Some((frames, sumAbs, maxAbs, energy))
+            else None // truncated or sheared: never report partial stats
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Per-partition audio statistics over the media table's AUDIO rows
+    * (m4): real decode doing strictly more work than the oracle's
+    * arithmetic re-derivation. Narrow typed map, no shuffle.
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        WavSampleStats.decode(r.payload) match {
+          case Some((n, sumAbs, maxAbs, energy)) =>
+            AudioStats(r.doc_id, Some(n), Some(sumAbs), Some(maxAbs), Some(energy),
+              decode_ok = true)
+          case None =>
+            AudioStats(r.doc_id, None, None, None, None, decode_ok = false)
+        }
+      }
+    }
   }
 
   /** Deterministic PCM WAV fixture (16-bit mono RIFF): rate/length are

@@ -474,6 +474,20 @@ object TrainingData {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real PCM sample statistics (m4): the audio rows' WAV payloads
+    * drained sample-by-sample — count, Σ|s|, max|s| and exact integer
+    * energy Σs² ([[Multimodal.WavSampleStats]]). The oracle re-derives
+    * the stats from the fixture's integer sample recurrence — the query
+    * does strictly MORE work (a real decode) than the oracle's
+    * arithmetic, same contract as m1/m3; truncated payloads must
+    * surface as decode_ok=false with null stats, never partial sums.
+    */
+  def m4AudioStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioStats(
+        Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Frame sampling over decoded video rows (bounded lateral explode). */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -667,6 +681,7 @@ object TrainingData {
     "x5_string_clean" -> (x5StringClean _),
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "m4_audio_stats" -> (m4AudioStats _),
     "m3_image_resize" -> (m3ImageResize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
@@ -994,6 +1009,24 @@ object TrainingData {
          |       WHEN doc_id % 3 = 1 THEN doc_id % 34 <> 0
          |       ELSE TRUE END AS decode_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "m4_audio_stats" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT a.doc_id, ((r.i * 2654435761 + a.doc_id) % 65536) - 32768 AS s
+        |  FROM a, range(1256) r(i) WHERE r.i < 256 + a.doc_id % 1000),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_samples,
+        |         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |         max(abs(s)) AS max_abs,
+        |         CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM s GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  CASE WHEN a.doc_id % 34 = 0 THEN NULL ELSE st.n_samples END AS n_samples,
+        |  CASE WHEN a.doc_id % 34 = 0 THEN NULL ELSE st.sum_abs END AS sum_abs,
+        |  CASE WHEN a.doc_id % 34 = 0 THEN NULL ELSE st.max_abs END AS max_abs,
+        |  CASE WHEN a.doc_id % 34 = 0 THEN NULL ELSE st.energy END AS energy,
+        |  (a.doc_id % 34 <> 0) AS decode_ok
+        |FROM a JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m3_image_resize" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 51 = 0 THEN NULL
