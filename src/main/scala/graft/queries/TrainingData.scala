@@ -599,11 +599,23 @@ object TrainingData {
   private[graft] def packBucketCount(n: Long, partitions: Int): Long =
     math.max(partitions.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).max(1L)
 
-  def x12SequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def x12SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(Tables(spark, dir, "documents"))
+
+  /** Library seam for [[x12SequencePack]]: pack a caller-supplied corpus.
+    * `knownCount` skips the bucket-count derivation scan when the caller
+    * already knows the corpus size (table stats, a prior action) — the
+    * same seam as `Similarity.batchTopK`. The derivation is sqrt-scaled,
+    * so an approximate count changes only bucket BALANCE, never the
+    * packed offsets (bucket boundaries are a partitioning detail; the
+    * two-level prefix sum is exact for any bucket count), making even a
+    * ~2x-off estimate safe.
+    */
+  def sequencePack(docs: DataFrame, seqLen: Long = 2048L,
+      knownCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seqLen = 2048L
-    val docs = Tables(spark, dir, "documents")
-    val nBuckets = math.min(packBucketCount(docs.count(),
+    val spark = docs.sparkSession
+    val nBuckets = math.min(packBucketCount(knownCount.getOrElse(docs.count()),
       spark.conf.get("spark.sql.shuffle.partitions").toInt), Int.MaxValue.toLong).toInt
     // Both the per-bucket window and the bucket-totals aggregate consume
     // this; tracked persist so regex tokenization runs once (the cached

@@ -61,6 +61,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("keys=[bkt"), p)
   }
 
+  test("x12: knownCount seam skips the derivation scan without changing offsets") {
+    import graft.core.Tables
+    import graft.queries.TrainingData
+    val docs = Tables(spark, dir, "documents")
+    val exact = TrainingData.sequencePack(docs).collect()
+    // A ~2x-off estimate lands on a different bucket COUNT, but bucket
+    // boundaries are a partitioning detail: the two-level prefix sum is
+    // exact for any bucket count, so the packed offsets must not move.
+    val approx = TrainingData.sequencePack(docs, knownCount = Some(docs.count() * 2)).collect()
+    assert(exact.sameElements(approx))
+  }
+
   test("x12: bucket count derivation bounds both window levels at ~sqrt(N)") {
     import graft.queries.TrainingData.packBucketCount
     for (n <- Seq(1L, 500L, 50000L, 10000000000L); parts <- Seq(4, 32, 2000)) {
