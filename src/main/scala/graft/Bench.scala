@@ -24,7 +24,10 @@ object Bench {
     // st7 +0.1-0.2s, none faster beyond noise. At toy state sizes the
     // HDFS-backed heap store's zero-copy commit wins; RocksDB is the
     // production backend once state exceeds heap (result parity pinned by
-    // EventStreamSpec). Bench therefore keeps the default store.
+    // EventStreamSpec). Bench therefore keeps the default store for
+    // WATERMARK-BOUNDED state. st3's unbounded-keyspace state runs on
+    // RocksDB by default regardless (EventStream.withUnboundedKeyspaceState
+    // — the scale-safe production election, benched as-shipped).
     if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

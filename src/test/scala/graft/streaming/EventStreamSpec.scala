@@ -75,6 +75,62 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("st3 defaults to RocksDB (unbounded-keyspace cutover) and matches batch truth") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val dir = "/root/testdata/sf0.001"
+    // Capture state-operator custom metrics: only the RocksDB provider
+    // emits rocksdb* keys, so their presence proves the election engaged
+    // end-to-end (not just that a conf was set and restored).
+    val metricKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(s => metricKeys.addAll(s.customMetrics.keySet()): Unit)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      assert(spark.conf.getOption(EventStream.UnboundedStateBackendConf).isEmpty)
+      val got = EventStream.userRunningStats(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // Batch truth folds the same per-row arithmetic (math.round ties
+      // away from the SQL round's behavior on negative halves — so fold,
+      // don't re-derive in SQL).
+      val expected = graft.core.Tables.events(spark, dir)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (u, rows) =>
+          (u, rows.length.toLong,
+            rows.map(r => math.round(r._2 * 100)).sum,
+            rows.map(_._3).max)
+        }
+        .toSeq.sortBy(_._1)
+      assert(got.toSeq == expected)
+      // Listener delivery is async: give the progress events a deadline.
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!metricKeys.asScala.exists(_.startsWith("rocksdb")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(metricKeys.asScala.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state-store metrics observed; saw: ${metricKeys.asScala.take(10)}")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("unbounded-keyspace backend conf: heap opts out, junk value fails fast") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set(EventStream.UnboundedStateBackendConf, "heap")
+    try {
+      // Same results on the heap store (the small-keyspace opt-out path).
+      assert(EventStream.userRunningStats(spark, dir).count() > 0)
+      spark.conf.set(EventStream.UnboundedStateBackendConf, "junk")
+      intercept[IllegalArgumentException] {
+        EventStream.userRunningStats(spark, dir).count()
+      }: Unit
+    } finally spark.conf.unset(EventStream.UnboundedStateBackendConf)
+  }
+
   test("runDurable handles a zero-row result (metadata-only file sink)") {
     import spark.implicits._
     val src = tmpDir("empty_src")
