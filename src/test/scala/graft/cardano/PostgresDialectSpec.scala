@@ -144,6 +144,45 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scalar("SELECT count(*) FROM pg_class WHERE relname = 'stg_blocks'") == "0")
   }
 
+  test("text[] tx_hash merges through the verbatim dialect SQL (reference cardano_tables.py:56)") {
+    assume(available, "no usable PostgreSQL install on this host")
+    // The reference stores block→transactions as ARRAY(String) in
+    // Postgres; the lake side carries it as native ArrayType
+    // (Schemas.scala). This closes the executed-path gap: a real text[]
+    // column through the SAME generated staging DDL + DISTINCT ON +
+    // ON CONFLICT merge, array literals and all.
+    sql("""CREATE TABLE cardano_block_transactions (
+          |  "hash" VARCHAR(64) PRIMARY KEY,
+          |  "tx_hash" TEXT[] NOT NULL)""".stripMargin)
+    sql(d.createStagingSql("cardano_block_transactions", "stg_bt"))
+    // LIKE-based staging DDL must inherit the ARRAY type exactly.
+    assert(scalar(
+      """SELECT format_type(atttypid, atttypmod) FROM pg_attribute
+        | WHERE attrelid = 'stg_bt'::regclass AND attname = 'tx_hash'""".stripMargin)
+      == "text[]")
+    // One double-staged key with DIFFERENT array payloads: DISTINCT ON
+    // must dedup on the PK with the array riding along untouched.
+    sql("""INSERT INTO stg_bt VALUES
+          | ('b1', ARRAY['t1','t2']),
+          | ('b2', ARRAY[]::text[]),
+          | ('b1', ARRAY['t1-retry'])""".stripMargin)
+    val merge = d.mergeSql("cardano_block_transactions", "stg_bt",
+      Seq("hash", "tx_hash"), Seq("hash"))
+    assert(mergeTag(sql(merge)) == 2)
+    // Element-exact round-trip: real array elements, not a stringified blob.
+    val b1 = scalar(
+      """SELECT array_to_string("tx_hash", '|') FROM cardano_block_transactions
+        | WHERE "hash" = 'b1'""".stripMargin)
+    assert(Set("t1|t2", "t1-retry").contains(b1), b1)
+    assert(scalar(
+      """SELECT cardinality("tx_hash") FROM cardano_block_transactions
+        | WHERE "hash" = 'b2'""".stripMargin) == "0")
+    // Replaying the staged batch inserts zero — idempotent with arrays too.
+    assert(mergeTag(sql(merge)) == 0)
+    assert(scalar("SELECT count(*) FROM cardano_block_transactions") == "2")
+    d.dropSql("stg_bt").foreach(s => sql(s): Unit)
+  }
+
   test("FK-ordered merges in one transaction roll back atomically on failure") {
     assume(available, "no usable PostgreSQL install on this host")
     sql("""CREATE TABLE t_parent ("id" BIGINT PRIMARY KEY);
