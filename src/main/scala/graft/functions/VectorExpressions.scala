@@ -80,6 +80,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(TextExpressions.TokensName),
       new ExpressionInfo(classOf[WordTokens].getCanonicalName, TextExpressions.TokensName),
       { exprs: Seq[Expression] => WordTokens(exprs.head) }))
+    e.injectFunction((
+      FunctionIdentifier(TextExpressions.SimHashName),
+      new ExpressionInfo(classOf[SimHash60].getCanonicalName, TextExpressions.SimHashName),
+      { exprs: Seq[Expression] => SimHash60(exprs.head) }))
   }
 }
 

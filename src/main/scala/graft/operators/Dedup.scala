@@ -223,9 +223,12 @@ object Dedup {
     // candidate+verify pipeline), then derive both edge directions from
     // the materialized frame.
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // Deriving the symmetric edge list per use is two NARROW scans of
+    // the already-materialized pair blocks — strictly cheaper than the
+    // second checkpoint job this used to run (each iteration's join
+    // re-shuffles edges either way, so materializing them buys nothing).
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
     // Only vertices touched by an edge can ever change label — iterate
     // over that (usually tiny) subgraph and union the untouched
     // singletons back at the end. At corpus scale this is the difference
@@ -334,22 +337,19 @@ object Dedup {
       .distinct()
   }
 
-  /** 60-bit SimHash per document: per-bit majority vote over token
-    * hashes. The bit explode (x60) happens AFTER the token explode and
-    * feeds a partial aggregate, so the shuffle carries only (doc, 60
-    * votes) — not token rows.
+  /** 60-bit SimHash per document: per-bit majority vote over distinct
+    * token hashes, computed entirely inside the codegen'd
+    * [[graft.functions.SimHash60]] expression — a SHUFFLE-FREE
+    * projection. The earlier formulation exploded 60 bit-rows per token
+    * through two hash-aggregate shuffles; at corpus scale that made the
+    * signature stage a shuffle bottleneck when it is naturally
+    * embarrassingly parallel map work. Bit-identical to the explode
+    * formulation (same h60 per token, same majority rule — pinned by
+    * TextExpressionsSpec and the unchanged d4/d11 oracles).
     */
-  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val tok = df.select(idCol.as("doc_id"), explode(array_distinct(tokens(text))).as("tok"))
-      .withColumn("h", h60(col("tok")))
-    tok.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("vote", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(lit(0L))).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+      graft.functions.TextExpressions.simhashOf(array_distinct(tokens(text))).as("simhash"))
 
   /** Fuzzy matching via blocked edit distance, TWO blocking passes:
     * candidate pairs share a BLOCK key — their first token in pass one,

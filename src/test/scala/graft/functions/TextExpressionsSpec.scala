@@ -43,4 +43,33 @@ class TextExpressionsSpec extends SparkSpec {
       .filter(not(col("fast") === col("ref")))
     assert(diff.count() == 0)
   }
+
+  test("simhash60 matches the h60 explode/vote formulation on the corpus") {
+    // The reference formulation SimHash60 replaced: explode distinct
+    // tokens, h60 each, majority-vote the 60 bits through two
+    // aggregations. Any hash or vote drift breaks the d4/d11 oracles,
+    // so pin bit-identity here on real data.
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val fast = docs.select(col("doc_id"),
+      TextExpressions.simhashOf(array_distinct(TextOps.tokens(col("text")))).as("simhash"))
+    val ref = docs
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .withColumn("h", TextOps.h60(col("tok")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("vote", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(lit(0L))).as("ref_simhash"))
+    val diff = fast.join(ref, "doc_id")
+      .filter(col("simhash") =!= col("ref_simhash"))
+    assert(diff.count() == 0, diff.take(3).mkString("\n"))
+    // and the empty token array hashes to all-negative votes = 0
+    import spark.implicits._
+    val empty = Seq("", "!!!").toDF("text")
+      .select(TextExpressions.simhashOf(array_distinct(TextOps.tokens(col("text")))))
+      .collect().map(_.getLong(0))
+    assert(empty.toSeq == Seq(0L, 0L))
+  }
 }
