@@ -51,6 +51,20 @@ object AsOfJoin {
       toleranceMicros: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    // The matched right row's time travels as the reserved `_rts` struct
+    // field; a rightVals column with that name would make the
+    // `_asof._rts` field lookup ambiguous (duplicate struct field names
+    // resolve arbitrarily) — fail fast instead.
+    require(!rightVals.contains("_rts"),
+      "rightVals must not contain the reserved column name _rts")
+    // The tolerance check runs unix_micros over both times; a non-
+    // timestamp time column would fail deep inside analysis — surface
+    // the documented requirement here.
+    if (toleranceMicros.isDefined)
+      require(right.schema(time).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        s"toleranceMicros requires a TimestampType time column, " +
+          s"got ${right.schema(time).dataType.simpleString} for '$time'")
     // The carried right row travels as ONE struct through the window, so
     // every asof_* value comes from the same right row even when some of
     // its fields are null (per-column last(ignoreNulls) could mix rows).

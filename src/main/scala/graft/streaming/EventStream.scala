@@ -81,6 +81,15 @@ object EventStream {
     * rule SourcesAndStreams applies to partitioned/bucketed layouts).
     * Checkpoints, state and sinks stay strictly per-run. Staged dirs are
     * reaped at JVM exit by the scratch shutdown hook.
+    *
+    * ASSUMPTION (by design): a source dir's contents are immutable for
+    * the JVM's lifetime — the cache key is (kind, path) only, so a
+    * caller that rewrites `events.parquet` in place mid-session would
+    * be served the stale staged copy and schema. Every driver here
+    * (Verify/Bench/specs) reads the read-only testdata dirs or fresh
+    * tmp dirs, which is what keeps a plain path key sufficient; a
+    * mutable-source deployment must fold a content fingerprint
+    * (size/mtime) into the key or restage per run.
     */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -477,6 +486,20 @@ object EventStream {
     * two formulations, one semantic, both hash-checked. The window's
     * `end` is last-event + gap by definition, so the gap is subtracted
     * back to report the last event time st7 reports.
+    *
+    * st9-vs-st7 cost finding (profiled sf0.1, 5 reps, same window):
+    * st9 runs within ~10% of st7 (1.9-2.2 s vs 1.8-2.1 s steady; the
+    * r5 bench's +29% included host noise). The residual delta is state
+    * LAYOUT, not a plan flaw: `session_window` keeps one store row per
+    * OPEN SESSION under a composite (key, start) and pays a
+    * restore-merge-save cycle per batch, where st7's operator keeps one
+    * state blob per user. The upstream mitigation —
+    * `...sessionWindow.merge.sessions.in.local.partition=true`, which
+    * pre-merges sessions map-side — was A/B-measured HERE and is
+    * slower at these micro-batch sizes (2.2-2.5 s: the extra per-
+    * partition sort costs more than the saved shuffle rows); it becomes
+    * the right knob when batches carry many events per (user, session),
+    * which this fixture's ~2 events/session does not.
     */
   def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
     sentinelStaged(spark, dir) match {
@@ -664,8 +687,10 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("user_id"))
-    // 8 (not 4): dedup state carries EVERY event key, the largest
-    // keyspace of the streaming queries.
+    // 8 (not 4): dedup state holds the keys inside the watermark window
+    // (bounded — that is dropDuplicatesWithinWatermark's point), but
+    // per-event keys make it the largest state among the streaming
+    // queries on this fixture, so it gets more state partitions.
     val out = withStatePartitions(spark, 8)(runDurable(deduped, "append"))
     out.orderBy(col("event_id"))
   }

@@ -33,6 +33,24 @@ class AsOfJoinSpec extends SparkSpec {
       201L -> None))
   }
 
+  test("misuse fails fast: reserved _rts name and non-timestamp tolerance column") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "id")
+    val rightRts = Seq((1L, ts("2024-01-01 09:00:00"), 2L, "x"))
+      .toDF("k", "ts", "id", "_rts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, rightRts, "k", "ts", "id", Seq("_rts"))
+    }: Unit
+    // tolerance requires a real TimestampType time column (unix_micros
+    // over a long would fail deep inside analysis otherwise)
+    val leftLong = Seq((1L, 10L, 1L)).toDF("k", "t", "id")
+    val rightLong = Seq((1L, 9L, 2L)).toDF("k", "t", "id")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(leftLong, rightLong, "k", "t", "id", Seq("id"),
+        toleranceMicros = Some(1000000L))
+    }: Unit
+  }
+
   test("all asof_* columns come from the SAME right row even when it carries nulls") {
     import spark.implicits._
     // r2 is the most recent right row but has a null in `b`; the output
