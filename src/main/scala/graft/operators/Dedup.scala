@@ -351,32 +351,38 @@ object Dedup {
     df.select(idCol.as("doc_id"),
       graft.functions.TextExpressions.simhashOf(array_distinct(tokens(text))).as("simhash"))
 
-  /** Fuzzy matching via blocked edit distance, TWO blocking passes:
+  /** Fuzzy matching via blocked edit distance, THREE blocking passes:
     * candidate pairs share a BLOCK key — their first token in pass one,
-    * their LAST token in pass two — and pass a length prefilter
-    * (|len_a − len_b| ≤ maxDist — a true edit-distance lower bound,
-    * checked inside the join condition so most pairs die before the
-    * O(n·m) Levenshtein runs); survivors are verified with the codegen'd
-    * built-in threshold `levenshtein(l, r, maxDist)`, which abandons the
-    * DP early (banded) once the distance exceeds the threshold — a large
-    * constant-factor win on long strings with small maxDist.
+    * their LAST token in pass two, their SECOND token in pass three —
+    * and pass a length prefilter (|len_a − len_b| ≤ maxDist — a true
+    * edit-distance lower bound, checked inside the join condition so
+    * most pairs die before the O(n·m) Levenshtein runs); survivors are
+    * verified with the codegen'd built-in threshold
+    * `levenshtein(l, r, maxDist)`, which abandons the DP early (banded)
+    * once the distance exceeds the threshold — a large constant-factor
+    * win on long strings with small maxDist.
     *
     * Single-pass blocking has a recall hole: an edit INSIDE the block
-    * token moves a doc to another block and the pair is unreachable. Two
-    * passes close it for any pair whose edits leave EITHER end token
-    * intact (an edit within maxDist of a multi-token string cannot touch
-    * both end tokens when maxDist < the tokens' combined length —
-    * remaining misses need a phonetic/q-gram key, the standard
-    * entity-resolution ladder). Pair lists from the passes are unioned
-    * and deduped; `dist` is identical in both, so `distinct()` suffices.
+    * token moves a doc to another block and the pair is unreachable.
+    * The pass set reaches every pair whose edits leave the first, last
+    * OR second token intact — in particular a pair differing in BOTH
+    * end tokens is now reachable through the pass-three key (for the
+    * three-token titles d14 derives, the second token IS the middle
+    * one, so only a pair edited in all three tokens at once remains
+    * out of reach — the point where token blocking ends and the
+    * standard ladder continues with phonetic keys). Pair lists from
+    * the passes are unioned and deduped; `dist` is identical in all,
+    * so `distinct()` suffices.
     *
     * Scale: all-pairs edit distance is quadratic and unrunnable;
     * blocking bounds the join to per-block pairs, and `maxBlock` drops
     * degenerate blocks (a stop word as block key would otherwise go
     * quadratic — same role as [[capShingles]]'s stop-shingle cap), bound
-    * per pass with its own pass's key. The block count bound is a window
-    * partitioned by the block key, fully parallel. The base projection
-    * is persisted once and feeds all four join sides.
+    * per pass with its own pass's key (short titles land in pass
+    * three's '' block, which the cap bounds like any other). The block
+    * count bound is a window partitioned by the block key, fully
+    * parallel. The base projection is persisted once and feeds all six
+    * join sides.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, title: Column,
       maxDist: Int, maxBlock: Int): DataFrame = {
@@ -386,7 +392,9 @@ object Dedup {
       base, substring_index(col("title"), " ", 1), maxDist, maxBlock)
     val byLast = blockedDistancePass(
       base, substring_index(col("title"), " ", -1), maxDist, maxBlock)
-    byFirst.unionByName(byLast).distinct()
+    val bySecond = blockedDistancePass(
+      base, split_part(col("title"), lit(" "), lit(2)), maxDist, maxBlock)
+    byFirst.unionByName(byLast).unionByName(bySecond).distinct()
   }
 
   /** One blocking pass of [[fuzzyPairs]]: block on `blockKey`, cap

@@ -947,11 +947,14 @@ object TrainingData {
         |  FROM documents),
         |b AS (SELECT doc_id, title,
         |        split_part(title, ' ', 1) AS blk1,
-        |        string_split(title, ' ')[-1] AS blk2 FROM t),
+        |        string_split(title, ' ')[-1] AS blk2,
+        |        split_part(title, ' ', 2) AS blk3 FROM t),
         |f1 AS (SELECT * FROM (SELECT doc_id, title, blk1 AS blk,
         |         count(*) OVER (PARTITION BY blk1) AS bn FROM b) WHERE bn <= 500),
         |f2 AS (SELECT * FROM (SELECT doc_id, title, blk2 AS blk,
         |         count(*) OVER (PARTITION BY blk2) AS bn FROM b) WHERE bn <= 500),
+        |f3 AS (SELECT * FROM (SELECT doc_id, title, blk3 AS blk,
+        |         count(*) OVER (PARTITION BY blk3) AS bn FROM b) WHERE bn <= 500),
         |p1 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |         CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
         |       FROM f1 a JOIN f1 b2
@@ -963,9 +966,16 @@ object TrainingData {
         |       FROM f2 a JOIN f2 b2
         |         ON a.blk = b2.blk AND a.doc_id < b2.doc_id
         |        AND abs(length(a.title) - length(b2.title)) <= 3
+        |       WHERE levenshtein(a.title, b2.title) <= 3),
+        |p3 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |         CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
+        |       FROM f3 a JOIN f3 b2
+        |         ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |        AND abs(length(a.title) - length(b2.title)) <= 3
         |       WHERE levenshtein(a.title, b2.title) <= 3)
         |SELECT DISTINCT doc_a, doc_b, dist
-        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM p3)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x15_oov_rate" ->
       """WITH toks AS (

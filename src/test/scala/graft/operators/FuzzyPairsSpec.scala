@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** [[Dedup.fuzzyPairs]]: blocked edit-distance semantics — candidate
-  * generation (first-token + last-token blocking passes), the
+  * generation (first/last/second-token blocking passes), the
   * degenerate-block cap per pass, the length lower-bound prefilter, and
   * the banded distance threshold.
   */
@@ -25,19 +25,25 @@ class FuzzyPairsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
-  test("second pass recovers pairs whose FIRST token was edited") {
+  test("later passes recover pairs whose FIRST token — or BOTH end tokens — were edited") {
     // Single-pass first-token blocking can never produce (1,2): the edit
-    // is inside the block key. The last-token pass co-blocks them.
+    // is inside the block key. The last-token pass co-blocks them. And
+    // (1,3) differs in BOTH end tokens — formerly the documented recall
+    // hole — which the SECOND-token pass now reaches (middle intact).
     val got = pairs(Seq(
       (1L, "cat beta gamma"),
       (2L, "car beta gamma"),   // first-token edit, dist 1
       (3L, "cut beta gamms")),  // first+last BOTH edited: dist 2 from #1
       maxDist = 3, maxBlock = 10)
     assert(got.contains((1L, 2L, 1L)), got)
-    // #3 differs from #1 in BOTH end tokens: unreachable by construction
-    // (the documented residual recall trade), even though true dist ≤ 3.
-    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), got)
-    // pair found by BOTH passes (edit in the middle) appears exactly once
+    assert(got.contains((1L, 3L, 2L)), got)
+    // the remaining (honest) residual: edits touching ALL THREE tokens
+    val allThree = pairs(Seq(
+      (1L, "cat beta gamma"),
+      (2L, "cut betx gamms")),  // dist 3, every token edited
+      maxDist = 3, maxBlock = 10)
+    assert(allThree.isEmpty, allThree)
+    // pair found by SEVERAL passes (edit in the middle) appears exactly once
     val both = pairs(Seq((1L, "key mid gamma"), (2L, "key mud gamma")),
       maxDist = 3, maxBlock = 10)
     assert(both == Set((1L, 2L, 1L)))
