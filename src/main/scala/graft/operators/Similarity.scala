@@ -130,6 +130,30 @@ object Similarity {
     p
   }
 
+  /** IVF coarse-cell count derived from the corpus: smallest c in
+    * [minCells, maxCells] with c²·dims ≥ n — i.e. c ≈ √(n/dims), the
+    * point where the quantizer's two cost terms balance. Flat argmax
+    * assignment costs n·c·dims (every row dots every centroid) and the
+    * within-cell self-join costs ~n²/c; a FIXED cell count lets the
+    * join term grow quadratically with the corpus (the flaw
+    * [[derivePlanes]] fixes for SRP buckets), while cells ∝ n would
+    * blow up the assignment term instead. √(n/dims) grows both
+    * sub-linearly: at 5k vectors it lands on 9 cells, at 1B on ~4000.
+    * Exact integer arithmetic (no FP sqrt whose rounding could disagree
+    * across engines) — the SQL oracle re-derives the identical count
+    * with the same smallest-c search. Past maxCells a real deployment
+    * stops flat-assigning and trains a hierarchical quantizer; the
+    * clamp marks that boundary explicitly.
+    */
+  def deriveCells(n: Long, dims: Int = 64,
+      minCells: Int = 8, maxCells: Int = 4096): Int = {
+    require(dims > 0 && minCells >= 1 && maxCells >= minCells,
+      s"bad cell bounds: dims=$dims min=$minCells max=$maxCells")
+    var c = minCells
+    while (c < maxCells && c.toLong * c * dims < n) c += 1
+    c
+  }
+
   /** Batch ANN: EVERY vector gets its k nearest neighbors among the
     * vectors in its own SRP bucket or any Hamming-1 neighbor bucket —
     * the corpus-wide similarity-search workload (retrieval indexing,

@@ -385,17 +385,30 @@ object TrainingData {
     * already has cosine pairs feeds [[Dedup.connectedComponents]]
     * directly; one that has embeddings starts here — either way the IVF
     * join runs once, never once per consumer).
+    *
+    * The cell count DERIVES from the corpus size
+    * ([[Similarity.deriveCells]]: c ≈ √(n/dims), exact integer search
+    * the SQL oracle re-derives) — a fixed count would make the
+    * within-cell join quadratic at corpus scale, the same flaw
+    * `derivePlanes` fixes for d13. `knownCount` skips the derivation
+    * scan when the caller already knows the corpus size (table stats, a
+    * prior action); the derivation is √-scaled, so a ~2x-off estimate
+    * moves the cell count by at most ~√2 — same recall/cost band.
     */
-  def embeddingNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNeardupPairs(spark: SparkSession, dir: String,
+      knownCount: Option[Long] = None): DataFrame = {
     Similarity.ensure(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val cells = Similarity.deriveCells(
+      knownCount.getOrElse(emb.count()), 64, minCells = ivfCells)
     // Persist (tracked) the celled+normed projection: both self-join
     // sides consume it, and without the persist the corpus is scanned —
     // and the nCentroids×dims argmax-dot cell assignment recomputed —
     // TWICE (once per side). Same pattern as d13's bucketed projection.
     val n = graft.core.Caches.persistTracked(
-      Tables(spark, dir, "embeddings").select(
+      emb.select(
         col("vec_id"),
-        Similarity.coarseCell(col("embedding"), ivfCells, 64).as("cell"),
+        Similarity.coarseCell(col("embedding"), cells, 64).as("cell"),
         col("embedding"),
         Similarity.norm(col("embedding")).as("nrm")))
     val a = n.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -853,10 +866,13 @@ object TrainingData {
         |       AS BIGINT) AS code
         |FROM e JOIN s USING (dim) ORDER BY e.vec_id, e.dim""".stripMargin,
     "d15_semantic_dedup" ->
-      s"""WITH RECURSIVE centroids AS (
+      s"""WITH RECURSIVE nc AS (
+         |  SELECT coalesce(min(c), 4096) AS nc FROM range(4097) r(c)
+         |  WHERE c >= 8 AND c*c*64 >= (SELECT count(*) FROM embeddings)),
+         |centroids AS (
          |  SELECT c, list((${h60sql.format("'cent' || c || ':' || i")} % 2001 - 1000) / 1000.0
          |                 ORDER BY i) AS w
-         |  FROM range(8) rc(c), range(64) ri(i) GROUP BY c),
+         |  FROM range(4096) rc(c), range(64) ri(i), nc WHERE c < nc.nc GROUP BY c),
          |n AS (SELECT vec_id,
          |             (SELECT c FROM centroids
          |              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), w) DESC, c
@@ -880,10 +896,13 @@ object TrainingData {
          |FROM comp c JOIN csize s USING (component)
          |ORDER BY vec_id""".stripMargin,
     "d7_embedding_neardup" ->
-      s"""WITH centroids AS (
+      s"""WITH nc AS (
+         |  SELECT coalesce(min(c), 4096) AS nc FROM range(4097) r(c)
+         |  WHERE c >= 8 AND c*c*64 >= (SELECT count(*) FROM embeddings)),
+         |centroids AS (
          |  SELECT c, list((${h60sql.format("'cent' || c || ':' || i")} % 2001 - 1000) / 1000.0
          |                 ORDER BY i) AS w
-         |  FROM range(8) rc(c), range(64) ri(i) GROUP BY c),
+         |  FROM range(4096) rc(c), range(64) ri(i), nc WHERE c < nc.nc GROUP BY c),
          |n AS (SELECT vec_id,
          |             (SELECT c FROM centroids
          |              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), w) DESC, c

@@ -146,6 +146,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("simhash60("), p)
   }
 
+  test("d7/d15: IVF cell count derives from corpus size (c ~ sqrt(n/dims), clamped)") {
+    import graft.operators.Similarity.deriveCells
+    // smallest c with c^2*dims >= n, so both IVF cost terms
+    // (assignment n*c*dims, join n^2/c) grow sub-linearly
+    for (n <- Seq(500L, 5000L, 5000000L, 1000000000L)) {
+      val c = deriveCells(n, 64)
+      if (c > 8) assert((c.toLong - 1) * (c - 1) * 64 < n, s"n=$n c=$c")
+      if (c < 4096) assert(c.toLong * c * 64 >= n, s"n=$n c=$c")
+    }
+    assert(deriveCells(500, 64) == 8)    // sf0.01: clamped at the minimum
+    assert(deriveCells(5000, 64) == 9)   // sf0.1: just past the clamp
+    assert(deriveCells(1000000000L, 64) == 3953) // 1B vectors: ~4k cells
+    assert(deriveCells(Long.MaxValue, 64) == 4096) // flat-assignment boundary
+  }
+
   test("d13: plane count derives from corpus size (the x12 packBucketCount twin)") {
     import graft.operators.Similarity.derivePlanes
     // bucket count 2^p scales with N at constant expected membership
