@@ -155,6 +155,15 @@ object SourcesAndStreams {
   def st3StatefulStats(spark: SparkSession, dir: String): DataFrame =
     EventStream.userRunningStats(spark, dir)
 
+  /** st3 through the modern `transformWithState` API with a native
+    * state TTL (the TTL-bounded state shape) — same semantics on this
+    * bounded replay (nothing expires inside the default TTL), same
+    * oracle; real expiry is spec-pinned. See
+    * [[EventStream.userRunningStatsTtl]].
+    */
+  def st10TtlStats(spark: SparkSession, dir: String): DataFrame =
+    EventStream.userRunningStatsTtl(spark, dir)
+
   /** Stream-stream interval join (purchases × preceding-hour clicks). */
   def st4StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     EventStream.purchaseClickJoin(spark, dir)
@@ -303,6 +312,7 @@ object SourcesAndStreams {
     "st1_stream_window_agg" -> (st1StreamWindowAgg _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stateful_stats" -> (st3StatefulStats _),
+    "st10_ttl_stats" -> (st10TtlStats _),
     "st4_stream_stream_join" -> (st4StreamStreamJoin _),
     "st5_stream_file_sink" -> (st5StreamFileSink _),
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
@@ -420,6 +430,14 @@ object SourcesAndStreams {
         | max(p_type) AS max_type
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "st3_stateful_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_micros
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // st10 = st3 through transformWithState + TTL; nothing expires
+    // within the default TTL on the bounded replay, so the oracle is
+    // st3's (expiry itself is spec-pinned, not oracle-checkable).
+    "st10_ttl_stats" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
         | CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_micros

@@ -150,7 +150,27 @@ object EventStream {
     * driver-memory sink, so results never pin driver heap and the same
     * wiring runs unbounded by swapping the trigger.
     */
-  def runDurable(df: DataFrame, outputMode: String): DataFrame = {
+  def runDurable(df: DataFrame, outputMode: String): DataFrame =
+    runDurableWith(df, outputMode, drainAndStop = false)
+
+  /** [[runDurable]] for queries whose stateful operator keeps scheduling
+    * no-data micro-batches forever — observed live with
+    * `transformWithState` in processing-time mode, where the engine
+    * fires TTL-service batches indefinitely (~4/s on this host), so
+    * `awaitTermination` under AvailableNow NEVER returns, and
+    * `processAllAvailable` doesn't either (every service batch resets
+    * its no-new-data latch). Termination is made explicit from query
+    * PROGRESS instead: the bounded source delivers its data in ordinary
+    * micro-batches, and once a batch that read rows has COMMITTED and a
+    * later zero-input service batch proves nothing is pending, the query
+    * is stopped. Identical data processed; service batches append zero
+    * rows, which the snapshot compaction ignores anyway.
+    */
+  private[streaming] def runDurableDrained(df: DataFrame, outputMode: String): DataFrame =
+    runDurableWith(df, outputMode, drainAndStop = true)
+
+  private def runDurableWith(df: DataFrame, outputMode: String,
+      drainAndStop: Boolean): DataFrame = {
     val root = scratchDir("sink")
     val out = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
@@ -163,10 +183,6 @@ object EventStream {
             batch.write.mode("append").parquet(out)
         }
     }
-    val q = writer
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
     // Materialize (localCheckpoint is eager), then reap in finally: the
     // RAM-backed sink+checkpoint must not outlive the run, success or
     // failure. Read back with the stream's own schema: a query whose
@@ -174,7 +190,28 @@ object EventStream {
     // `_spark_metadata` log (or, for foreachBatch with zero batches, no
     // directory at all), and schema inference over zero files fails.
     try {
-      q.awaitTermination()
+      if (drainAndStop) {
+        val q = writer.option("checkpointLocation", ckpt).start()
+        try {
+          def drained: Boolean = {
+            val ps = q.recentProgress
+            ps.exists(_.numInputRows > 0) && ps.lastOption.exists(_.numInputRows == 0)
+          }
+          val deadline = System.nanoTime() + 300L * 1000000000L
+          while (!drained && System.nanoTime() < deadline) {
+            q.exception.foreach(throw _)
+            Thread.sleep(50)
+          }
+          if (!drained) throw new IllegalStateException(
+            "bounded source did not drain within deadline")
+        } finally q.stop()
+      } else {
+        val q = writer
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       if (Files.exists(Paths.get(out)))
         df.sparkSession.read.schema(df.schema).parquet(out).localCheckpoint()
       else
@@ -266,14 +303,7 @@ object EventStream {
   private def withUnboundedKeyspaceState[A](spark: SparkSession)(body: => A): A =
     spark.conf.getOption(UnboundedStateBackendConf).getOrElse("rocksdb") match {
       case "heap" => body
-      case "rocksdb" =>
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, RocksDbProvider)
-        try body finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
+      case "rocksdb" => withStateProvider(spark, RocksDbProvider)(body)
       case other => throw new IllegalArgumentException(
         s"$UnboundedStateBackendConf must be rocksdb|heap, got '$other'")
     }
@@ -323,6 +353,93 @@ object EventStream {
         max_by(col("value_cents"), col("n_events")).as("value_cents"),
         max_by(col("last_ts_micros"), col("n_events")).as("last_ts_micros"))
       .orderBy(col("user_id"))
+  }
+
+  /** [[userRunningStats]] through the MODERN arbitrary-state API
+    * (Spark 4 `transformWithState`): a [[RunningStatsProcessor]] with
+    * ONE typed `ValueState` carrying a NATIVE per-state TTL — the
+    * TTL-BOUNDED point on the state-bound spectrum this file covers
+    * (watermark-bounded: st1/st2/st4/st9; TTL-bounded: here;
+    * unbounded-forever: st3, which therefore defaults to RocksDB).
+    * TTL eviction is the engine's, not hand-rolled timer code: expired
+    * state reads as absent on the next access and its storage is
+    * reclaimed by the store, so state size is bounded by keys ACTIVE
+    * within the TTL window no matter how large the total key universe
+    * grows — the semantics a production running-stats pipeline usually
+    * actually wants (st3's run-forever contract is the special case
+    * TTL=∞). `transformWithState` requires the RocksDB provider by
+    * engine contract, which is set for the query's duration.
+    *
+    * With a TTL far longer than the bounded replay nothing expires, so
+    * the default result equals st3's — st10 shares st3's oracle — and
+    * the spec pins REAL expiry with a short TTL and forced wall-clock
+    * between micro-batches.
+    */
+  def userRunningStatsTtl(spark: SparkSession, dir: String,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    import spark.implicits._
+    val in = readEventsStaged(spark, dir)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[EventIn]
+    val out = in.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val snapshots = withStatePartitions(spark, 4)(withStateProvider(spark)(
+      runDurableDrained(out.toDF("user_id", "n_events", "value_cents", "last_ts_micros"), "update")))
+    snapshots
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("value_cents"), col("n_events")).as("value_cents"),
+        max_by(col("last_ts_micros"), col("n_events")).as("last_ts_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The `StatefulProcessor` behind [[userRunningStatsTtl]] — same fold
+    * as st3's mapGroupsWithState body (identical per-row arithmetic, so
+    * the two formulations share one oracle), with state declared
+    * through the handle API and the TTL attached AT THE STATE VARIABLE,
+    * not in user code. `exists()` doubles as the expiry check: state
+    * past its TTL reads as absent and the fold restarts from zero —
+    * exactly the bounded-state semantics (spec-pinned with a short TTL).
+    * private[streaming] so the spec can drive it through its own
+    * two-batch source with forced wall-clock between batches.
+    */
+  private[streaming] class RunningStatsProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventIn, (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userStats",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig(ttl))
+    override def handleInputRows(user: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { (s, r) =>
+        UserState(s.n + 1, s.cents + math.round(r.value * 100), math.max(s.lastTs, r.tsMicros))
+      }
+      state.update(next)
+      Iterator.single((user, next.n, next.cents, next.lastTs))
+    }
+  }
+
+  /** Pin the state-store provider for the query built in `body` —
+    * `transformWithState` requires RocksDB by engine contract (state
+    * TTL lives in the store's value layout). Same session-conf scoping
+    * rules as [[withStatePartitions]].
+    */
+  private[streaming] def withStateProvider[A](spark: SparkSession,
+      provider: String = RocksDbProvider)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Event-time-ordered multi-file staged copy: range-partitioned on the

@@ -131,6 +131,64 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.conf.unset(EventStream.UnboundedStateBackendConf)
   }
 
+  test("st10 transformWithState matches st3's mapGroupsWithState results") {
+    val dir = "/root/testdata/sf0.001"
+    val viaTws = EventStream.userRunningStatsTtl(spark, dir).collect().toSeq
+    val viaMgws = EventStream.userRunningStats(spark, dir).collect().toSeq
+    assert(viaTws.nonEmpty)
+    assert(viaTws == viaMgws)
+  }
+
+  test("transformWithState TTL: expired state restarts the fold (bounded-state contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val src = tmpDir("tws_src")
+    val out = tmpDir("tws_out") + "/log"
+    val ckpt = tmpDir("tws_ckpt")
+    // Two files for the same user; maxFilesPerTrigger=1 makes them two
+    // micro-batches, and the 400ms sleep after each batch's write puts
+    // real wall-clock between their commits — far past the 100ms TTL,
+    // so batch two must read ABSENT state and restart the fold.
+    Seq((1L, 1.0, 1000L)).toDF("user_id", "value", "tsMicros")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, 2.0, 2000L), (1L, 3.0, 3000L)).toDF("user_id", "value", "tsMicros")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[EventStream.EventIn]
+    val stats = in.groupByKey(_.user_id)
+      .transformWithState(
+        new EventStream.RunningStatsProcessor(java.time.Duration.ofMillis(100)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "n_events", "value_cents", "last_ts_micros")
+    val q = EventStream.withStateProvider(spark) {
+      stats.writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          Thread.sleep(400)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    try {
+      def dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (dataBatches < 2 && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(100)
+      }
+      assert(dataBatches >= 2, "two data batches did not commit in time")
+    } finally q.stop()
+    // Snapshots: one per batch. With live state the second would read
+    // (3, 600 cents); with the TTL honored it restarts at that batch's
+    // rows only. Batch order is irrelevant — both splits are asserted.
+    val snaps = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(snaps == Set((1L, 100L), (2L, 500L)), s"state not expired: $snaps")
+  }
+
   test("runDurable handles a zero-row result (metadata-only file sink)") {
     import spark.implicits._
     val src = tmpDir("empty_src")
