@@ -102,6 +102,31 @@ object SourcesAndStreams {
       .orderBy(col("p_brand"))
   }
 
+  /** S12: XML round-trip — Spark 4 folded the spark-xml connector into
+    * core, making XML a first-class format of the built-in reader
+    * surface; same lossless round-trip proof as s5/s6/s9 (write with a
+    * rowTag, read back schema-first, aggregate; equality with the
+    * parquet-side oracle proves it). Rounds out the format family:
+    * parquet / JSON / CSV / ORC / XML.
+    */
+  def s12XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"))
+    // staged once per session — see s5JsonRoundtrip
+    val path = stageOnce(s"s12xml:$dir") { () =>
+      val p = scratch("s12xml")
+      src.write.mode(SaveMode.Overwrite).option("rowTag", "customer").xml(p)
+      p
+    }
+    spark.read.schema(src.schema).option("rowTag", "customer").xml(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("sum_bal"),
+        max(col("c_name")).as("max_name"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** S8: read-side schema evolution (the reference's Alembic
     * block_time Integer→DateTime migration, b0673669b6c8, as a lake
     * read). Half of `orders` is written under a v1 schema (totalprice as
@@ -320,6 +345,7 @@ object SourcesAndStreams {
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
+    "s12_xml_roundtrip" -> (s12XmlRoundtrip _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
@@ -429,6 +455,11 @@ object SourcesAndStreams {
         | sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_price,
         | max(p_type) AS max_type
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "s12_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal,
+        | max(c_name) AS max_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "st3_stateful_stats" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
