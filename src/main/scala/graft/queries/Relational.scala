@@ -553,6 +553,26 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Semi-structured extraction via the VARIANT type (Spark 4): q28's
+    * schema-first `from_json` twin on the OTHER modern path —
+    * `parse_json` produces a binary-shredded variant (no up-front
+    * schema; the open-schema lake pattern) and `variant_get` extracts
+    * typed fields at query time with pushdown-friendly codegen. Same
+    * dirty-data totality: a missing/ill-typed path yields null, never a
+    * task failure. Aggregates are chosen to differ from q28 (distinct
+    * count + min) so the two queries don't collapse into one check.
+    */
+  def q34Variant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "bigint").as("k"))
+      .groupBy($"event_type")
+      .agg(count_distinct($"k").as("n_distinct_k"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"))
+      .orderBy($"event_type")
+  }
+
   /** Snapshot reconciliation (lake-vs-warehouse audit, the generalized
     * form of the reference's ingestion-gap check Q7): FULL OUTER join of
     * two table versions on the PK, every row classified added / removed /
@@ -699,6 +719,7 @@ object Relational {
     "q26_subquery_sql" -> (q26SubquerySql _),
     "q27_snapshot_diff" -> (q27SnapshotDiff _),
     "q28_json_extract" -> (q28JsonExtract _),
+    "q34_variant" -> (q34Variant _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -736,6 +757,12 @@ object Relational {
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_variant" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
