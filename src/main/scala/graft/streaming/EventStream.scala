@@ -430,15 +430,28 @@ object EventStream {
     * `transformWithState` requires RocksDB by engine contract (state
     * TTL lives in the store's value layout). Same session-conf scoping
     * rules as [[withStatePartitions]].
+    *
+    * RocksDB queries also get CHANGELOG CHECKPOINTING: without it every
+    * micro-batch uploads a full RocksDB snapshot to the checkpoint
+    * location — O(total state) per batch, the known RocksDB commit
+    * bottleneck once state is large (exactly the regime that chose
+    * RocksDB in the first place); with it each batch persists only that
+    * batch's changelog — O(batch delta) — and snapshots upload in the
+    * background. Recovery replays changelogs over the last snapshot.
+    * This is the production posture for large-state streaming; parity
+    * is covered by the same specs that pin the provider swap.
     */
   private[streaming] def withStateProvider[A](spark: SparkSession,
       provider: String = RocksDbProvider)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, provider)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" -> provider,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        (provider == RocksDbProvider).toString)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
