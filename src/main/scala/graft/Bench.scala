@@ -28,9 +28,15 @@ object Bench {
     // WATERMARK-BOUNDED state. st3's unbounded-keyspace state runs on
     // RocksDB by default regardless (EventStream.withUnboundedKeyspaceState
     // — the scale-safe production election, benched as-shipped).
-    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb")) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Same posture as EventStream.withStateProvider: RocksDB without
+      // changelog checkpointing uploads a full snapshot per batch.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     // c1_* entries are full pipeline runs (rows-only correctness checks),
     // not queries — excluded from the timed benchmark.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

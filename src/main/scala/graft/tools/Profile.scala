@@ -26,9 +26,13 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A/B seam for the streaming state backend (same knob as Bench).
-    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb")) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
