@@ -225,6 +225,26 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM familiarity scoring — the statistical-LM fluency filter
+    * (CCNet's KenLM perplexity gate, Gopher's quality heuristics peer):
+    * train a pruned bigram model on the corpus, then score every
+    * document by its mean add-one-smoothed transition probability. Here
+    * train and score corpora coincide (self-scoring flags the corpus's
+    * own least-fluent tail); the [[TextOps.lmFamiliarity]] seam takes
+    * the model and the scored corpus independently for the production
+    * train-on-reference/score-the-crawl shape. All integer math — see
+    * the seam's determinism contract (no libm log; DuckDB re-derives
+    * the identical scaled rationals). minCount=2 prunes singleton
+    * bigrams: the model stays Zipf-head-sized and broadcastable.
+    */
+  def x16LmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bi = TextOps.bigrams(docs, col("doc_id"), col("text"))
+    TextOps.lmFamiliarity(docs, col("doc_id"), bi,
+        TextOps.bigramLm(bi, minCount = 2L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: shingle-overlap of every corpus document
     * against a held-out benchmark set (doc_id ≡ 0 mod 97 stands in for
     * the eval suite). The benchmark's distinct shingles are the small
@@ -717,6 +737,7 @@ object TrainingData {
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x15_oov_rate" -> (x15OovRate _),
+    "x16_lm_familiarity" -> (x16LmFamiliarity _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -1009,6 +1030,32 @@ object TrainingData {
         |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "x16_lm_familiarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM t WHERE len(t) >= 2),
+        |allt AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |model AS (SELECT w1, w2, c12 FROM allt WHERE c12 >= 2),
+        |heads AS (SELECT w1, sum(c12) AS c1 FROM allt GROUP BY w1),
+        |v AS (SELECT count(*) AS vocab FROM heads),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    (1000000000 * (coalesce(m.c12, 0) + 1)) //
+        |      (coalesce(h.c1, 0) + v.vocab) AS p_scaled
+        |  FROM bi b
+        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN heads h ON b.w1 = h.w1, v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS sum_p
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.sum_p // a.n_bigrams, 0) AS BIGINT) AS familiarity_scaled
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x8_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text),
