@@ -187,6 +187,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x16: LM probe joins broadcast the model; bigram-type table built once") {
+    val p = plan("x16_lm_familiarity")
+    // transitions + heads probes are broadcast joins (the model is
+    // pruned/vocab-sized BY CONSTRUCTION); the corpus-sized bigram side
+    // must never broadcast.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // heads and vocab derive from the SAME persisted bigram-type
+    // aggregate the transitions were filtered from — one corpus-scan
+    // aggregation total, visible as InMemoryRelation reuse.
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q26: correlated EXISTS plans as a semi join; scalar subquery planned once") {
     val p = plan("q26_subquery_sql")
     assert(p.contains("LeftSemi"), p)
