@@ -76,7 +76,11 @@ object TextExpressions {
     java.security.MessageDigest.getInstance("MD5"))
 
   /** 60-bit simhash of a string array (see [[SimHash60]]). Called from
-    * both interpreted eval and generated code.
+    * both interpreted eval and generated code. Null elements are skipped
+    * (vote as if absent) rather than crashing the task: the expression is
+    * exposed as the session SQL function `graft_simhash60`, so arbitrary
+    * user arrays — not just `graft_tokens` output, which never contains
+    * nulls — must follow SQL-style null tolerance.
     */
   def simhash60(toks: ArrayData): Long = {
     val md = md5Local.get()
@@ -84,8 +88,11 @@ object TextExpressions {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
+      val tok = toks.getUTF8String(i)
+      if (tok == null) { i += 1 }
+      else {
       md.reset()
-      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val d = md.digest(tok.getBytes)
       // First 15 hex digits of the md5 == top 60 bits of the big-endian
       // digest — exactly TextOps.h60's conv(substring(md5,1,15),16,10).
       var h = 0L
@@ -98,6 +105,7 @@ object TextExpressions {
         b += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var b = 0

@@ -340,16 +340,23 @@ object Dedup {
   /** 60-bit SimHash per document: per-bit majority vote over distinct
     * token hashes, computed entirely inside the codegen'd
     * [[graft.functions.SimHash60]] expression — a SHUFFLE-FREE
-    * projection. The earlier formulation exploded 60 bit-rows per token
-    * through two hash-aggregate shuffles; at corpus scale that made the
-    * signature stage a shuffle bottleneck when it is naturally
-    * embarrassingly parallel map work. Bit-identical to the explode
-    * formulation (same h60 per token, same majority rule — pinned by
-    * TextExpressionsSpec and the unchanged d4/d11 oracles).
+    * projection (a filter + project, no Exchange). The earlier
+    * formulation exploded 60 bit-rows per token through two
+    * hash-aggregate shuffles; at corpus scale that made the signature
+    * stage a shuffle bottleneck when it is naturally embarrassingly
+    * parallel map work. Bit-identical to the explode formulation on the
+    * SAME row set: token-less documents (empty / punctuation-only text)
+    * produce no token rows under explode and no `sh` row in the DuckDB
+    * oracles, so they are filtered here too rather than emitted with an
+    * all-negative-vote hash of 0 — otherwise d4 gains rows and d11 gains
+    * spurious hamming-0 pairs among empty docs. Row-set AND value parity
+    * are pinned by TextExpressionsSpec's full-outer-join check.
     */
   def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame =
-    df.select(idCol.as("doc_id"),
-      graft.functions.TextExpressions.simhashOf(array_distinct(tokens(text))).as("simhash"))
+    df.select(idCol.as("doc_id"), array_distinct(tokens(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhashOf(col("toks")).as("simhash"))
 
   /** Fuzzy matching via blocked edit distance, THREE blocking passes:
     * candidate pairs share a BLOCK key — their first token in pass one,

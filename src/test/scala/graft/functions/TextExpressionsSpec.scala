@@ -48,10 +48,19 @@ class TextExpressionsSpec extends SparkSpec {
     // The reference formulation SimHash60 replaced: explode distinct
     // tokens, h60 each, majority-vote the 60 bits through two
     // aggregations. Any hash or vote drift breaks the d4/d11 oracles,
-    // so pin bit-identity here on real data.
+    // so pin bit-identity here on real data. The corpus is augmented
+    // with token-less documents (empty / punctuation-only text) and the
+    // comparison is a FULL OUTER join: the explode formulation — and the
+    // DuckDB oracle's unnest — emit NO row for such docs, so
+    // Dedup.simhash must not either; an inner join would silently accept
+    // a row-set divergence (a doc present on only one side).
+    import spark.implicits._
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
-    val fast = docs.select(col("doc_id"),
-      TextExpressions.simhashOf(array_distinct(TextOps.tokens(col("text")))).as("simhash"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "   "), (900003L, "!!! ??? ..."),
+        (900004L, "still has words")).toDF("doc_id", "text"))
+    val fast = graft.operators.Dedup.simhash(docs, col("doc_id"), col("text"))
     val ref = docs
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .withColumn("h", TextOps.h60(col("tok")))
@@ -62,14 +71,37 @@ class TextExpressionsSpec extends SparkSpec {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
         .otherwise(lit(0L))).as("ref_simhash"))
-    val diff = fast.join(ref, "doc_id")
-      .filter(col("simhash") =!= col("ref_simhash"))
-    assert(diff.count() == 0, diff.take(3).mkString("\n"))
-    // and the empty token array hashes to all-negative votes = 0
-    import spark.implicits._
+    val diff = fast.join(ref, Seq("doc_id"), "full_outer")
+      .filter(col("simhash").isNull || col("ref_simhash").isNull ||
+        col("simhash") =!= col("ref_simhash"))
+    assert(diff.count() == 0, diff.take(5).mkString("\n"))
+    // the explode side really did drop the three token-less docs
+    assert(ref.count() == fast.count())
+    assert(fast.filter(col("doc_id") >= 900001L).count() == 1)
+    // and the raw expression still hashes an empty array to 0 (all
+    // negative votes) — the row-DROP lives in Dedup.simhash, by design
     val empty = Seq("", "!!!").toDF("text")
       .select(TextExpressions.simhashOf(array_distinct(TextOps.tokens(col("text")))))
       .collect().map(_.getLong(0))
     assert(empty.toSeq == Seq(0L, 0L))
+  }
+
+  test("simhash60 follows SQL null tolerance on arrays with null elements") {
+    import spark.implicits._
+    // Registered as session SQL function graft_simhash60: arbitrary user
+    // arrays may contain nulls — skip them (vote as if absent), never NPE.
+    val viaSql = spark.sql(
+      s"SELECT ${TextExpressions.SimHashName}(array('alpha', CAST(NULL AS STRING), 'beta')) AS h, " +
+        s"${TextExpressions.SimHashName}(array('alpha', 'beta')) AS ref, " +
+        s"${TextExpressions.SimHashName}(array(CAST(NULL AS STRING), CAST(NULL AS STRING))) AS all_null")
+      .collect().head
+    assert(viaSql.getLong(0) == viaSql.getLong(1)) // nulls skipped
+    assert(viaSql.getLong(2) == 0L)                // all-null == empty
+    // interpreted (non-codegen) path takes the same branch
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[AnyRef](org.apache.spark.unsafe.types.UTF8String.fromString("alpha"), null))
+    val ref = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[AnyRef](org.apache.spark.unsafe.types.UTF8String.fromString("alpha")))
+    assert(TextExpressions.simhash60(arr) == TextExpressions.simhash60(ref))
   }
 }
