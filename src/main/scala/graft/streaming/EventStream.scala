@@ -82,14 +82,14 @@ object EventStream {
     * Checkpoints, state and sinks stay strictly per-run. Staged dirs are
     * reaped at JVM exit by the scratch shutdown hook.
     *
-    * ASSUMPTION (by design): a source dir's contents are immutable for
-    * the JVM's lifetime — the cache key is (kind, path) only, so a
-    * caller that rewrites `events.parquet` in place mid-session would
-    * be served the stale staged copy and schema. Every driver here
-    * (Verify/Bench/specs) reads the read-only testdata dirs or fresh
-    * tmp dirs, which is what keeps a plain path key sufficient; a
-    * mutable-source deployment must fold a content fingerprint
-    * (size/mtime) into the key or restage per run.
+    * The cache key is (kind, path, CONTENT FINGERPRINT): every caller
+    * folds [[sourceFingerprint]] of its input files into the key, so a
+    * caller that rewrites a source file in place mid-session misses the
+    * cache and gets a fresh staged copy and schema — no
+    * source-dir-immutable-per-JVM assumption required (spec-pinned by
+    * the in-place-rewrite test). A superseded staged copy lingers until
+    * the JVM-exit scratch reap — bounded by the number of in-place
+    * rewrites a session performs (zero for the read-only test fixtures).
     */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -97,13 +97,34 @@ object EventStream {
   private def stageSourceOnce[A <: AnyRef](key: String)(build: => A): A =
     stagedSources.computeIfAbsent(key, _ => build).asInstanceOf[A]
 
+  /** Content fingerprint of the files behind a staged source: each
+    * (path, size, mtime) under `paths` (flat listing — sources staged
+    * here are single parquet files or flat dirs), md5-folded to a short
+    * hex key component. Size+mtime is the same change signal the Spark
+    * file source and Hadoop input formats key on; a byte-content hash
+    * would re-read the source on every cache probe.
+    */
+  private def sourceFingerprint(paths: String*): String = {
+    val parts = paths.flatMap { p =>
+      val f = new java.io.File(p)
+      val files =
+        if (f.isDirectory) f.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+        else Seq(f)
+      files.map(g => s"${g.getAbsolutePath}:${g.length}:${g.lastModified}")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** The events table as a stream: nanos-as-long ts converted to a real
     * event-time timestamp column (same convention as
     * [[graft.core.Tables.events]]).
     */
   private def readEventsStaged(spark: SparkSession, dir: String): DataFrame = {
     // File-source needs a directory; stage the single parquet file.
-    val (staged, schema) = stageSourceOnce(s"single:$dir") {
+    val (staged, schema) = stageSourceOnce(
+        s"single:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
       val d = scratchDir("events_stream")
       Files.copy(
         Paths.get(s"$dir/events.parquet"),
@@ -193,17 +214,46 @@ object EventStream {
       if (drainAndStop) {
         val q = writer.option("checkpointLocation", ckpt).start()
         try {
+          // A progress is SETTLED when its batch read zero rows AND every
+          // source reports nothing pending (endOffset caught up to
+          // latestOffset). Basing the predicate on SOURCE OFFSETS — not
+          // input rows alone — keeps it sound for rationed sources
+          // (maxFilesPerTrigger): a TTL-service batch interleaved between
+          // file batches reads zero rows, but its source still advertises
+          // pending files (latestOffset ahead of endOffset), so it cannot
+          // satisfy the predicate with data unread.
+          def settled(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Boolean =
+            p.numInputRows == 0 && p.sources.forall(s =>
+              s.latestOffset == null || s.latestOffset == s.endOffset)
+          // Drained = the last TWO progresses are settled: one settled
+          // service batch proves nothing was pending when it planned; a
+          // consecutive second proves nothing arrived in between (a
+          // bounded source never produces more). This also drains a
+          // source that was empty from the start — no input-rows>0
+          // precondition — provided batches fire at all; a zero-state
+          // query over an empty dir may schedule NO batches, which the
+          // no-progress fallback below covers from query STATUS.
           def drained: Boolean = {
             val ps = q.recentProgress
-            ps.exists(_.numInputRows > 0) && ps.lastOption.exists(_.numInputRows == 0)
+            ps.length >= 2 && settled(ps(ps.length - 1)) && settled(ps(ps.length - 2))
           }
-          val deadline = System.nanoTime() + 300L * 1000000000L
-          while (!drained && System.nanoTime() < deadline) {
+          // Fallback for the batchless-empty case: if no micro-batch has
+          // run for 10s and the source reports no data available, the
+          // bounded source is empty — the initial directory listing is
+          // milliseconds, so 10s cannot race a real pending file.
+          def emptyIdle(sinceStart: Long): Boolean =
+            q.recentProgress.isEmpty && sinceStart > 10L * 1000000000L &&
+              !q.status.isDataAvailable
+          val t0 = System.nanoTime()
+          val deadline = t0 + 300L * 1000000000L
+          while (!drained && !emptyIdle(System.nanoTime() - t0) &&
+              System.nanoTime() < deadline) {
             q.exception.foreach(throw _)
             Thread.sleep(50)
           }
-          if (!drained) throw new IllegalStateException(
-            "bounded source did not drain within deadline")
+          if (!drained && !emptyIdle(System.nanoTime() - t0))
+            throw new IllegalStateException(
+              "bounded source did not drain within deadline")
         } finally q.stop()
       } else {
         val q = writer
@@ -465,7 +515,8 @@ object EventStream {
     * of state alive (the steady-state shape of a real deployment).
     */
   private def stageSortedByTime(spark: SparkSession, dir: String, nFiles: Int): (String, StructType) =
-    stageSourceOnce(s"sorted:$dir:$nFiles") {
+    stageSourceOnce(
+        s"sorted:$dir:$nFiles:${sourceFingerprint(s"$dir/events.parquet")}") {
       stageSortedFrames(spark.read.parquet(s"$dir/events.parquet"), nFiles)
     }
 
@@ -598,7 +649,7 @@ object EventStream {
             case other => lit(null).cast(f.dataType).as(other)
           }
         }: _*)
-      stageSourceOnce(s"sentinel:$dir") {
+      stageSourceOnce(s"sentinel:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
         stageSortedFrames(src.unionByName(sentinels), 8)
       }
     }
@@ -741,7 +792,8 @@ object EventStream {
 
   private def incrementalIngestRuns(
       spark: SparkSession, dir: String, replays: Int): (DataFrame, Seq[Long]) = {
-    val (src, schema) = stageSourceOnce(s"st6src:$dir") {
+    val (src, schema) = stageSourceOnce(
+        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
       val events = spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("event_type"), col("user_id"),
           round(col("value") * 100).cast("long").as("cents"))

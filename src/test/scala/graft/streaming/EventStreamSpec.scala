@@ -256,6 +256,123 @@ class EventStreamSpec extends SparkSpec {
     assert(out9.schema.fieldNames.toSeq == out.schema.fieldNames.toSeq)
   }
 
+  test("RocksDB changelog checkpoint: kill mid-stream, restart, state recovers exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val src = tmpDir("rec_src")
+    val out = tmpDir("rec_out") + "/log"
+    val ckpt = tmpDir("rec_ckpt")
+    // Four single-file micro-batches touching the same users: final truth
+    // user 1 -> (n=3, cents 100+200+400=700, last=4000),
+    // user 2 -> (n=2, cents 500-300=200,      last=3000).
+    Seq(Seq((1L, 1.0, 1000L), (2L, 5.0, 1000L)), Seq((1L, 2.0, 2000L)),
+        Seq((2L, -3.0, 3000L)), Seq((1L, 4.0, 4000L)))
+      .foreach(_.toDF("user_id", "value", "tsMicros")
+        .coalesce(1).write.mode("append").parquet(src))
+    val schema = spark.read.parquet(src).schema
+    def start() = EventStream.withStateProvider(spark) {
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        .as[EventStream.EventIn]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new EventStream.RunningStatsProcessor(java.time.Duration.ofHours(1)),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "n_events", "value_cents", "last_ts_micros")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          Thread.sleep(300) // keep batches slow enough to kill between
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def awaitDataBatches(q: org.apache.spark.sql.streaming.StreamingQuery, n: Int): Int = {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      def count = q.recentProgress.count(_.numInputRows > 0)
+      while (count < n && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(50)
+      }
+      count
+    }
+    // Run 1: KILL after the first data batch commits (mid-stream stop —
+    // files remain unread). q.stop() after a commit models a crash at the
+    // batch boundary; a crash inside a batch replays it, which the
+    // append-snapshot compaction below absorbs (same CDC contract the
+    // update-mode queries document).
+    val q1 = start()
+    try assert(awaitDataBatches(q1, 1) >= 1) finally q1.stop()
+    // The kill must leave data unread, or this test proves nothing.
+    val consumed = spark.read.parquet(out)
+      .agg(max(col("n_events"))).head().getLong(0)
+    assert(consumed < 3, s"run 1 consumed everything (n=$consumed) before the kill")
+    // Changelog checkpointing really was on: RocksDB wrote per-batch
+    // .changelog deltas (not just full .zip snapshots) under state/.
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val changelogs = try walk.iterator().asScala.count(_.toString.endsWith(".changelog"))
+      finally walk.close()
+    assert(changelogs > 0, "no RocksDB changelog files under the checkpoint")
+    // Run 2: restart from the SAME checkpoint; changelog replay over the
+    // last snapshot must restore run 1's state so the folds CONTINUE
+    // (n keeps counting from the recovered state, never restarts at 1).
+    val q2 = start()
+    try assert(awaitDataBatches(q2, 1) >= 1 && {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      def done = spark.read.parquet(out)
+        .filter(col("user_id") === 1L).agg(max(col("n_events"))).head().getLong(0) == 3L
+      while (!done && System.nanoTime() < deadline) { q2.exception.foreach(throw _); Thread.sleep(100) }
+      done
+    }) finally q2.stop()
+    // Compact the snapshot log exactly like st3/st10 and compare to truth.
+    val got = spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"),
+        max_by(col("value_cents"), col("n_events")).as("cents"),
+        max_by(col("last_ts_micros"), col("n_events")).as("last"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 700L, 4000L), (2L, 2L, 200L, 3000L)), got.toString)
+  }
+
+  test("staged sources restage when a source file is rewritten in place") {
+    val dir = tmpDir("mut_src")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.limit(200).coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp1")
+    def install(from: String): Unit = {
+      val part = new java.io.File(s"$dir/$from").listFiles()
+        .find(f => f.isFile && f.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    install("tmp1")
+    val first = EventStream.purchasesToFileSink(spark, dir).count()
+    // Rewrite events.parquet IN PLACE (different rows, same path): the
+    // staging cache key carries a size/mtime fingerprint, so the stream
+    // must observe the fresh contents, not the stale staged copy.
+    events.limit(600).coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp2")
+    install("tmp2")
+    val second = EventStream.purchasesToFileSink(spark, dir).count()
+    val expected = Seq(200, 600).map(n =>
+      events.limit(n).filter(col("event_type") === "purchase").count())
+    assert(Seq(first, second) == expected,
+      s"stale staged source served: got ${Seq(first, second)}, want $expected")
+  }
+
+  test("runDurableDrained drains an empty bounded source instead of spinning to the deadline") {
+    val dir = tmpDir("empty_tws")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 0)
+      .write.parquet(s"$dir/events.parquet")
+    val t0 = System.nanoTime()
+    val out = EventStream.userRunningStatsTtl(spark, dir)
+    assert(out.count() == 0)
+    assert((System.nanoTime() - t0) / 1e9 < 120,
+      "empty bounded source should drain well before the 300s deadline")
+  }
+
   test("streaming file source tracks processed files across restarts (S7 semantics)") {
     import spark.implicits._
     val src = tmpDir("stream_src")
