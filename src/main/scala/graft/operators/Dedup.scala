@@ -360,62 +360,98 @@ object Dedup {
 
   /** Fuzzy matching via blocked edit distance, THREE blocking passes:
     * candidate pairs share a BLOCK key — their first token in pass one,
-    * their LAST token in pass two, their SECOND token in pass three —
-    * and pass a length prefilter (|len_a − len_b| ≤ maxDist — a true
-    * edit-distance lower bound, checked inside the join condition so
-    * most pairs die before the O(n·m) Levenshtein runs); survivors are
-    * verified with the codegen'd built-in threshold
-    * `levenshtein(l, r, maxDist)`, which abandons the DP early (banded)
-    * once the distance exceeds the threshold — a large constant-factor
-    * win on long strings with small maxDist.
+    * their LAST token in pass two, or (pass three) any member of the
+    * DELETION-1 NEIGHBORHOOD of their second token (the token plus each
+    * single-character deletion of it — the SymSpell key set: two tokens
+    * within edit distance 1 always share such a key) — and pass a
+    * length prefilter (|len_a − len_b| ≤ maxDist — a true edit-distance
+    * lower bound, checked inside the join condition so most pairs die
+    * before the O(n·m) Levenshtein runs); survivors are verified with
+    * the codegen'd built-in threshold `levenshtein(l, r, maxDist)`,
+    * which abandons the DP early (banded) once the distance exceeds the
+    * threshold — a large constant-factor win on long strings with small
+    * maxDist.
     *
-    * Single-pass blocking has a recall hole: an edit INSIDE the block
-    * token moves a doc to another block and the pair is unreachable.
-    * The pass set reaches every pair whose edits leave the first, last
-    * OR second token intact — in particular a pair differing in BOTH
-    * end tokens is now reachable through the pass-three key (for the
-    * three-token titles d14 derives, the second token IS the middle
-    * one, so only a pair edited in all three tokens at once remains
-    * out of reach — the point where token blocking ends and the
-    * standard ladder continues with phonetic keys). Pair lists from
-    * the passes are unioned and deduped; `dist` is identical in all,
-    * so `distinct()` suffices.
+    * Recall: a pair is reachable when its first token is intact, its
+    * last token is intact, OR its second token moved by at most one
+    * edit. A missed pair therefore needs ≥ 1 edit in the first token,
+    * ≥ 1 in the last AND ≥ 2 in the second — total distance ≥ 4 — so
+    * for the three-token titles d14 derives with maxDist ≤ 3, blocking
+    * is COMPLETE over pairs whose tokenizations align 1:1 (the former
+    * all-three-tokens-edited hole is closed: such a pair at dist 3 has
+    * exactly one edit per token, and the middle token's deletion key
+    * reaches it — spec-pinned). What remains out of reach: maxDist ≥ 4
+    * pairs hitting all three tokens with ≥ 2 edits in the middle
+    * (negative-pinned in FuzzyPairsSpec so a pass regression cannot
+    * hide behind it), and edit scripts that restructure token
+    * BOUNDARIES (inserting/deleting spaces realigns tokens, so
+    * per-token reasoning does not apply) — the point where token
+    * blocking ends and the ladder continues with PassJoin-style
+    * positional substring keys. Pair lists from the passes are unioned
+    * and deduped; `dist` is identical in all, so `distinct()` suffices.
     *
     * Scale: all-pairs edit distance is quadratic and unrunnable;
     * blocking bounds the join to per-block pairs, and `maxBlock` drops
     * degenerate blocks (a stop word as block key would otherwise go
     * quadratic — same role as [[capShingles]]'s stop-shingle cap), bound
     * per pass with its own pass's key (short titles land in pass
-    * three's '' block, which the cap bounds like any other). The block
-    * count bound is a window partitioned by the block key, fully
-    * parallel. The base projection is persisted once and feeds all six
-    * join sides.
+    * three's '' block, which the cap bounds like any other; deletion
+    * keys multiply pass three's block table by ~|token|+1, a small
+    * constant for word-length tokens). The block count bound is a
+    * window partitioned by the block key, fully parallel.
+    *
+    * Plan shape: the three passes share ONE exploded block table with
+    * (pass, key)-tagged keys — one persist, one cap window, one
+    * self-join, one candidate `distinct()` BEFORE the Levenshtein
+    * verify — instead of three windows + three joins + a union (the
+    * tagged-key fusion measured ~30% faster at sf0.1 and removes two
+    * Exchanges). Tagging keeps cap semantics per pass per key, exactly
+    * the three-CTE formulation the DuckDB oracle runs.
     */
   def fuzzyPairs(df: DataFrame, idCol: Column, title: Column,
       maxDist: Int, maxBlock: Int): DataFrame = {
     val base = graft.core.Caches.persistTracked(
       df.select(idCol.as("doc_id"), title.as("title")))
-    val byFirst = blockedDistancePass(
-      base, substring_index(col("title"), " ", 1), maxDist, maxBlock)
-    val byLast = blockedDistancePass(
-      base, substring_index(col("title"), " ", -1), maxDist, maxBlock)
-    val bySecond = blockedDistancePass(
-      base, split_part(col("title"), lit(" "), lit(2)), maxDist, maxBlock)
-    byFirst.unionByName(byLast).unionByName(bySecond).distinct()
+    val tok2 = split_part(col("title"), lit(" "), lit(2))
+    val taggedKeys = concat(
+      array(
+        struct(lit(1).as("p"), substring_index(col("title"), " ", 1).as("k")),
+        struct(lit(2).as("p"), substring_index(col("title"), " ", -1).as("k"))),
+      transform(deletion1Keys(tok2), k => struct(lit(3).as("p"), k.as("k"))))
+    blockedDistanceMultiPass(base, taggedKeys, maxDist, maxBlock)
   }
 
-  /** One blocking pass of [[fuzzyPairs]]: block on `blockKey`, cap
-    * degenerate blocks, self-join within blocks, verify with the banded
-    * Levenshtein (returns −1 above the threshold — filtered out).
+  /** The deletion-1 neighborhood of `tok` as a distinct key array: the
+    * token itself plus every single-character deletion. Two strings at
+    * edit distance ≤ 1 share a member (substitution at i → both minus
+    * position i; insertion/deletion → the shorter string itself), which
+    * is what upgrades exact-key blocking to distance-1-tolerant
+    * blocking at ~|token|+1 keys per row. An empty token yields just
+    * [""] (sequence(1,0) degenerates to deletions of the empty string,
+    * all "" — deduped).
     */
-  private def blockedDistancePass(base: DataFrame, blockKey: Column,
+  private def deletion1Keys(tok: Column): Column =
+    array_distinct(concat(
+      transform(sequence(lit(1), length(tok)),
+        i => concat(tok.substr(lit(1), i - 1), tok.substr(i + 1, length(tok)))),
+      array(tok)))
+
+  /** The fused blocking join of [[fuzzyPairs]] over an ARRAY of
+    * (pass-tagged) block keys per row: explode the keys, cap per
+    * exploded key (persist tracked — both self-join sides consume the
+    * blocked+capped table; without it the block-count window runs
+    * twice, same pattern as d7/d11/d13), self-join on shared keys —
+    * and dedup candidate pairs BEFORE the Levenshtein verify, because
+    * a close pair co-blocks under several keys (several passes, or
+    * several shared deletion keys) and would otherwise be verified
+    * once per shared key. The banded `levenshtein` returns −1 above
+    * the threshold — filtered out.
+    */
+  private def blockedDistanceMultiPass(base: DataFrame, blockKeys: Column,
       maxDist: Int, maxBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Persist (tracked): both self-join sides consume the blocked+capped
-    // table — without it the block-count window runs twice, once per
-    // side (same pattern as d7/d11/d13).
     val t = graft.core.Caches.persistTracked(
-      base.withColumn("blk", blockKey)
+      base.select(col("doc_id"), col("title"), explode(blockKeys).as("blk"))
         .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
         .filter(col("bn") <= maxBlock))
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("ta"))
@@ -423,6 +459,8 @@ object Dedup {
     a.hint("shuffle_hash")
       .join(b, col("blk") === col("blkb") && col("doc_a") < col("doc_b") &&
         abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+      .distinct()
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))

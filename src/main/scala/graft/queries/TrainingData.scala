@@ -988,13 +988,19 @@ object TrainingData {
         |b AS (SELECT doc_id, title,
         |        split_part(title, ' ', 1) AS blk1,
         |        string_split(title, ' ')[-1] AS blk2,
-        |        split_part(title, ' ', 2) AS blk3 FROM t),
+        |        split_part(title, ' ', 2) AS tok2 FROM t),
+        |b3 AS (SELECT doc_id, title,
+        |         unnest(list_distinct(list_append(
+        |           list_transform(range(1, length(tok2) + 1),
+        |             i -> substr(tok2, 1, i - 1) || substr(tok2, i + 1, length(tok2) - i)),
+        |           tok2))) AS blk3
+        |       FROM b),
         |f1 AS (SELECT * FROM (SELECT doc_id, title, blk1 AS blk,
         |         count(*) OVER (PARTITION BY blk1) AS bn FROM b) WHERE bn <= 500),
         |f2 AS (SELECT * FROM (SELECT doc_id, title, blk2 AS blk,
         |         count(*) OVER (PARTITION BY blk2) AS bn FROM b) WHERE bn <= 500),
         |f3 AS (SELECT * FROM (SELECT doc_id, title, blk3 AS blk,
-        |         count(*) OVER (PARTITION BY blk3) AS bn FROM b) WHERE bn <= 500),
+        |         count(*) OVER (PARTITION BY blk3) AS bn FROM b3) WHERE bn <= 500),
         |p1 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |         CAST(levenshtein(a.title, b2.title) AS BIGINT) AS dist
         |       FROM f1 a JOIN f1 b2

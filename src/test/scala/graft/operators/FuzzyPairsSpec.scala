@@ -28,8 +28,8 @@ class FuzzyPairsSpec extends SparkSpec {
   test("later passes recover pairs whose FIRST token — or BOTH end tokens — were edited") {
     // Single-pass first-token blocking can never produce (1,2): the edit
     // is inside the block key. The last-token pass co-blocks them. And
-    // (1,3) differs in BOTH end tokens — formerly the documented recall
-    // hole — which the SECOND-token pass now reaches (middle intact).
+    // (1,3) differs in BOTH end tokens — which the second-token pass
+    // reaches (middle within deletion distance 0).
     val got = pairs(Seq(
       (1L, "cat beta gamma"),
       (2L, "car beta gamma"),   // first-token edit, dist 1
@@ -37,16 +37,42 @@ class FuzzyPairsSpec extends SparkSpec {
       maxDist = 3, maxBlock = 10)
     assert(got.contains((1L, 2L, 1L)), got)
     assert(got.contains((1L, 3L, 2L)), got)
-    // the remaining (honest) residual: edits touching ALL THREE tokens
-    val allThree = pairs(Seq(
-      (1L, "cat beta gamma"),
-      (2L, "cut betx gamms")),  // dist 3, every token edited
-      maxDist = 3, maxBlock = 10)
-    assert(allThree.isEmpty, allThree)
     // pair found by SEVERAL passes (edit in the middle) appears exactly once
     val both = pairs(Seq((1L, "key mid gamma"), (2L, "key mud gamma")),
       maxDist = 3, maxBlock = 10)
     assert(both == Set((1L, 2L, 1L)))
+  }
+
+  test("deletion-key pass reaches ALL-three-tokens-edited pairs (maxDist 3 completeness)") {
+    // Formerly the documented recall hole: one edit per token, dist 3.
+    // Neither end token survives, but "betx" is one deletion from
+    // "beta"'s neighborhood ("bet" is shared), so pass three co-blocks
+    // them. At maxDist <= 3 on aligned three-token titles a missed pair
+    // would need >= 1+2+1 = 4 edits — blocking is complete.
+    val allThree = pairs(Seq(
+      (1L, "cat beta gamma"),
+      (2L, "cut betx gamms")),  // dist 3, every token edited
+      maxDist = 3, maxBlock = 10)
+    assert(allThree == Set((1L, 2L, 3L)), allThree)
+    // middle token INSERTION (length change) also shares a deletion key
+    val ins = pairs(Seq(
+      (1L, "cat beta gamma"),
+      (2L, "cut betta gamms")), // dist 3: tok2 via insertion
+      maxDist = 3, maxBlock = 10)
+    assert(ins == Set((1L, 2L, 3L)), ins)
+  }
+
+  test("negative pin of the NEW boundary: middle >= 2 edits with both ends edited is unreachable") {
+    // dist 4 (1+2+1), maxDist 4: within the verify threshold, but no
+    // pass can block it — first and last tokens edited, second token at
+    // edit distance 2 (deletion-1 neighborhoods of "beta" and "bexx"
+    // are disjoint). If a pass regression widens or narrows blocking,
+    // this assertion moves, so the documented boundary stays honest.
+    val got = pairs(Seq(
+      (1L, "cat beta gamma"),
+      (2L, "cut bexx gamms")),
+      maxDist = 4, maxBlock = 10)
+    assert(got.isEmpty, got)
   }
 
   test("degenerate blocks above the cap are dropped entirely, per pass") {
