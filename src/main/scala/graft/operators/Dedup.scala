@@ -55,6 +55,27 @@ object Dedup {
     * Sizes/Jaccard downstream are computed over the capped shingle
     * universe, so the metric stays an exact Jaccard of the filtered sets.
     */
+  /** Data-derived stop-shingle cap: max(50, ceil(√n)) for an
+    * n-document corpus — the same derive-from-N rule the IVF cell
+    * ([[Similarity.deriveCells]]) and SRP plane counts follow, closing
+    * the last fixed blocking knob. Why grow with n at all: real
+    * duplicate clusters scale with corpus size (boilerplate shared by a
+    * fixed FRACTION of documents has df ∝ n), so a fixed cap silently
+    * erodes near-dup recall as the corpus grows — at 100 TB a df-50 cap
+    * would drop the very shingles that identify thousand-member
+    * duplicate clusters. Why √n and not more: a surviving shingle at
+    * the cap contributes cap²/2 ≈ n/2 self-join rows, so no single
+    * shingle bucket ever exceeds linear-in-corpus work (buckets are
+    * independent — embarrassingly parallel), which is the property that
+    * keeps complete co-occurrence runnable at scale. The floor keeps
+    * small corpora (n < 2500) on the long-pinned 50. Callers that
+    * already know the corpus size pass it directly (the knownCount
+    * seam); the registered queries derive it with one metadata-cheap
+    * count.
+    */
+  def deriveDocFreqCap(n: Long): Long =
+    math.max(50L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   def capShingles(sh: DataFrame, maxDocFreq: Long): DataFrame = {
     val keep = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))

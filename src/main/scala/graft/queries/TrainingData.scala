@@ -22,7 +22,16 @@ object TrainingData {
   private val minhashK = 16
   private val minhashBands = 4
   private val ivfCells = 8
-  private val stopShingleDf = 50L
+
+  /** Stop-shingle cap derived from the corpus size (max(50, ceil(√n)) —
+    * rationale at [[Dedup.deriveDocFreqCap]]): 50 at sf0.01 (n=500), 71
+    * at sf0.1 (n=5000); the oracles re-derive the identical value in
+    * SQL. One count per query — a caller that already knows n uses
+    * [[Dedup.deriveDocFreqCap]] directly (the knownCount seam, same
+    * rule as [[embeddingNeardupPairs]]).
+    */
+  private def stopShingleDf(docs: DataFrame): Long =
+    Dedup.deriveDocFreqCap(docs.count())
 
   /** Exact content dedup (hash-groupBy; reference Q5 conflict-skip
     * applied to content, SURVEY §2.2 K3).
@@ -42,8 +51,9 @@ object TrainingData {
     * pinned at toy scale by DedupClusterSpec.
     */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables(spark, dir, "documents"), col("doc_id"), col("text"), 3)
-    Dedup.jaccardPairs(sh, jaccardThreshold, maxDocFreq = Some(stopShingleDf))
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"), 3)
+    Dedup.jaccardPairs(sh, jaccardThreshold, maxDocFreq = Some(stopShingleDf(docs)))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -108,7 +118,7 @@ object TrainingData {
     val pairs = Dedup.lshVerifiedPairs(
       docs, col("doc_id"), col("text"),
       n = 3, k = minhashK, bands = minhashBands,
-      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf)
+      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf(docs))
     Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
       .orderBy(col("doc_id"))
   }
@@ -128,7 +138,7 @@ object TrainingData {
     val pairs = Dedup.lshVerifiedPairs(
       docs, col("doc_id"), col("text"),
       n = 3, k = minhashK, bands = minhashBands,
-      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf)
+      minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf(docs))
     val clusters = Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
     val t = col("text")
     // Same arithmetic SHAPE as x3QualityScore (ratio first, then the
@@ -474,12 +484,14 @@ object TrainingData {
     * document-frequency cap applied up front — see
     * [[Dedup.lshVerifiedPairs]].
     */
-  def d8LshVerifiedDedup(spark: SparkSession, dir: String): DataFrame =
+  def d8LshVerifiedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
     Dedup.lshVerifiedPairs(
-        Tables(spark, dir, "documents"), col("doc_id"), col("text"),
+        docs, col("doc_id"), col("text"),
         n = 3, k = minhashK, bands = minhashBands,
-        minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf)
+        minJaccard = jaccardThreshold, maxDocFreq = stopShingleDf(docs))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** String cleaning (reference T8: strip prefix/suffix lists from
     * scraped links — `ideascale/extract_company_from_company_link.py`):
@@ -771,6 +783,14 @@ object TrainingData {
 
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** The data-derived stop-shingle cap in SQL — must re-derive
+    * [[Dedup.deriveDocFreqCap]] exactly: max(50, ceil(√n)). sqrt/ceil
+    * are IEEE-exact at these magnitudes, so both engines land on the
+    * same integer (50 at sf0.01, 71 at sf0.1).
+    */
+  private val capSql =
+    "greatest(50, CAST(ceil(sqrt((SELECT count(*) FROM documents))) AS BIGINT))"
+
   /** CTE chain producing per-document 60-bit SimHashes (`sh`) — shared by
     * the d4 and d11 oracles.
     */
@@ -792,7 +812,7 @@ object TrainingData {
   private val verifiedPairCtes =
     s"""$grams3,
        |capped AS (SELECT g.doc_id, g.shingle FROM grams g
-       |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 50) ok
+       |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= $capSql) ok
        |             USING (shingle)),
        |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM capped),
        |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
@@ -1169,7 +1189,7 @@ object TrainingData {
     "d2_ngram_jaccard" ->
       s"""WITH $grams3,
          |capped AS (SELECT g.doc_id, g.shingle FROM grams g
-         |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 50) ok
+         |           JOIN (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= $capSql) ok
          |             USING (shingle)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
          |common AS (SELECT g1.doc_id AS da, g2.doc_id AS db, count(*) AS c

@@ -35,6 +35,15 @@ class DedupClusterSpec extends SparkSpec {
     assert(uncapped.sameElements(noopCap))
   }
 
+  test("deriveDocFreqCap: floored at 50, then ceil(sqrt n) — the oracle's SQL formula") {
+    assert(Dedup.deriveDocFreqCap(0) == 50)
+    assert(Dedup.deriveDocFreqCap(500) == 50)   // sf0.01
+    assert(Dedup.deriveDocFreqCap(2500) == 50)  // boundary: sqrt = exactly 50
+    assert(Dedup.deriveDocFreqCap(2501) == 51)
+    assert(Dedup.deriveDocFreqCap(5000) == 71)  // sf0.1
+    assert(Dedup.deriveDocFreqCap(1000000000L) == 31623) // 100 TB-ish corpus
+  }
+
   test("qualityKeeper keeps exactly the highest-quality member per cluster (id tiebreak)") {
     import spark.implicits._
     // clusters: {1,2,3} (component 1), {7,8} (component 7), singleton 9
