@@ -22,8 +22,13 @@ object SkewJoin {
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(nSalts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
-    salted.hint("shuffle_hash")
-      .join(replicated, Seq(key, "_salt"))
+    // Hint the REPLICATED DIM side: shuffle_hash builds its hash map from
+    // the hinted side, and building from the fact would allocate a
+    // fact-partition-sized map per task (found as BuildLeft in a round-7
+    // plan audit — at 100 TB a straight scale-killer; the dim×nSalts side
+    // stays small by the operator's own premise).
+    salted
+      .join(replicated.hint("shuffle_hash"), Seq(key, "_salt"))
       .drop("_salt")
   }
 }

@@ -43,6 +43,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q16: salted join builds its hash map from the replicated DIM side") {
+    // BuildLeft here would allocate a fact-partition-sized hash map per
+    // task — the round-7 audit caught exactly that (hint was on the fact
+    // side). The dim×nSalts side is small by the operator's premise.
+    val p = plan("q16_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin") && p.contains("BuildRight"), p)
+    assert(!p.contains("BuildLeft"), p)
+  }
+
   test("q20: chain-linkage validator contains no Window operator") {
     val p = plan("q20_chain_linkage")
     assert(!p.contains("Window"), p)

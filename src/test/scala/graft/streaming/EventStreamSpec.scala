@@ -160,7 +160,7 @@ class EventStreamSpec extends SparkSpec {
       .as[EventStream.EventIn]
     val stats = in.groupByKey(_.user_id)
       .transformWithState(
-        new EventStream.RunningStatsProcessor(java.time.Duration.ofMillis(100)),
+        new EventStream.RunningStatsProcessor(Some(java.time.Duration.ofMillis(100))),
         TimeMode.ProcessingTime(), OutputMode.Update())
       .toDF("user_id", "n_events", "value_cents", "last_ts_micros")
     val q = EventStream.withStateProvider(spark) {
@@ -276,7 +276,7 @@ class EventStreamSpec extends SparkSpec {
         .as[EventStream.EventIn]
         .groupByKey(_.user_id)
         .transformWithState(
-          new EventStream.RunningStatsProcessor(java.time.Duration.ofHours(1)),
+          new EventStream.RunningStatsProcessor(Some(java.time.Duration.ofHours(1))),
           TimeMode.ProcessingTime(), OutputMode.Update())
         .toDF("user_id", "n_events", "value_cents", "last_ts_micros")
         .writeStream.outputMode("update")
