@@ -602,6 +602,56 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Array higher-order functions — Catalyst's lambda expression family
+    * (`ArrayFilter`/`ArrayTransform`/`ArrayAggregate`/`ArrayExists`),
+    * the surface every nested-array pipeline leans on (reference analog:
+    * the tx_hash array column, cardano_tables.py:56, which the reference
+    * can only explode — HOFs compute WITHOUT exploding). All four run
+    * inside one codegen'd projection over the token array: no explode,
+    * no shuffle, no per-element row amplification — at 100 TB this is
+    * the difference between a map-only stage and an explode that
+    * multiplies the scan by avg-tokens-per-doc (~100×) before
+    * re-aggregating. Results are integer/boolean so cross-engine exact;
+    * the empty-token-array edge (aggregate's init value vs DuckDB's
+    * NULL list_sum) is pinned by the coalesce in the oracle.
+    */
+  def q35ArrayHof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", graft.operators.TextOps.tokens($"text").as("toks"))
+      .select(
+        $"doc_id",
+        size(filter($"toks", t => length(t) > lit(4))).cast("long").as("n_long"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(array_distinct(transform($"toks", t => substring(t, 1, 1))))
+          .cast("long").as("n_initials"),
+        exists($"toks", t => t.rlike("^[0-9]+$")).as("has_number"))
+      .orderBy($"doc_id")
+  }
+
+  /** Correlated LATERAL join — top-2 customers per nation by balance.
+    * The classic per-group top-n as the OTHER formulation (q33 does it
+    * with a window): a lateral subquery with correlated predicate +
+    * ORDER BY + LIMIT. Catalyst decorrelates (DecorrelateInnerQuery)
+    * into a partitioned window + filter — NO nested-loop re-execution
+    * of the inner query per outer row, which is what a naive lateral
+    * would do and what kills it at 100 TB. The customer side shuffles
+    * once on nationkey; the 25-row nation side broadcasts. Balances are
+    * read, never arithmetic'd, so doubles stay bit-identical.
+    */
+  def q36LateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("nation_lat")
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_lat n
+        |JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer_lat c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -720,6 +770,8 @@ object Relational {
     "q27_snapshot_diff" -> (q27SnapshotDiff _),
     "q28_json_extract" -> (q28JsonExtract _),
     "q34_variant" -> (q34Variant _),
+    "q35_array_hof" -> (q35ArrayHof _),
+    "q36_lateral_topn" -> (q36LateralTopn _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -783,6 +835,24 @@ object Relational {
         |            WHEN cents_v1 <> cents_v2 THEN 'changed'
         |            ELSE 'unchanged' END) <> 'unchanged'
         |ORDER BY o_orderkey""".stripMargin,
+    "q35_array_hof" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, w -> length(w) > 4)) AS BIGINT) AS n_long,
+        |  CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT)
+        |    AS sum_len,
+        |  CAST(len(list_distinct(list_transform(toks, w -> substr(w, 1, 1)))) AS BIGINT)
+        |    AS n_initials,
+        |  len(list_filter(toks, w -> regexp_full_match(w, '[0-9]+'))) > 0 AS has_number
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q36_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

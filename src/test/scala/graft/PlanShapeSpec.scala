@@ -214,6 +214,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("subquery"), p)
   }
 
+  test("q35: array HOFs run as one projection — no explode, no join, no aggregate") {
+    val p = plan("q35_array_hof")
+    assert(!p.contains("Generate"), p)   // explode would amplify the scan ~tokens-per-doc×
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q36: lateral top-n decorrelates to a partitioned window, never a per-row re-execution") {
+    val p = plan("q36_lateral_topn")
+    assert(p.contains("Window"), p)      // DecorrelateInnerQuery → row_number ≤ 2
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // 25-row nation side broadcasts
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
