@@ -652,6 +652,31 @@ object Relational {
         |ORDER BY n.n_name, t.c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`) — hierarchical rollup
+    * over the implicit decimal-digit trie of event ids: every node walks
+    * to its root, then counts per (root, depth). The declarative sibling
+    * of [[graft.operators.Dedup.connectedComponents]]' hand-rolled
+    * iterative loop: the engine materializes one recursion level per
+    * step, each a NARROW projection + filter over the previous level
+    * (this walk joins nothing), so total work is levels × scan — levels
+    * is digit-count (≈log₁₀ of the id domain), not corpus size. The
+    * same shape covers org charts, category trees, and parent-pointer
+    * walks at 100 TB, where the alternative is a driver loop.
+    * Integer-only arithmetic (`DIV` ≡ DuckDB `//`), cross-engine exact.
+    */
+  def q37RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_rc")
+    spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT event_id AS node, event_id AS cur, 0 AS depth FROM events_rc
+        |  UNION ALL
+        |  SELECT node, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+        |)
+        |SELECT cur AS root, depth, count(*) AS cnt
+        |FROM walk WHERE cur < 10
+        |GROUP BY cur, depth ORDER BY root, depth""".stripMargin)
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -772,6 +797,7 @@ object Relational {
     "q34_variant" -> (q34Variant _),
     "q35_array_hof" -> (q35ArrayHof _),
     "q36_lateral_topn" -> (q36LateralTopn _),
+    "q37_recursive_cte" -> (q37RecursiveCte _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -853,6 +879,15 @@ object Relational {
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+    "q37_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT event_id AS node, event_id AS cur, 0 AS depth FROM events
+        |  UNION ALL
+        |  SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+        |)
+        |SELECT cur AS root, depth, CAST(count(*) AS BIGINT) AS cnt
+        |FROM walk WHERE cur < 10
+        |GROUP BY cur, depth ORDER BY root, depth""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

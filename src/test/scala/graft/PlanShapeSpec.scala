@@ -228,6 +228,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // 25-row nation side broadcasts
   }
 
+  test("q37: WITH RECURSIVE runs as an in-engine UnionLoop; the step is narrow (no Join)") {
+    val p = plan("q37_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("Join"), p)     // the walk is projection+filter per level
+  }
+
   test("q11: projection prunes the events scan to the referenced columns") {
     val p = plan("q11_dto_projection")
     assert(p.contains("ReadSchema"), p)
