@@ -677,6 +677,75 @@ object Relational {
         |GROUP BY cur, depth ORDER BY root, depth""".stripMargin)
   }
 
+  /** Map-type higher-order functions — the `MapType` sibling of q35's
+    * array HOFs (`map_from_entries`/`map_filter`/`map_values` +
+    * `aggregate`/`map_contains_key`). Builds each user's behavior map
+    * (event_type → count) with one pre-aggregation on (user, type) and
+    * one re-aggregation on user — both partial-agg shuffles whose width
+    * is bounded by users × types, never raw events — then answers every
+    * per-user question as a codegen'd projection OVER the map: no
+    * re-explode, no third shuffle. At 100 TB this is the feature-map
+    * pipeline shape (per-entity typed maps consumed by HOFs downstream);
+    * the alternative — exploding the map back to rows per question —
+    * re-multiplies by avg-types-per-user for every derived column.
+    * All outputs are integer/boolean, cross-engine exact.
+    */
+  def q38MapHof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"cnt"))))
+        .as("m"))
+      .select(
+        $"user_id",
+        size($"m").cast("long").as("n_types"),
+        size(map_filter($"m", (_, v) => v >= lit(15L))).cast("long").as("n_hot"),
+        aggregate(map_values($"m"), lit(0L), (acc, v) => acc + v).as("n_events"),
+        aggregate(map_values($"m"), lit(0L), (acc, v) => greatest(acc, v))
+          .as("max_type_cnt"),
+        map_contains_key($"m", "click").as("has_click"))
+      .orderBy($"user_id")
+  }
+
+  /** Date-spine gap-fill — the time-series completion every monitoring /
+    * training-curve pipeline needs: a sparse daily series (rare events:
+    * high-k props from a 1-in-10 user cohort) left-joined onto the full
+    * (day × event_type) calendar so missing cells surface as explicit
+    * zeros instead of silently absent rows. ONE scan of the base table
+    * (the rare count rides the same grouped aggregate as the cell
+    * census via a conditional sum); the calendar spine is then derived
+    * from the ≤ days×types aggregate — `sequence(min_day, max_day)` +
+    * explode + a crossJoin against the distinct types — so spine
+    * construction never touches the base again (`localCheckpoint` pins
+    * the tiny agg; at 100 TB re-deriving it would mean three full
+    * scans). The final left join runs broadcast: both sides are
+    * calendar-sized. Day leaves as a formatted string (no DATE
+    * representation ambiguity cross-engine).
+    */
+  def q39GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select(
+        to_date($"ts").as("day"), $"event_type", $"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"day", $"event_type")
+      .agg(sum(when($"k" >= 95 && $"user_id" % 10 === 3, 1L).otherwise(0L))
+        .as("cnt_rare"))
+      .localCheckpoint()
+    val spine = cells
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(cells.select($"event_type").distinct()))
+    spine.join(broadcast(cells), Seq("day", "event_type"), "left")
+      .select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        $"event_type",
+        coalesce($"cnt_rare", lit(0L)).as("cnt"))
+      .orderBy($"day", $"event_type")
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -798,6 +867,8 @@ object Relational {
     "q35_array_hof" -> (q35ArrayHof _),
     "q36_lateral_topn" -> (q36LateralTopn _),
     "q37_recursive_cte" -> (q37RecursiveCte _),
+    "q38_map_hof" -> (q38MapHof _),
+    "q39_gap_fill" -> (q39GapFill _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -888,6 +959,31 @@ object Relational {
         |SELECT cur AS root, depth, CAST(count(*) AS BIGINT) AS cnt
         |FROM walk WHERE cur < 10
         |GROUP BY cur, depth ORDER BY root, depth""".stripMargin,
+    "q38_map_hof" ->
+      """WITH pc AS (SELECT user_id, event_type, count(*) AS cnt
+        |            FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE cnt >= 15) AS BIGINT) AS n_hot,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(max(cnt) AS BIGINT) AS max_type_cnt,
+        |  bool_or(event_type = 'click') AS has_click
+        |FROM pc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q39_gap_fill" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 95
+        |             AND user_id % 10 = 3 THEN 1 ELSE 0 END) AS cnt_rare
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM cells),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |            AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM cells)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+        |  CAST(coalesce(c.cnt_rare, 0) AS BIGINT) AS cnt
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN cells c ON c.day = s.day AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

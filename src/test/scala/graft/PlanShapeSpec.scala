@@ -239,4 +239,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("props"), p) // unreferenced wide column stays out of the scan
   }
+
+  test("q38: map build pre-aggregates before BOTH exchanges; HOFs stay in one projection") {
+    val p = plan("q38_map_hof")
+    // the scan reads only the two referenced columns (props/value/ts pruned)
+    assert(p.contains("ReadSchema: struct<user_id:bigint,event_type:string>"), p)
+    // both shuffles move pre-aggregated rows (≤ users×types wide), never raw events
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_collect_list"), p)
+    // every per-user answer is computed OVER the map — no re-explode of entries
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q39: gap-fill scans the base once; spine work is calendar-sized broadcast") {
+    val p = plan("q39_gap_fill")
+    // downstream of the checkpointed cell agg there is NO parquet scan:
+    // bounds, spine and the fill join all derive from the tiny cells table
+    assert(!p.contains("Scan parquet"), p)
+    // the fill join broadcasts (both sides ≤ days×types rows)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(p.contains("explode(sequence("), p)
+  }
 }
