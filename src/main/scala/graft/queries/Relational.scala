@@ -746,6 +746,90 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** Time-based RANGE-frame rolling aggregate — the sliding-window
+    * metric (per-user trailing-hour event count / spend) that rate
+    * limiters, anomaly scores and feature stores all compute. This is
+    * the RANGE sibling of q10's ROWS frames: the frame is bounded by a
+    * TIME offset (`rangeBetween(-3600, 0)` over epoch seconds), so
+    * peer rows at the same second share one frame regardless of input
+    * order — deterministic where a ROWS frame over a tied ordering is
+    * not. Scale shape: partitioned by user_id (high-cardinality →
+    * every core busy, no single-partition window serialization);
+    * Spark's WindowExec holds only the current frame's rows, which a
+    * time bound caps at events-per-user-per-hour — O(rows-in-frame)
+    * memory, not O(partition). Money stays exact: the rolled sum is
+    * scaled-long cents; one trailing divide per row formats it.
+    */
+  def q40RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hour = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        $"event_id", $"user_id", $"ts",
+        unix_timestamp($"ts").as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+        count(lit(1)).over(hour).as("roll_cnt"),
+        (sum($"cents").over(hour) / 100.0).as("roll_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Incremental aggregate maintenance — the pattern that keeps a 100 TB
+    * metrics table affordable: a persisted per-(user, day) aggregate
+    * SNAPSHOT is merged with the newest day's DELTA by re-aggregating
+    * mergeable partials (count/sum → sum of partials, min/max → min/max
+    * of partials), never rescanning the fact base. The oracle computes
+    * the same result the DIRECT way (one full-corpus GROUP BY), so the
+    * hash match proves partial-agg merge ≡ full recompute — the algebra
+    * that makes incremental view maintenance sound. Scale shape: the
+    * merge shuffle moves AGGREGATE-sized rows (users×days), orders of
+    * magnitude below the fact table; the demo derives both sides from
+    * `events` split at the max day (a broadcast scalar, no driver
+    * collect), but [[mergeAggSnapshot]] is the library seam — in
+    * production the snapshot is a stored table and only the delta ever
+    * touches raw facts. Non-mergeable stats (exact distinct) need the
+    * sketch twins (q29/q30) instead; avg is derived sum/count at the end.
+    */
+  def q41IncrAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), c100($"value").as("cents"))
+    // One job computes the 1-row cutoff; localCheckpoint stops both
+    // filter branches from re-deriving it (each would rescan ts).
+    val cut = e.agg(max($"day").as("cut")).localCheckpoint()
+    val withCut = e.crossJoin(broadcast(cut))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"user_id", $"day").agg(
+        count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    val snapshot = partial(withCut.filter($"day" < $"cut"))
+    val delta = partial(withCut.filter($"day" >= $"cut"))
+    mergeAggSnapshot(snapshot, delta)
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events", ($"sum_cents" / 100.0).as("total_value"),
+        ($"min_cents" / 100.0).as("min_value"),
+        ($"max_cents" / 100.0).as("max_value"),
+        (expr("sum_cents div n_events") / 100.0).as("avg_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Library seam for [[q41IncrAggMerge]]: merge any number of partial
+    * aggregate frames sharing the (user_id, day, n_events, sum_cents,
+    * min_cents, max_cents) schema into the combined aggregate. Each
+    * input is typically already aggregate-sized, so this shuffle is
+    * cheap regardless of how much raw data the partials summarize.
+    */
+  def mergeAggSnapshot(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -869,6 +953,8 @@ object Relational {
     "q37_recursive_cte" -> (q37RecursiveCte _),
     "q38_map_hof" -> (q38MapHof _),
     "q39_gap_fill" -> (q39GapFill _),
+    "q40_rolling_window" -> (q40RollingWindow _),
+    "q41_incr_agg_merge" -> (q41IncrAggMerge _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -984,6 +1070,30 @@ object Relational {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN cells c ON c.day = s.day AND c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+    "q40_rolling_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  count(*) OVER hour AS roll_cnt,
+        |  sum(cents) OVER hour / 100.0 AS roll_value
+        |FROM e
+        |WINDOW hour AS (PARTITION BY user_id ORDER BY sec
+        |                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q41_incr_agg_merge" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(cents) / 100.0 AS total_value,
+        |  min(cents) / 100.0 AS min_value,
+        |  max(cents) / 100.0 AS max_value,
+        |  (sum(cents) // count(*)) / 100.0 AS avg_value
+        |FROM e GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -253,6 +254,77 @@ object TrainingData {
     TextOps.lmFamiliarity(docs, col("doc_id"), bi,
         TextOps.bigramLm(bi, minCount = 2L))
       .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF keyword extraction: the top-3 most characteristic terms per
+    * document — the term-importance signal behind keyword tagging,
+    * topic clustering seeds, and per-source vocabulary drift reports.
+    * The score is the exact-integer rational `tf * n_docs div df` (the
+    * same log-free determinism contract as x16: classic `tf·log(N/df)`
+    * needs libm and two engines' doubles never bit-agree; the rational
+    * keeps the df-discounting order within a document and both engines
+    * re-derive it exactly). Scale shape: tf is ONE partial-aggregated
+    * shuffle on (doc_id, token); df rides a token-partitioned window
+    * over the already-aggregated tf frame (token-row-sized, an order
+    * smaller than the exploded token stream — never re-touches the
+    * corpus); n_docs is a 1-row broadcast fed by a column-pruned
+    * count-only pass (no text bytes read); the per-doc top-3 is a
+    * doc_id-partitioned row_number — every shuffle is on the reduced
+    * frame, the raw text is tokenized exactly once.
+    */
+  def x17TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * n_docs div df"))
+      .withColumn("kw_rank", row_number().over(byDoc).cast("long"))
+      .filter(col("kw_rank") <= 3)
+      .select(col("doc_id"), col("kw_rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("kw_rank"))
+  }
+
+  /** Sliding-window document chunking — the context-length prep step for
+    * embedding/RAG pipelines: each document's token stream is cut into
+    * fixed-size chunks (32 tokens) with overlap (stride 24, so 8 tokens
+    * of context carry across the cut). The dual of x12's packing: x12
+    * concatenates short docs up to the context window, chunking splits
+    * long docs down to it. Scale shape: a pure MAP-side operator — one
+    * corpus scan, tokens computed once, chunk starts generated by
+    * `sequence` and expanded by ONE posexplode; zero shuffles except the
+    * output-contract sort (plan-pinned). Per-doc fan-out is
+    * ceil(n_tokens/stride), bounded by document length, never by corpus
+    * size. Token-less docs yield no chunks (the d4 row-set rule).
+    */
+  def x18ChunkSplit(spark: SparkSession, dir: String): DataFrame =
+    chunkSplit(Tables(spark, dir, "documents"))
+
+  /** Library seam for [[x18ChunkSplit]]: chunk a caller-supplied corpus.
+    * `chunkLen` is the window, `stride` the hop; `stride < chunkLen`
+    * overlaps chunks, `stride == chunkLen` tiles them exactly.
+    */
+  def chunkSplit(docs: DataFrame, chunkLen: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkLen > 0 && stride > 0, s"chunkLen/stride must be positive")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+    toks
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("col") + 1,
+          least(lit(chunkLen), col("n") - col("col"))).as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_tok"),
+        concat_ws(" ", col("chunk_toks")).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Benchmark decontamination: shingle-overlap of every corpus document
@@ -750,6 +822,8 @@ object TrainingData {
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x15_oov_rate" -> (x15OovRate _),
     "x16_lm_familiarity" -> (x16LmFamiliarity _),
+    "x17_tfidf_keywords" -> (x17TfidfKeywords _),
+    "x18_chunk_split" -> (x18ChunkSplit _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -834,6 +908,34 @@ object TrainingData {
        |           WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x18_chunk_split" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        |             FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 24)) AS strt
+        |       FROM s),
+        |c AS (SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_idx,
+        |        toks[strt + 1 : least(strt + 32, n)] AS chunk_toks
+        |      FROM st)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk_toks) AS BIGINT) AS n_tok,
+        |  array_to_string(chunk_toks, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x17_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, token, tf,
+        |        CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+        |      FROM tf),
+        |s AS (SELECT doc_id, token, tf, df,
+        |        tf * (SELECT CAST(count(*) AS BIGINT) FROM documents) // df AS score
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, token) AS kw_rank
+        |      FROM s)
+        |SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, token, tf, df, score
+        |FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
     "x13_pii_redact" ->
       """WITH inj AS (SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'

@@ -260,4 +260,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
     assert(p.contains("explode(sequence("), p)
   }
+
+  test("q40: RANGE frame over one user_id exchange; unused wide columns pruned") {
+    val p = plan("q40_rolling_window")
+    assert(p.contains("RangeFrame"), p)
+    // exactly one ENSURE_REQUIREMENTS hash exchange feeds the window (the
+    // trailing rangepartitioning exchange is the output ORDER BY contract)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("props") && !p.contains("event_type"), p)
+  }
+
+  test("q41: cut is a broadcast scalar; merge re-agg consumes the Union of partials") {
+    val p = plan("q41_incr_agg_merge")
+    // the max-day split joins as a broadcast 1-row scalar — no collect,
+    // no shuffle of the fact side for the cutoff
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // snapshot-partial, delta-partial and the merge each aggregate:
+    // 3 logical aggs = 6 physical partial/final HashAggregates, and the
+    // merge consumes a Union of the two partial frames
+    assert(p.contains("Union"), p)
+    assert("HashAggregate".r.findAllIn(p).size == 6, p)
+  }
+
+  test("x18: chunking is map-only — no exchange except the output sort, one Generate") {
+    val p = plan("x18_chunk_split")
+    // the only Exchange is the output ORDER BY's rangepartitioning: the
+    // chunk expansion itself never shuffles the corpus
+    assert("Exchange".r.findAllIn(p).size == 1 && p.contains("rangepartitioning"), p)
+    assert("Generate posexplode".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+  }
+
+  test("x17: top-3 prunes BEFORE the doc_id exchange; n_docs broadcasts; one tokenize") {
+    val p = plan("x17_tfidf_keywords")
+    // rank-limit pushdown: a partial WindowGroupLimit upstream of the final
+    // one means each map task ships ≤3 rows per doc into the exchange
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
+    // the 1-row corpus count joins as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus text is exploded exactly once (df rides the tf frame)
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+  }
 }

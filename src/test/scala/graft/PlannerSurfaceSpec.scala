@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{count, lit, max, min, sum}
 
-import graft.queries.Relational
+import graft.queries.{Relational, TrainingData}
 
 /** Edge-case semantics for the round-7 planner-surface trio (q35-q37).
   *
@@ -69,5 +70,95 @@ class PlannerSurfaceSpec extends SparkSpec {
     val rows = Relational.q37RecursiveCte(spark, dir).collect().toSeq
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows == Seq((0L, 0, 1L), (1L, 3, 1L), (4L, 1, 1L), (7L, 0, 1L)))
+  }
+
+  test("q40: RANGE frame includes same-second peers and the exact -3600s boundary") {
+    import spark.implicits._
+    val dir = tmpDir("q40edge")
+    val sec = 1000000000L // ns per second
+    Seq(
+      (1L, 0L * sec, 1L, "click", 1.0, "{}"),
+      (2L, 0L * sec, 1L, "click", 2.0, "{}"),    // peer of e1: same second
+      (3L, 3600L * sec, 1L, "click", 4.0, "{}"), // boundary: 0s is IN frame
+      (4L, 7201L * sec, 1L, "click", 8.0, "{}"), // 3600s is OUT (7201-3600=3601)
+      (5L, 0L * sec, 2L, "click", 0.5, "{}")     // other user: isolated partition
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val rows = Relational.q40RollingWindow(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(rows == Seq(
+      (1L, 2L, 3.0), (2L, 2L, 3.0), // peers see each other both ways
+      (3L, 3L, 7.0),                // [0, 3600] inclusive
+      (4L, 1L, 8.0),                // [3601, 7201] — 3600 aged out
+      (5L, 1L, 0.5)))
+  }
+
+  test("q41: merging partial aggs (any split, any order) equals the direct aggregate") {
+    import spark.implicits._
+    val rows = Seq( // (user_id, day, cents)
+      (1L, "2024-01-01", 100L), (1L, "2024-01-01", 250L), (1L, "2024-01-01", -50L),
+      (1L, "2024-01-02", 40L), (2L, "2024-01-01", 7L))
+    def partial(part: Seq[(String, String, Long)]): org.apache.spark.sql.DataFrame =
+      part.toDF("user_id", "day", "cents")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"),
+          min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    val strs = rows.map(t => (t._1.toString, t._2, t._3))
+    // three uneven parts, one of them overlapping a (user, day) cell split
+    // across parts — the case a naive "union distinct" merge would break
+    val merged = Relational
+      .mergeAggSnapshot(partial(strs.take(2)), partial(strs.slice(2, 3)), partial(strs.drop(3)))
+      .orderBy($"user_id", $"day").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(merged == Seq(
+      ("1", "2024-01-01", 3L, 300L, -50L, 250L),
+      ("1", "2024-01-02", 1L, 40L, 40L, 40L),
+      ("2", "2024-01-01", 1L, 7L, 7L, 7L)))
+  }
+
+  test("x18: overlap carry, short-doc single chunk, exact-boundary tiling, empty doc dropped") {
+    import spark.implicits._
+    val dir = tmpDir("x18edge")
+    val words40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val words24 = (1 to 24).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, words40, "en", "s", 40L), // 40 toks -> chunks at 0 (32) and 24 (16)
+      (2L, "only three tokens", "en", "s", 17L), // single short chunk
+      (3L, words24, "en", "s", 24L), // stride-exact: ONE chunk (start 24 >= n)
+      (4L, "!!! ...", "en", "s", 7L)  // token-less -> no rows
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val rows = TrainingData.x18ChunkSplit(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(t => (t._1, t._2, t._3)) ==
+      Seq((1L, 0L, 32L), (1L, 1L, 16L), (2L, 0L, 3L), (3L, 0L, 24L)))
+    // the second chunk re-reads 8 tokens of context: starts at w25
+    assert(rows(1)._4.startsWith("w25 ") && rows(1)._4.endsWith(" w40"))
+    assert(rows(0)._4.startsWith("w1 ") && rows(0)._4.endsWith(" w32"))
+  }
+
+  test("x17: integer-rational scores, token-asc tiebreak, df = doc freq, top-3 cap") {
+    import spark.implicits._
+    val dir = tmpDir("x17edge")
+    Seq(
+      (1L, "apple apple banana", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry cherry cherry dog", "en", "s", 24L),
+      (4L, "e f g h i", "en", "s", 9L) // 5 candidates -> exactly 3 survive
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val rows = TrainingData.x17TfidfKeywords(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(rows == Seq(
+      (1L, 1L, "apple", 8L),  // tf 2 * n 4 div df 1
+      (1L, 2L, "banana", 2L), // 1*4 div 2 — integer floor
+      (2L, 1L, "banana", 2L), // score tie with cherry: token asc wins
+      (2L, 2L, "cherry", 2L),
+      (3L, 1L, "cherry", 6L), // 3*4 div 2
+      (3L, 2L, "dog", 4L),
+      (4L, 1L, "e", 4L), (4L, 2L, "f", 4L), (4L, 3L, "g", 4L)))
   }
 }
