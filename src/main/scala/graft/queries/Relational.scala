@@ -830,6 +830,48 @@ object Relational {
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
 
+  /** One-pass table profiling — the statistics-collection shape behind
+    * `ANALYZE TABLE` / data-quality gates: per-column null count and
+    * native-typed min/max for every `orders` column, computed in a
+    * SINGLE aggregate over ONE scan (18 agg expressions + the row
+    * count, one partial+final HashAggregate moving exactly one row),
+    * then unpivoted to the
+    * long (col_name, stats) report by a codegen'd `stack`. Min/max run
+    * in each column's NATIVE type (money in scaled cents, timestamps as
+    * timestamps) and only format to strings at the end — a lexicographic min
+    * over stringified longs would rank "10" before "9". No Expand in
+    * the plan (that's the multi-DISTINCT price q14 pays; none needed
+    * here), so cost stays one scan regardless of how many columns are
+    * profiled. Exact distinct counts are deliberately NOT here: per-
+    * column distinct at 100 TB is the HLL sketch's job (q29), not an
+    * Expand-multiplied exact pass.
+    */
+  def q42ProfileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    // (name, native column for min/max, formatter native -> string)
+    val id: Column => Column = _.cast("string")
+    val cols: Seq[(String, Column, Column => Column)] = Seq(
+      ("o_orderkey", $"o_orderkey", id),
+      ("o_custkey", $"o_custkey", id),
+      ("o_orderstatus", $"o_orderstatus", identity[Column]),
+      ("o_totalprice", c100($"o_totalprice"), id),
+      ("o_orderdate", $"o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+      ("o_orderpriority", $"o_orderpriority", identity[Column]))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c, fmt) =>
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        fmt(min(c)).as(s"${n}__min"), fmt(max(c)).as(s"${n}__max"))
+    }
+    val stackArgs = cols.map { case (n, _, _) =>
+      s"'$n', `${n}__nulls`, `${n}__min`, `${n}__max`"
+    }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select($"n_rows", expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, min_s, max_s)"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"min_s", $"max_s")
+      .orderBy($"col_name")
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -955,6 +997,7 @@ object Relational {
     "q39_gap_fill" -> (q39GapFill _),
     "q40_rolling_window" -> (q40RollingWindow _),
     "q41_incr_agg_merge" -> (q41IncrAggMerge _),
+    "q42_profile_stats" -> (q42ProfileStats _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -1094,6 +1137,27 @@ object Relational {
         |  (sum(cents) // count(*)) / 100.0 AS avg_value
         |FROM e GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+    "q42_profile_stats" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+        |         count(*) - count(o_orderkey) AS n_nulls FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR), count(*) - count(o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus),
+        |    count(*) - count(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+        |    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+        |    count(*) - count(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    count(*) - count(o_orderdate) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', min(o_orderpriority), max(o_orderpriority),
+        |    count(*) - count(o_orderpriority) FROM orders)
+        |SELECT col_name, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls, min_s, max_s
+        |FROM p ORDER BY col_name""".stripMargin,
     "q26_subquery_sql" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

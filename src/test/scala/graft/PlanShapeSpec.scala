@@ -282,6 +282,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 6, p)
   }
 
+  test("q42: all column stats in ONE aggregate — single scan, no Expand, stack unpivots") {
+    val p = plan("q42_profile_stats")
+    // one partial+final agg pair moving exactly one row (SortAggregate:
+    // string min/max buffers are immutable, so the hash variant is
+    // unavailable — with an empty grouping key the sort is over 1 row);
+    // profiling more columns must never add scans or an Expand (q14's
+    // multi-DISTINCT cost)
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).size == 2, p)
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("Generate stack"), p)
+  }
+
   test("x18: chunking is map-only — no exchange except the output sort, one Generate") {
     val p = plan("x18_chunk_split")
     // the only Exchange is the output ORDER BY's rangepartitioning: the

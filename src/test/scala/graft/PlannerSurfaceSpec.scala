@@ -117,6 +117,34 @@ class PlannerSurfaceSpec extends SparkSpec {
       ("2", "2024-01-01", 1L, 7L, 7L, 7L)))
   }
 
+  test("q42: null columns counted not ranked — all-null min/max is null, typed mins") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("q42edge")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val rows = Seq(
+      Row(10L, 1L, "O", 9.5, t("2024-02-01 12:30:00"), "1-URGENT"),
+      Row(9L, null, "F", null, t("2024-01-15 08:00:00"), "2-HIGH"),
+      Row(11L, 2L, null, 100.25, null, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/orders.parquet")
+
+    val m = Relational.q42ProfileStats(spark, dir).collect().toSeq
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(m.size == 6 && m.values.forall(_._1 == 3L))
+    assert(m("o_orderkey") == ((3L, 0L, Some("9"), Some("11"))))   // numeric, not "11"<"9"
+    assert(m("o_custkey") == ((3L, 1L, Some("1"), Some("2"))))
+    assert(m("o_orderstatus") == ((3L, 1L, Some("F"), Some("O"))))
+    assert(m("o_totalprice") == ((3L, 1L, Some("950"), Some("10025")))) // exact cents
+    assert(m("o_orderdate") ==
+      ((3L, 1L, Some("2024-01-15 08:00:00"), Some("2024-02-01 12:30:00"))))
+    assert(m("o_orderpriority") == ((3L, 1L, Some("1-URGENT"), Some("2-HIGH"))))
+  }
+
   test("x18: overlap carry, short-doc single chunk, exact-boundary tiling, empty doc dropped") {
     import spark.implicits._
     val dir = tmpDir("x18edge")

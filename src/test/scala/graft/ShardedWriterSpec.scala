@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ShardedWriter
+
+/** The balanced-shard sink contract: bounded file sizes, key-disjoint
+  * clustered shards (the zone-map property), lossless round-trip.
+  */
+class ShardedWriterSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+
+  test("every file bounded by the cap; shards balanced; round-trip lossless") {
+    val out = tmpDir("shardw") + "/docs"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val shards = ShardedWriter.writeSharded(docs, out, col("doc_id"), 100L)
+    assert(shards == ((n + 99) / 100).toInt)
+
+    val files = parquetFiles(out)
+    val sizes = files.map(f => spark.read.parquet(f).count())
+    assert(sizes.sum == n)
+    assert(sizes.forall(_ <= 100L), sizes.mkString(","))
+    // balanced: range sampling should keep files near-target, not a few
+    // giants plus dust (allow slack for sampled boundary wobble)
+    assert(files.size <= math.ceil(n / 100.0).toInt + 2, s"${files.size} files for $n rows")
+
+    // round-trip equality (values, not just counts)
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("zone-map property: per-file doc_id spans are disjoint and internally sorted") {
+    val out = tmpDir("shardz") + "/docs"
+    ShardedWriter.writeSharded(
+      Tables(spark, "/root/testdata/sf0.001", "documents"), out, col("doc_id"), 64L)
+    val spans = parquetFiles(out).map { f =>
+      val ids = spark.read.parquet(f).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"unsorted rows inside $f")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlapping spans $hi >= $lo")
+      case _ => ()
+    }
+  }
+
+  test("skewed sparse keys still shard balanced (range sampling, not key width)") {
+    import spark.implicits._
+    val out = tmpDir("shards") + "/skew"
+    // snowflake-style sparse ids: width-based bucketing would collapse
+    // these into one bucket; range boundaries from sampling do not
+    val df = (1 to 1000).map(i => (1L << 40) + i * 7919L).toDF("doc_id")
+    ShardedWriter.writeSharded(df, out, col("doc_id"), 100L)
+    val sizes = parquetFiles(out).map(f => spark.read.parquet(f).count())
+    assert(sizes.sum == 1000L && sizes.forall(_ <= 100L))
+    assert(sizes.size <= 12, sizes.mkString(","))
+  }
+}
