@@ -84,6 +84,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(TextExpressions.SimHashName),
       new ExpressionInfo(classOf[SimHash60].getCanonicalName, TextExpressions.SimHashName),
       { exprs: Seq[Expression] => SimHash60(exprs.head) }))
+    e.injectFunction((
+      FunctionIdentifier(LayoutExpressions.ZOrderName),
+      new ExpressionInfo(classOf[ZOrder2].getCanonicalName, LayoutExpressions.ZOrderName),
+      { exprs: Seq[Expression] => ZOrder2(exprs(0), exprs(1)) }))
   }
 }
 

@@ -872,6 +872,27 @@ object Relational {
       .orderBy($"col_name")
   }
 
+  /** Z-order layout-key assignment — the clustering side of 2-D data
+    * layout: every event gets its Morton code over (user_id, epoch
+    * second), the key `ShardedWriter` would shard on so that BOTH
+    * per-user and per-time-range predicates prune files (a single-column
+    * sort clusters one dimension and scatters the other; the Morton
+    * curve keeps 2-D-near rows file-near — `LayoutExpressionsSpec`
+    * proves the box-query pruning win against a row-major layout).
+    * The code itself is a codegen'd per-row projection
+    * ([[graft.functions.ZOrder2]], five mask/shift rounds, no loop) —
+    * the only exchange in the plan is the output ORDER BY; the oracle
+    * re-derives the interleave with the same five spread rounds in
+    * plain SQL, so the bit math is pinned cross-engine.
+    */
+  def q43ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("sec"))
+      .withColumn("z", graft.functions.LayoutExpressions.zorder2($"user_id", $"sec"))
+      .orderBy($"z", $"event_id")
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -998,6 +1019,7 @@ object Relational {
     "q40_rolling_window" -> (q40RollingWindow _),
     "q41_incr_agg_merge" -> (q41IncrAggMerge _),
     "q42_profile_stats" -> (q42ProfileStats _),
+    "q43_zorder_layout" -> (q43ZorderLayout _),
     "q20_chain_linkage" -> (q20ChainLinkage _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -1137,6 +1159,22 @@ object Relational {
         |  (sum(cents) // count(*)) / 100.0 AS avg_value
         |FROM e GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+    "q43_zorder_layout" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s0 AS (SELECT *, user_id & 4294967295 AS x0, sec & 4294967295 AS y0 FROM e),
+        |s1 AS (SELECT *, (x0 | (x0 << 16)) & 281470681808895 AS x1,
+        |               (y0 | (y0 << 16)) & 281470681808895 AS y1 FROM s0),
+        |s2 AS (SELECT *, (x1 | (x1 << 8)) & 71777214294589695 AS x2,
+        |               (y1 | (y1 << 8)) & 71777214294589695 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 4)) & 1085102592571150095 AS x3,
+        |               (y2 | (y2 << 4)) & 1085102592571150095 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 2)) & 3689348814741910323 AS x4,
+        |               (y3 | (y3 << 2)) & 3689348814741910323 AS y4 FROM s3),
+        |s5 AS (SELECT *, (x4 | (x4 << 1)) & 6148914691236517205 AS x5,
+        |               (y4 | (y4 << 1)) & 6148914691236517205 AS y5 FROM s4)
+        |SELECT event_id, user_id, sec, x5 | (y5 << 1) AS z
+        |FROM s5 ORDER BY z, event_id""".stripMargin,
     "q42_profile_stats" ->
       """WITH p AS (
         |  SELECT 'o_orderkey' AS col_name, CAST(min(o_orderkey) AS VARCHAR) AS min_s,

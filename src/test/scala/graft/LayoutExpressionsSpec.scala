@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.LayoutExpressions
+import graft.operators.ShardedWriter
+
+/** The Z-order expression contract: bit-exact interleave (vs a bit-by-bit
+  * reference), SQL-surface null semantics, and the layout win it exists
+  * for — a 2-D box query touches fewer z-ordered shards than row-major
+  * ones.
+  */
+class LayoutExpressionsSpec extends SparkSpec {
+
+  /** Bit-by-bit reference: the definition, not the fast spread. */
+  private def mortonRef(a: Long, b: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      out |= ((a >>> i) & 1L) << (2 * i)
+      out |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  test("morton2 matches the bit-by-bit definition, incl. 32-bit edges") {
+    val samples = Seq(0L, 1L, 2L, 3L, 63L, 64L, 1000003L, (1L << 31) - 1,
+      1L << 31, (1L << 32) - 1, 0x12345678L, 0xCAFEBABEL,
+      // high bits beyond 32 must be ignored (masked), not interleaved
+      (1L << 40) | 5L)
+    for (a <- samples; b <- samples)
+      assert(LayoutExpressions.morton2(a, b) == mortonRef(a, b), s"($a, $b)")
+    // interleave structure: a on even bits, b on odd
+    assert(LayoutExpressions.morton2(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    assert(LayoutExpressions.morton2(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+  }
+
+  test("SQL surface: graft_zorder2 codegen parity and null propagation") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (123456L, 654321L)).toDF("a", "b")
+      .select(LayoutExpressions.zorder2($"a", $"b").as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(mortonRef(3, 5), 0L, mortonRef(123456, 654321)))
+    val withNull = spark.sql("SELECT graft_zorder2(CAST(NULL AS BIGINT), 1L) AS z")
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("z-order prunes BOTH dimensions; a single-column sort zero-prunes one") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // 64x64 grid; shard into 16 files of 256 rows under both layouts
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def filesHitting(dir: String, pred: Column): Int =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet"))
+        .count(f => spark.read.parquet(f).filter(pred).limit(1).count() > 0)
+
+    val zDir = tmpDir("zlay") + "/z"
+    ShardedWriter.writeSharded(
+      grid.withColumn("z", LayoutExpressions.zorder2($"x", $"y")),
+      zDir, col("z"), 256L)
+    val xMajorDir = tmpDir("zlay") + "/xm"
+    ShardedWriter.writeSharded(grid, xMajorDir, col("x") * 64 + col("y"), 256L)
+
+    val xStripe = $"x".between(8, 15)  // 8 columns, every y
+    val yStripe = $"y".between(8, 15)  // 8 rows, every x
+    val box = xStripe && yStripe       // aligned 8x8 tile
+
+    // x-major fully prunes the sorted dimension but cannot prune y at
+    // all: every shard holds 4 full x-columns, each containing y 8..15
+    assert(filesHitting(xMajorDir, xStripe) <= 2)
+    assert(filesHitting(xMajorDir, yStripe) == 16, "x-major must scan ALL shards for a y-stripe")
+    // z-order: each stripe decomposes into 8 aligned 8x8 tiles = 8
+    // morton intervals -> bounded shard hits for BOTH dimensions, and
+    // the aligned box is ONE contiguous interval (64 rows, <= 2 shards)
+    val zx = filesHitting(zDir, xStripe)
+    val zy = filesHitting(zDir, yStripe)
+    assert(math.max(zx, zy) <= 10, s"z-order stripes hit $zx/$zy shards")
+    assert(filesHitting(zDir, box) <= 2)
+  }
+}

@@ -295,6 +295,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate stack"), p)
   }
 
+  test("q43: morton code is a shuffle-free codegen'd projection") {
+    val p = plan("q43_zorder_layout")
+    // only the output ORDER BY exchanges; the interleave itself is map work
+    assert("Exchange".r.findAllIn(p).size == 1 && p.contains("rangepartitioning"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    assert(p.contains("zorder2(user_id"), p) // the expression, in a Project
+  }
+
   test("x18: chunking is map-only — no exchange except the output sort, one Generate") {
     val p = plan("x18_chunk_split")
     // the only Exchange is the output ORDER BY's rangepartitioning: the
