@@ -39,6 +39,29 @@ class LayoutExpressionsSpec extends SparkSpec {
     assert(LayoutExpressions.morton2(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
   }
 
+  test("property: deinterleave inverts morton2 over random 64-bit inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L; var i = 0
+      while (i < 32) {
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (a, b)
+    }
+    val gen = Gen.zip(Gen.long, Gen.long)
+    val pairs = Gen.listOfN(500, gen)
+      .apply(Gen.Parameters.default, Seed(43L)).getOrElse(Nil)
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val z = LayoutExpressions.morton2(a, b)
+      // the code is a bijection on the low 32 bits of each dimension
+      assert(deinterleave(z) == ((a & 0xFFFFFFFFL, b & 0xFFFFFFFFL)), s"($a, $b)")
+    }
+  }
+
   test("SQL surface: graft_zorder2 codegen parity and null propagation") {
     import spark.implicits._
     val df = Seq((3L, 5L), (0L, 0L), (123456L, 654321L)).toDF("a", "b")
