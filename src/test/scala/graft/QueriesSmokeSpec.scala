@@ -17,6 +17,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("OPERATORS.md names only registered queries, and every query is documented") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")))
+    val mentioned = "`((?:q|x|d|m|r|c|s|st)\\d+_[a-z0-9_]+)`".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val phantom = mentioned -- registered
+    assert(phantom.isEmpty, s"documented but not registered: $phantom")
+    val undocumented = registered -- mentioned
+    assert(undocumented.isEmpty, s"registered but not in OPERATORS.md: $undocumented")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sf)
