@@ -49,4 +49,45 @@ object ShardedWriter {
       .parquet(path)
     shards
   }
+
+  /** Compact a parquet directory in place — the OPTIMIZE pass every
+    * streaming ingestion needs: micro-batches land one-file-per-
+    * trigger-per-partition (the small-files storm that makes listing
+    * and scan-task scheduling the bottleneck long before I/O), and this
+    * rewrite folds them into [[writeSharded]]'s balanced clustered
+    * layout.
+    *
+    * Crash-safety is rename-based staging, the same discipline as the
+    * JDBC staging table: the rewrite lands complete in `<dir>.compact`
+    * (source fully read — the write is the action), then publishes via
+    * two directory renames (dir → `.pre-compact`, staging → dir) and
+    * drops the retired copy. A crash before the first rename leaves the
+    * source untouched (stale staging is re-overwritten next run); the
+    * window between renames is a single-writer assumption, documented —
+    * a transactional table format replaces that window with a metadata
+    * commit at deployment.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: Column, targetRowsPerFile: Long): (Int, Int) = {
+    val frame = spark.read.parquet(dir)
+    def parquetCount(p: String): Int = {
+      val (fs, hp) = graft.core.Fs.resolve(spark, p)
+      if (!fs.exists(hp)) 0
+      else fs.listStatus(hp).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount(dir)
+    val staging = dir + ".compact"
+    val retired = dir + ".pre-compact"
+    writeSharded(frame, staging, key, targetRowsPerFile)
+    val (fs, _) = graft.core.Fs.resolve(spark, dir)
+    graft.core.Fs.deleteRecursively(spark, retired)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(retired)), s"retire rename failed: $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(dir)), s"publish rename failed: $staging")
+    graft.core.Fs.deleteRecursively(spark, retired)
+    (before, parquetCount(dir))
+  }
 }

@@ -53,6 +53,40 @@ class ShardedWriterSpec extends SparkSpec {
     }
   }
 
+  test("compaction: small-files storm folds into bounded shards, rows conserved") {
+    import spark.implicits._
+    val dir = tmpDir("compact") + "/ingested"
+    // simulate micro-batch landings: 40 tiny appends of 25 rows each
+    val all = (0 until 1000).map(i => (i.toLong, s"v$i"))
+    all.grouped(25).foreach { batch =>
+      batch.toDF("id", "payload").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val beforeFiles = parquetFiles(dir)
+    assert(beforeFiles.size >= 40, s"expected a small-files storm, got ${beforeFiles.size}")
+
+    val (before, after) = ShardedWriter.compactParquet(
+      spark, dir, org.apache.spark.sql.functions.col("id"), 250L)
+    assert(before == beforeFiles.size)
+    assert(after <= 5, s"$after files after compaction") // 1000/250 + straddle slack
+    // no staging/retired residue; contents identical
+    assert(!new java.io.File(dir + ".compact").exists)
+    assert(!new java.io.File(dir + ".pre-compact").exists)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    assert(back.as[(Long, String)].collect().toSet == all.toSet)
+    // compaction restored the clustered layout: disjoint sorted id spans
+    val spans = parquetFiles(dir).map { f =>
+      val ids = spark.read.parquet(f).select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted)
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+  }
+
   test("skewed sparse keys still shard balanced (range sampling, not key width)") {
     import spark.implicits._
     val out = tmpDir("shards") + "/skew"
