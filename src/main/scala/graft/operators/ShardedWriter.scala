@@ -71,13 +71,16 @@ object ShardedWriter {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       key: Column, targetRowsPerFile: Long): (Int, Int) = {
-    val frame = spark.read.parquet(dir)
     def parquetCount(p: String): Int = {
       val (fs, hp) = graft.core.Fs.resolve(spark, p)
       if (!fs.exists(hp)) 0
       else fs.listStatus(hp).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
     val before = parquetCount(dir)
+    // absent dir or metadata-only residue (zero part files): nothing to
+    // fold, and spark.read.parquet could not even infer a schema
+    if (before == 0) return (0, 0)
+    val frame = spark.read.parquet(dir)
     val staging = dir + ".compact"
     val retired = dir + ".pre-compact"
     writeSharded(frame, staging, key, targetRowsPerFile)

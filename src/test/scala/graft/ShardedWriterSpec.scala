@@ -87,6 +87,19 @@ class ShardedWriterSpec extends SparkSpec {
     }
   }
 
+  test("compaction no-ops on an absent or part-file-free directory") {
+    val missing = tmpDir("compactnoop") + "/never-written"
+    assert(ShardedWriter.compactParquet(
+      spark, missing, org.apache.spark.sql.functions.col("id"), 100L) == ((0, 0)))
+    assert(!new java.io.File(missing).exists)
+    val metaOnly = tmpDir("compactnoop") + "/meta-only"
+    Files.createDirectories(Paths.get(metaOnly))
+    Files.write(Paths.get(metaOnly, "_SUCCESS"), Array.emptyByteArray)
+    assert(ShardedWriter.compactParquet(
+      spark, metaOnly, org.apache.spark.sql.functions.col("id"), 100L) == ((0, 0)))
+    assert(Files.exists(Paths.get(metaOnly, "_SUCCESS"))) // untouched
+  }
+
   test("skewed sparse keys still shard balanced (range sampling, not key width)") {
     import spark.implicits._
     val out = tmpDir("shards") + "/skew"
