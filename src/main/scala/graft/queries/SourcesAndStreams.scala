@@ -208,6 +208,13 @@ object SourcesAndStreams {
   def st6IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.incrementalIngest(spark, dir)
 
+  /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
+    * match against st6's oracle proves the rewrite content-exact, and
+    * the query itself requires the file fold to have happened.
+    */
+  def st11CompactedIngest(spark: SparkSession, dir: String): DataFrame =
+    EventStream.compactedIngest(spark, dir)
+
   /** Declarative sessionization via the built-in `session_window`
     * aggregation — st7's semantics with zero custom state code; exact
     * batch-equal via the same sentinel drain.
@@ -341,6 +348,7 @@ object SourcesAndStreams {
     "st4_stream_stream_join" -> (st4StreamStreamJoin _),
     "st5_stream_file_sink" -> (st5StreamFileSink _),
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
+    "st11_compacted_ingest" -> (st11CompactedIngest _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -395,6 +403,12 @@ object SourcesAndStreams {
       """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "st6_incremental_ingest" ->
+      """SELECT event_id, event_type, user_id,
+        | CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    // st11 = st6's ingest + the compaction rewrite: the SAME oracle —
+    // a content-exact OPTIMIZE pass must not change the table.
+    "st11_compacted_ingest" ->
       """SELECT event_id, event_type, user_id,
         | CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,

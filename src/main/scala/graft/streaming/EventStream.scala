@@ -787,6 +787,54 @@ object EventStream {
   def incrementalIngest(spark: SparkSession, dir: String): DataFrame =
     incrementalIngestRuns(spark, dir, replays = 0)._1
 
+  /** st11: the st6 ingest pass followed by the table-maintenance
+    * OPTIMIZE rewrite ([[graft.operators.ShardedWriter.compactParquet]])
+    * — micro-batch landings leave one-file-per-trigger-per-partition
+    * small files, compaction folds them into balanced event_id-clustered
+    * shards, and the query returns the POST-compaction table. The oracle
+    * is st6's (the full merged event set): the hash match proves the
+    * rewrite is content-exact end-to-end, while the fold itself is
+    * asserted inline (fewer files after than before) so a silently
+    * no-op'd compaction fails the query, not just a spec. The layout
+    * contract (per-file cap, disjoint sorted spans) is pinned in
+    * ShardedWriterSpec.
+    */
+  def compactedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (src, schema) = stageSourceOnce(
+        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+      val events = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val d = scratchDir("st6src")
+      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d, events.schema)
+    }
+    val root = scratchDir("st11")
+    val target = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      ingestIncremental(
+        spark, src.toString, schema, target, Seq("event_id"), ckpt,
+        filesPerTrigger = Some(1))
+      val n = spark.read.parquet(target).count()
+      // Target ~4 shards, but never MORE files than the ingest left (at
+      // toy scale two micro-batches can land as two already-large files;
+      // a fixed shard count would then expand, not fold). Real
+      // deployments size by bytes; rows are the local proxy.
+      val preCount = {
+        val (fs, p) = graft.core.Fs.resolve(spark, target)
+        fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }
+      val shards = math.min(4L, math.max(1L, preCount / 2L))
+      val (before, after) = graft.operators.ShardedWriter.compactParquet(
+        spark, target, col("event_id"), math.max(1L, (n + shards - 1) / shards))
+      require(after < before,
+        s"compaction did not fold the ingest layout ($before -> $after files)")
+      spark.read.parquet(target).orderBy(col("event_id")).localCheckpoint()
+    } finally reap(root)
+  }
+
   /** Spec seam: one ingest pass plus `1` replay against the same
     * checkpoint, returning (result, rowsAfterFirst, rowsAfterReplay) so
     * the caller can assert the replay was a no-op.
