@@ -457,6 +457,37 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable HLL sketch ALGEBRA (DataSketches, Spark 3.5+ surface) —
+    * the piece [[q29ApproxDistinct]]'s direct aggregate does not show:
+    * sketches as STORED partial aggregates. Per-day user sketches are
+    * built once (`hll_sketch_agg`, one partial-agg shuffle moving
+    * fixed-size binaries), then the running total re-derives from
+    * `hll_union_agg` over the TINY sketch table — the distinct-count
+    * sibling of q41's incremental aggregate maintenance: at 100 TB the
+    * daily sketch table is what you persist, and any window's distinct
+    * count is a union over days, never a fact rescan (exact distinct
+    * does not decompose this way — that is the whole point of the
+    * sketch). No oracle by design (q29's note: sketch bytes are
+    * engine-specific); ApproxAggSpec pins BOTH the accuracy contract
+    * and the merge law (union-of-daily-sketches estimate ≡
+    * direct-over-all-days estimate, exactly).
+    */
+  def q44HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(hll_sketch_agg($"user_id", 12).as("sk"), count(lit(1)).as("n_events"))
+    daily.select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate($"sk").as("est_users"), $"n_events")
+      .unionByName(daily.agg(
+        lit("TOTAL").as("day"),
+        hll_sketch_estimate(hll_union_agg($"sk", allowDifferentLgConfigK = false)).as("est_users"),
+        sum($"n_events").as("n_events")))
+      .orderBy($"day")
+  }
+
   /** Approximate percentiles (GK / QuantileSummaries sketch) — the scale
     * twin of [[q19Percentiles]]. Exact percentiles need the sorted value
     * multiset per group; the sketch is bounded-size, mergeable, and
@@ -1002,6 +1033,7 @@ object Relational {
     // accuracy contract is pinned by ApproxAggSpec against the exact
     // q14/q19 answers.
     "q29_approx_distinct" -> (q29ApproxDistinct _),
+    "q44_hll_merge" -> (q44HllMerge _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
     "q33_rank_family" -> (q33RankFamily _),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Relational
 
-/** Accuracy contracts for the approximate-aggregation family (q29/q30).
+/** Accuracy contracts for the approximate-aggregation family
+  * (q29/q30/q44).
   * These queries have NO DuckDB oracle by construction — a different
   * engine's HLL/quantile sketch cannot hash-match — so the error bounds
   * are pinned here against the EXACT q14/q19 answers on real data.
@@ -27,6 +28,39 @@ class ApproxAggSpec extends SparkSpec {
       assert(math.abs(aSupps - nSupps).toDouble / nSupps <= tol,
         s"${r.getString(0)}: n_supps approx $aSupps vs exact $nSupps")
     }
+  }
+
+  test("q44: per-day HLL estimates accurate AND the union obeys the merge law") {
+    import graft.core.Tables
+    val events = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).cache()
+    try {
+      val exactByDay = events.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val exactTotal = events.select(col("user_id")).distinct().count()
+
+      val out = Relational.q44HllMerge(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size == exactByDay.size + 1)
+      // lgConfigK=12 -> rsd ~= 1.04/sqrt(2^12) ~= 1.6%; allow 3 sigma
+      val tol = 3 * 1.04 / math.sqrt(1 << 12)
+      exactByDay.foreach { case (day, n) =>
+        assert(math.abs(out(day) - n).toDouble / n <= tol, s"$day: ${out(day)} vs exact $n")
+      }
+      assert(math.abs(out("TOTAL") - exactTotal).toDouble / exactTotal <= tol,
+        s"TOTAL: ${out("TOTAL")} vs exact $exactTotal")
+
+      // THE MERGE LAW: estimating the union of the stored daily sketches
+      // must EQUAL the estimate of one sketch built directly over all
+      // days — this is what makes the daily sketch table a valid partial
+      // aggregate (no fact rescan for any window's distinct count)
+      val direct = events
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+        .collect().head.getLong(0)
+      assert(out("TOTAL") == direct,
+        s"union-of-sketches ${out("TOTAL")} != direct sketch $direct")
+    } finally { events.unpersist(); () }
   }
 
   test("q30: approx percentiles respect the rank-error guarantee") {
