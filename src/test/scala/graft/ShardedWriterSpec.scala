@@ -87,6 +87,26 @@ class ShardedWriterSpec extends SparkSpec {
     }
   }
 
+  test("compaction recovers from a prior crash's staging/retired residue") {
+    import spark.implicits._
+    val dir = tmpDir("compactcrash") + "/data"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+      .repartition(4).write.parquet(dir)
+    // a previous run died mid-flight: stale staging AND retired copies
+    (1 to 10).map(i => (-i.toLong, "stale")).toDF("id", "payload")
+      .write.parquet(dir + ".compact")
+    Files.createDirectories(Paths.get(dir + ".pre-compact"))
+    Files.write(Paths.get(dir + ".pre-compact", "junk"), Array[Byte](1))
+
+    val (before, after) = ShardedWriter.compactParquet(
+      spark, dir, org.apache.spark.sql.functions.col("id"), 50L)
+    assert(before >= 4 && after <= 3)
+    assert(!new java.io.File(dir + ".compact").exists)
+    assert(!new java.io.File(dir + ".pre-compact").exists)
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids == (1 to 100).map(_.toLong).toSet, "stale staging rows must never publish")
+  }
+
   test("compaction no-ops on an absent or part-file-free directory") {
     val missing = tmpDir("compactnoop") + "/never-written"
     assert(ShardedWriter.compactParquet(
