@@ -98,6 +98,12 @@ object JdbcSink {
         // 100 TB design point; an INT identity would overflow mid-load.
         s"""ALTER TABLE ${staging}_d ADD COLUMN "_rid" BIGINT GENERATED ALWAYS AS IDENTITY""",
         s"INSERT INTO ${staging}_d ($cols) SELECT $cols FROM $staging",
+        // Without this index the dedup DELETE's correlated EXISTS is a
+        // nested-loop SELF-SCAN of the clone — O(n²), observed as a hang
+        // at a 100k-row staged batch (st12 at sf0.1); the (keys, _rid)
+        // composite turns each probe into an index lookup.
+        s"""CREATE INDEX ${staging}_dk ON ${staging}_d
+           | (${(keys.map(quote) :+ "\"_rid\"").mkString(", ")})""".stripMargin,
         s"""DELETE FROM ${staging}_d t WHERE EXISTS
            | (SELECT 1 FROM ${staging}_d s WHERE $keyEq AND s."_rid" < t."_rid")""".stripMargin)
     }

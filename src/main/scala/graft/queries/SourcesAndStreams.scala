@@ -208,6 +208,13 @@ object SourcesAndStreams {
   def st6IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.incrementalIngest(spark, dir)
 
+  /** The stream→live-relational-warehouse loop (checkpointed source,
+    * per-batch staging+merge on embedded Derby, JDBC read-back) — the
+    * reference's production pattern end-to-end, oracle-hash-checked.
+    */
+  def st12StreamJdbc(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamToJdbc(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -349,6 +356,7 @@ object SourcesAndStreams {
     "st5_stream_file_sink" -> (st5StreamFileSink _),
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
     "st11_compacted_ingest" -> (st11CompactedIngest _),
+    "st12_stream_jdbc" -> (st12StreamJdbc _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -403,6 +411,12 @@ object SourcesAndStreams {
       """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "st6_incremental_ingest" ->
+      """SELECT event_id, event_type, user_id,
+        | CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    // st12 = the same event set through the live-Derby staging+merge
+    // warehouse loop and back over JDBC — identical truth again.
+    "st12_stream_jdbc" ->
       """SELECT event_id, event_type, user_id,
         | CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,

@@ -835,6 +835,68 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st12: the reference's ACTUAL production loop — stream into a live
+    * RELATIONAL warehouse with the idempotent staging+merge sink
+    * (`cardano_block_dao.py:140-148`'s `COPY … ON CONFLICT DO NOTHING`
+    * polling loop as one checkpointed stream). Same staged 2-file
+    * overlapping source as st6, but each micro-batch goes through
+    * [[graft.cardano.JdbcSink.upsertJdbc]] (distributed `df.write.jdbc`
+    * staging table + single-transaction SQL merge) into embedded Derby;
+    * the query returns the warehouse table read BACK over JDBC, so the
+    * oracle hash-checks the entire stream→DB→read loop. Effectively-once
+    * composes exactly as in st6: checkpoint dedups files, the DB-side PK
+    * merge makes replayed batches no-ops. Scale notes: the merge
+    * transaction is per-batch on the driver but the staging WRITE is
+    * distributed (executor JDBC partitions); the single-partition
+    * read-back is the local stand-in for a partitioned-column JDBC read.
+    */
+  def streamToJdbc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cardano.JdbcSink
+    val (src, schema) = stageSourceOnce(
+        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+      val events = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val d = scratchDir("st6src")
+      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d, events.schema)
+    }
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val name = s"st12_${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$name;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE events_wh (
+        |  "event_id" BIGINT PRIMARY KEY, "event_type" VARCHAR(32),
+        |  "user_id" BIGINT, "cents" BIGINT)""".stripMargin): Unit
+    finally c.close()
+    val root = scratchDir("st12")
+    try {
+      val reader = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+      val q = reader.parquet(src.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          JdbcSink.upsertJdbc(batch, url, "events_wh",
+            Seq("event_id"), props = props): Unit
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.jdbc(url, "events_wh", props)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("cents"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+    } finally {
+      reap(root)
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$name;drop=true").close()
+      catch { case _: java.sql.SQLException => () } // 08006 = expected drop signal
+    }
+  }
+
   /** Spec seam: one ingest pass plus `1` replay against the same
     * checkpoint, returning (result, rowsAfterFirst, rowsAfterReplay) so
     * the caller can assert the replay was a no-op.
