@@ -474,10 +474,16 @@ object Relational {
     */
   def q44HllMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE corpus scan builds the sketch table; localCheckpoint stops the
+    // per-day branch and the TOTAL-union branch from re-deriving it
+    // (each would rescan the facts — the exact thing stored sketches
+    // exist to avoid). The checkpointed table is days × (16-ish KB
+    // sketch + 2 longs) — nothing.
     val daily = Tables.events(spark, dir)
       .select(to_date($"ts").as("day"), $"user_id")
       .groupBy($"day")
       .agg(hll_sketch_agg($"user_id", 12).as("sk"), count(lit(1)).as("n_events"))
+      .localCheckpoint()
     daily.select(
         date_format($"day", "yyyy-MM-dd").as("day"),
         hll_sketch_estimate($"sk").as("est_users"), $"n_events")

@@ -303,6 +303,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("zorder2(user_id"), p) // the expression, in a Project
   }
 
+  test("q44: both output branches read the checkpointed sketch table, not the facts") {
+    val p = plan("q44_hll_merge")
+    // the events scan happens once, inside the checkpoint job; the final
+    // plan's Union branches must consume the materialized sketch rows
+    assert(p.contains("Union"), p)
+    assert(!p.contains("FileScan"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
+  }
+
   test("x18: chunking is map-only — no exchange except the output sort, one Generate") {
     val p = plan("x18_chunk_split")
     // the only Exchange is the output ORDER BY's rangepartitioning: the
