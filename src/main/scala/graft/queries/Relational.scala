@@ -930,6 +930,40 @@ object Relational {
       .orderBy($"z", $"event_id")
   }
 
+  /** Ordered-funnel conversion (view → click → purchase, strictly
+    * increasing timestamps) — the product-analytics staple that naive
+    * formulations write as K-1 self-joins of the event table (a
+    * scale-killer: each join re-shuffles the facts). Here each stage's
+    * first-reach time is a conditional `min` OVER the user partition,
+    * chained (stage k's window expression references stage k-1's
+    * column), so ALL stages ride ONE user_id exchange — K sequential
+    * Window operators over the same partitioning, zero joins,
+    * plan-pinned. Greedy earliest-time semantics (first view, first
+    * click after it, first purchase after that); ties do NOT progress
+    * the funnel (strict `>`), pinned on a synthetic fixture. The final
+    * rollup is a 3-flag aggregate — one tiny single-partition job.
+    */
+  def q45Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    val staged = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(byUser))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(byUser))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(byUser))
+    val perUser = staged.groupBy($"user_id").agg(
+      max($"t1".isNotNull).as("s1"),
+      max($"t2".isNotNull).as("s2"),
+      max($"t3".isNotNull).as("s3"))
+    perUser.agg(
+        sum(when($"s1", 1L).otherwise(0L)).as("u1"),
+        sum(when($"s2", 1L).otherwise(0L)).as("u2"),
+        sum(when($"s3", 1L).otherwise(0L)).as("u3"))
+      .select(expr(
+        "stack(3, '1_view', u1, '2_click', u2, '3_purchase', u3) AS (stage, users)"))
+      .orderBy($"stage")
+  }
+
   /** The SQL entry point (the reference's analytics run as plain SQL in
     * psql/Hex — README.md:93-122): temp views + `spark.sql`, exercising
     * the subquery planner — a correlated EXISTS (Catalyst rewrites to a
@@ -1040,6 +1074,7 @@ object Relational {
     // q14/q19 answers.
     "q29_approx_distinct" -> (q29ApproxDistinct _),
     "q44_hll_merge" -> (q44HllMerge _),
+    "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
     "q33_rank_family" -> (q33RankFamily _),
@@ -1197,6 +1232,30 @@ object Relational {
         |  (sum(cents) // count(*)) / 100.0 AS avg_value
         |FROM e GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+    "q45_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |u AS (SELECT user_id, max(t1 IS NOT NULL) AS f1,
+        |        max(t2 IS NOT NULL) AS f2, max(t3 IS NOT NULL) AS f3
+        |      FROM s3 GROUP BY user_id),
+        |tot AS (SELECT sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS u1,
+        |          sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS u2,
+        |          sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS u3 FROM u)
+        |SELECT '1_view' AS stage, CAST(u1 AS BIGINT) AS users FROM tot
+        |UNION ALL SELECT '2_click', CAST(u2 AS BIGINT) FROM tot
+        |UNION ALL SELECT '3_purchase', CAST(u3 AS BIGINT) FROM tot
+        |ORDER BY stage""".stripMargin,
     "q43_zorder_layout" ->
       """WITH e AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -303,6 +303,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("zorder2(user_id"), p) // the expression, in a Project
   }
 
+  test("q45: all funnel stages ride ONE user exchange — no self-joins") {
+    val p = plan("q45_funnel")
+    // K-stage funnel as K chained windows + the per-user rollup, all on
+    // one hashpartitioning(user_id); the join-free formulation is the
+    // whole point (each self-join would re-shuffle the facts)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q44: both output branches read the checkpointed sketch table, not the facts") {
     val p = plan("q44_hll_merge")
     // the events scan happens once, inside the checkpoint job; the final

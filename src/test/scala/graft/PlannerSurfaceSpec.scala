@@ -117,6 +117,31 @@ class PlannerSurfaceSpec extends SparkSpec {
       ("2", "2024-01-01", 1L, 7L, 7L, 7L)))
   }
 
+  test("q45: strict-order funnel — out-of-order and tied stages do not progress") {
+    import spark.implicits._
+    val dir = tmpDir("q45edge")
+    val sec = 1000000000L
+    Seq(
+      (1L, 1L * sec, 1L, "view", 0.0, "{}"),     // u1: full ordered funnel
+      (2L, 2L * sec, 1L, "click", 0.0, "{}"),
+      (3L, 3L * sec, 1L, "purchase", 0.0, "{}"),
+      (4L, 1L * sec, 2L, "click", 0.0, "{}"),    // u2: click BEFORE view
+      (5L, 2L * sec, 2L, "view", 0.0, "{}"),
+      (6L, 3L * sec, 2L, "purchase", 0.0, "{}"), // ...purchase needs a click after view
+      (7L, 1L * sec, 3L, "view", 0.0, "{}"),     // u3: view/click tie -> no progress
+      (8L, 1L * sec, 3L, "click", 0.0, "{}"),
+      (9L, 1L * sec, 4L, "view", 0.0, "{}"),     // u4: click ok, purchase ties click
+      (10L, 2L * sec, 4L, "click", 0.0, "{}"),
+      (11L, 2L * sec, 4L, "purchase", 0.0, "{}"),
+      (12L, 1L * sec, 5L, "purchase", 0.0, "{}") // u5: never viewed
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val rows = Relational.q45Funnel(spark, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
   test("q42: null columns counted not ranked — all-null min/max is null, typed mins") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("q42edge")
