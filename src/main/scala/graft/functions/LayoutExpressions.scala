@@ -16,18 +16,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * selective 2-D query (the same layout trick Delta/Iceberg expose as
   * OPTIMIZE ZORDER BY).
   *
-  * Semantics: interleave the low 32 bits of each input — bit i of `a`
-  * lands at output bit 2i, bit i of `b` at 2i+1 (the classic parallel
-  * bit-spread with five mask/shift rounds; public-domain bit twiddling,
-  * same construction as Interleave in "Bit Twiddling Hacks"). The
-  * expression is a pure per-row projection: codegen'd, shuffle-free,
-  * stays inside WholeStageCodegen.
+  * Semantics: interleave the bits of each input — bit i of `a` lands at
+  * output bit 2i, bit i of `b` at 2i+1 (the classic parallel bit-spread
+  * with five mask/shift rounds; public-domain bit twiddling, same
+  * construction as Interleave in "Bit Twiddling Hacks"). The expression
+  * is a pure per-row projection: codegen'd, shuffle-free, stays inside
+  * WholeStageCodegen.
   *
-  * Ordering caveat (documented contract): the output is a SIGNED long,
-  * so keep dimension values below 2^31 (mask or bucket them first) if
-  * you sort by the code — bit 31 of the second dimension would land in
-  * the sign bit. Both engine dimensions used here (ids, epoch seconds)
-  * are well below 2^31.
+  * Enforced domain contract: each dimension must lie in [0, 2^31) —
+  * out-of-range values throw (with the offending pair in the message)
+  * instead of silently landing bit 31 of the second dimension in the
+  * long's sign bit and inverting the sort order. Offset or bucket wider
+  * dimensions before z-ordering. With the domain enforced, the code is
+  * always non-negative and totally consistent with the interleaved
+  * order; both engine dimensions used here (ids, epoch seconds) fit.
   */
 case class ZOrder2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -69,10 +71,23 @@ object LayoutExpressions {
     x
   }
 
-  /** Morton code of (a, b): a's bits at even positions, b's at odd.
-    * Called from both interpreted eval and generated code.
+  /** Inclusive per-dimension maximum: 2^31 - 1. Bit 31 of the second
+    * dimension would land in the output's sign bit, so values at or
+    * above 2^31 (or negative) cannot be encoded order-consistently.
     */
-  def morton2(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  val MaxDim: Long = 0x7FFFFFFFL
+
+  /** Morton code of (a, b): a's bits at even positions, b's at odd.
+    * Called from both interpreted eval and generated code. Throws on
+    * dimensions outside [0, MaxDim] — never silently mis-sorts.
+    */
+  def morton2(a: Long, b: Long): Long = {
+    if ((a | b) < 0L || a > MaxDim || b > MaxDim)
+      throw new IllegalArgumentException(
+        s"graft_zorder2 dimension out of range [0, 2^31): ($a, $b) — " +
+          "offset or bucket dimensions before z-ordering")
+    spread(a) | (spread(b) << 1)
+  }
 
   /** Idempotent per-session registration (temp function registry); the
     * deployment route is `GraftExtensions` via `spark.sql.extensions`.

@@ -62,10 +62,13 @@ object ShardedWriter {
     * (source fully read — the write is the action), then publishes via
     * two directory renames (dir → `.pre-compact`, staging → dir) and
     * drops the retired copy. A crash before the first rename leaves the
-    * source untouched (stale staging is re-overwritten next run); the
-    * window between renames is a single-writer assumption, documented —
-    * a transactional table format replaces that window with a metadata
-    * commit at deployment.
+    * source untouched (stale staging is re-overwritten next run); a
+    * crash BETWEEN the renames leaves `dir` absent with the data intact
+    * in `.pre-compact` — the next call detects exactly that state and
+    * renames the retired copy back before proceeding, so the window is
+    * self-healing, not just documented. Concurrency is a single-writer
+    * assumption; a transactional table format replaces the whole rename
+    * protocol with a metadata commit at deployment.
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -75,6 +78,16 @@ object ShardedWriter {
       val (fs, hp) = graft.core.Fs.resolve(spark, p)
       if (!fs.exists(hp)) 0
       else fs.listStatus(hp).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    // recover an interrupted publish: dir absent but the retired copy
+    // present means a crash landed between the two renames — complete
+    // it (restore) instead of silently treating the table as empty
+    locally {
+      val (fs, dirP) = graft.core.Fs.resolve(spark, dir)
+      val retiredP = new org.apache.hadoop.fs.Path(dir + ".pre-compact")
+      if (!fs.exists(dirP) && fs.exists(retiredP))
+        require(fs.rename(retiredP, dirP),
+          s"interrupted-publish recovery rename failed: $retiredP -> $dirP")
     }
     val before = parquetCount(dir)
     // absent dir or metadata-only residue (zero part files): nothing to

@@ -849,7 +849,13 @@ object Relational {
         $"n_events", ($"sum_cents" / 100.0).as("total_value"),
         ($"min_cents" / 100.0).as("min_value"),
         ($"max_cents" / 100.0).as("max_value"),
-        (expr("sum_cents div n_events") / 100.0).as("avg_value"))
+        // exact integer FLOOR division (pmod >= 0, so subtracting it
+        // makes the dividend exactly divisible): Spark's `div` truncates
+        // toward zero while the DuckDB oracle's `//` floors — identical
+        // on non-negative sums but divergent on a negative user-day, so
+        // match the floor semantics instead of assuming the sign
+        (expr("(sum_cents - pmod(sum_cents, n_events)) div n_events") / 100.0)
+          .as("avg_value"))
       .orderBy($"user_id", $"day")
   }
 

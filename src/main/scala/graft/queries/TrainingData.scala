@@ -282,6 +282,10 @@ object TrainingData {
       .orderBy(col("score").desc, col("token"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(nDocs))
+      // `div` (truncating) vs the oracle's `//` (flooring) agree here by
+      // construction: tf/df/n_docs are occurrence counts >= 1, so the
+      // quotient is never negative (the sign-sensitive divergence q41
+      // guards with pmod cannot arise from counts)
       .withColumn("score", expr("tf * n_docs div df"))
       .withColumn("kw_rank", row_number().over(byDoc).cast("long"))
       .filter(col("kw_rank") <= 3)

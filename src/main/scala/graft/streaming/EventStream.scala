@@ -102,14 +102,22 @@ object EventStream {
     * here are single parquet files or flat dirs), md5-folded to a short
     * hex key component. Size+mtime is the same change signal the Spark
     * file source and Hadoop input formats key on; a byte-content hash
-    * would re-read the source on every cache probe.
+    * would re-read the source on every cache probe. Shared caveat with
+    * those systems: a same-length in-place rewrite landing within the
+    * filesystem's mtime granularity is invisible (the spec-pinned
+    * rewrite test stamps a distinct mtime for exactly this reason).
     */
   private def sourceFingerprint(paths: String*): String = {
     val parts = paths.flatMap { p =>
       val f = new java.io.File(p)
       val files =
-        if (f.isDirectory) f.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
-        else Seq(f)
+        if (f.isDirectory) {
+          val listed = f.listFiles()
+          // listFiles is null (not empty) for an unreadable or absent
+          // dir — fail with the path, not an anonymous NPE
+          require(listed != null, s"sourceFingerprint: cannot list $p")
+          listed.filter(_.isFile).sortBy(_.getName).toSeq
+        } else Seq(f)
       files.map(g => s"${g.getAbsolutePath}:${g.length}:${g.lastModified}")
     }
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -240,13 +248,18 @@ object EventStream {
           // query STATUS.
           def drained: Boolean =
             q.recentProgress.lastOption.exists(settled)
-          // Fallback for the batchless-empty case: if no micro-batch has
-          // run for 10s and the source reports no data available, the
-          // bounded source is empty — the initial directory listing is
-          // milliseconds, so 10s cannot race a real pending file.
+          // Fallback for the batchless-empty case: no micro-batch has
+          // EVER run, the engine is demonstrably past initialization and
+          // parked waiting for data (trigger inactive + a waiting status
+          // message — the poll evidence; during first-batch planning or
+          // listing the trigger is active / the message says
+          // initializing, so a slow start cannot satisfy this), and 30s
+          // of that state — well above this host's observed 8-12s
+          // first-batch stalls — without data appearing.
           def emptyIdle(sinceStart: Long): Boolean =
-            q.recentProgress.isEmpty && sinceStart > 10L * 1000000000L &&
-              !q.status.isDataAvailable
+            q.recentProgress.isEmpty && sinceStart > 30L * 1000000000L &&
+              !q.status.isDataAvailable && !q.status.isTriggerActive &&
+              q.status.message.toLowerCase(java.util.Locale.ROOT).contains("waiting")
           val t0 = System.nanoTime()
           val deadline = t0 + 300L * 1000000000L
           while (!drained && !emptyIdle(System.nanoTime() - t0) &&

@@ -27,19 +27,52 @@ class LayoutExpressionsSpec extends SparkSpec {
     out
   }
 
-  test("morton2 matches the bit-by-bit definition, incl. 32-bit edges") {
-    val samples = Seq(0L, 1L, 2L, 3L, 63L, 64L, 1000003L, (1L << 31) - 1,
-      1L << 31, (1L << 32) - 1, 0x12345678L, 0xCAFEBABEL,
-      // high bits beyond 32 must be ignored (masked), not interleaved
-      (1L << 40) | 5L)
+  test("morton2 matches the bit-by-bit definition across the 31-bit domain") {
+    val samples = Seq(0L, 1L, 2L, 3L, 63L, 64L, 1000003L, 0x12345678L,
+      0x40000000L, (1L << 31) - 1)
     for (a <- samples; b <- samples)
       assert(LayoutExpressions.morton2(a, b) == mortonRef(a, b), s"($a, $b)")
     // interleave structure: a on even bits, b on odd
-    assert(LayoutExpressions.morton2(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
-    assert(LayoutExpressions.morton2(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+    assert(LayoutExpressions.morton2(LayoutExpressions.MaxDim, 0L) == 0x1555555555555555L)
+    assert(LayoutExpressions.morton2(0L, LayoutExpressions.MaxDim) == 0x2AAAAAAAAAAAAAAAL)
   }
 
-  test("property: deinterleave inverts morton2 over random 64-bit inputs") {
+  test("domain guard: 2^31 boundary fails loudly, never silently mis-sorts") {
+    val max = LayoutExpressions.MaxDim // 2^31 - 1: last encodable value
+    // the top of the domain still encodes, non-negative, above all else
+    val top = LayoutExpressions.morton2(max, max)
+    assert(top == 0x3FFFFFFFFFFFFFFFL && top > 0L)
+    for ((a, b) <- Seq((1L << 31, 0L), (0L, 1L << 31), (-1L, 0L),
+        (0L, Long.MinValue), (Long.MaxValue, 0L))) {
+      val e = intercept[IllegalArgumentException](LayoutExpressions.morton2(a, b))
+      assert(e.getMessage.contains("out of range"), s"($a, $b): ${e.getMessage}")
+    }
+    // property at the boundary: for every in-domain value v, (v, *) and
+    // (*, v) encode while (v + 2^31, *) throws — the sign-bit caveat is
+    // structurally unreachable, not just documented
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vs = Gen.listOfN(200, Gen.choose(0L, max))
+      .apply(Gen.Parameters.default, Seed(47L)).getOrElse(Nil)
+    assert(vs.nonEmpty)
+    vs.foreach { v =>
+      assert(LayoutExpressions.morton2(v, max - v) >= 0L)
+      intercept[IllegalArgumentException](LayoutExpressions.morton2(v + (1L << 31), 0L))
+      intercept[IllegalArgumentException](LayoutExpressions.morton2(0L, v + (1L << 31)))
+    }
+    // the SQL surface (codegen path) enforces the same contract
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(1L << 31).toDF("a")
+        .select(LayoutExpressions.zorder2($"a", org.apache.spark.sql.functions.lit(0L)))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("out of range"))))
+  }
+
+  test("property: deinterleave inverts morton2 over random in-domain inputs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     def deinterleave(z: Long): (Long, Long) = {
@@ -51,14 +84,14 @@ class LayoutExpressionsSpec extends SparkSpec {
       }
       (a, b)
     }
-    val gen = Gen.zip(Gen.long, Gen.long)
-    val pairs = Gen.listOfN(500, gen)
+    val dim = Gen.choose(0L, LayoutExpressions.MaxDim)
+    val pairs = Gen.listOfN(500, Gen.zip(dim, dim))
       .apply(Gen.Parameters.default, Seed(43L)).getOrElse(Nil)
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>
       val z = LayoutExpressions.morton2(a, b)
-      // the code is a bijection on the low 32 bits of each dimension
-      assert(deinterleave(z) == ((a & 0xFFFFFFFFL, b & 0xFFFFFFFFL)), s"($a, $b)")
+      // the code is a bijection on the (domain-checked) dimensions
+      assert(deinterleave(z) == ((a, b)), s"($a, $b)")
     }
   }
 

@@ -107,6 +107,29 @@ class ShardedWriterSpec extends SparkSpec {
     assert(ids == (1 to 100).map(_.toLong).toSet, "stale staging rows must never publish")
   }
 
+  test("compaction recovers an interrupted publish (dir absent, .pre-compact holds the data)") {
+    import spark.implicits._
+    val dir = tmpDir("compactmid") + "/data"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+      .repartition(4).write.parquet(dir)
+    // simulate a crash BETWEEN the two publish renames: the table dir is
+    // gone, the retired copy holds the only data (plus stale staging)
+    Files.move(Paths.get(dir), Paths.get(dir + ".pre-compact"))
+    (1 to 10).map(i => (-i.toLong, "stale")).toDF("id", "payload")
+      .write.parquet(dir + ".compact")
+    assert(!new java.io.File(dir).exists)
+
+    val (before, after) = ShardedWriter.compactParquet(
+      spark, dir, org.apache.spark.sql.functions.col("id"), 50L)
+    // the retired copy was restored (4 files) and then compacted
+    assert(before >= 4 && after <= 3, s"($before, $after)")
+    assert(!new java.io.File(dir + ".compact").exists)
+    assert(!new java.io.File(dir + ".pre-compact").exists)
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids == (1 to 100).map(_.toLong).toSet,
+      "recovery must republish the retired data, never the stale staging")
+  }
+
   test("compaction no-ops on an absent or part-file-free directory") {
     val missing = tmpDir("compactnoop") + "/never-written"
     assert(ShardedWriter.compactParquet(
