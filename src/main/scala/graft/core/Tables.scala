@@ -27,35 +27,56 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native
-    * type for. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`;
-    * here we land it as a micros TimestampType (integer `div` — the value
-    * exceeds double's exact range, and floor matches DuckDB's ns→us
-    * truncation so oracle comparisons agree).
+  /** `events.ts` arrives in whatever encoding the fixture writer chose —
+    * parquet TIMESTAMP(NANOS) read as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (earlier generations),
+    * TIMESTAMP_NTZ (a micros writer with isAdjustedToUTC=false — the
+    * current generation), or native TIMESTAMP. Queries need ONE type, so
+    * every encoding lands as session-zone TimestampType here. All
+    * sessions run UTC, so the NTZ cast (wall clock interpreted in the
+    * session zone) is instant-preserving and agrees with DuckDB's naive
+    * read of the same column; the nanos path floors to micros, matching
+    * DuckDB's ns→us truncation.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsSince(spark, dir, None)
 
+  /** Normalize a `ts` column to session-zone TimestampType (see
+    * [[events]]); no-op when it already is one.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   /** Events newer than a watermark, with the comparison applied BEFORE
-    * the nanos→micros conversion: a filter on the raw long column pushes
-    * into the parquet scan (PushedFilters: GreaterThan(ts, …)), whereas
-    * filtering the converted timestamp cannot. The 100 TB shape of
-    * "incremental scan skips old data at the source".
+    * the TimestampType conversion: a filter on the raw column (long
+    * nanos or NTZ) pushes into the parquet scan (PushedFilters:
+    * GreaterThan(ts, …)), whereas filtering a converted expression
+    * cannot. The 100 TB shape of "incremental scan skips old data at
+    * the source".
     */
   def eventsSince(spark: SparkSession, dir: String, after: Option[java.sql.Timestamp]): DataFrame = {
     import org.apache.spark.sql.functions._
     val df = apply(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val filtered = after match {
-          case Some(ts) =>
-            val nanos = ts.getTime * 1000000L + (ts.getNanos % 1000000)
-            df.filter(col("ts") > nanos)
-          case None => df
-        }
-        filtered.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        after.fold(df)(ts => df.filter(col("ts") > lit(ts)))
+    val filtered = (df.schema("ts").dataType, after) match {
+      case (_, None) => df
+      case (org.apache.spark.sql.types.LongType, Some(ts)) =>
+        val nanos = ts.getTime * 1000000L + (ts.getNanos % 1000000)
+        df.filter(col("ts") > nanos)
+      case (org.apache.spark.sql.types.TimestampNTZType, Some(ts)) =>
+        // NTZ literal carrying the watermark's UTC wall clock (sessions
+        // run UTC): same-type comparison keeps the parquet pushdown
+        val ntz = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        df.filter(col("ts") > lit(ntz))
+      case (_, Some(ts)) => df.filter(col("ts") > lit(ts))
     }
+    normalizeTs(filtered)
   }
 }

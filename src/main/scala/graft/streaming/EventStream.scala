@@ -141,10 +141,24 @@ object EventStream {
       (d.toString, spark.read.parquet(s"$dir/events.parquet").schema)
     }
     val raw = spark.readStream.schema(schema).parquet(staged)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    tsAsTimestamp(raw, schema)
   }
+
+  /** Land `ts` as session-zone TimestampType whatever the staged
+    * encoding (nanos-long under the legacy conf, TIMESTAMP_NTZ from a
+    * micros writer, native TIMESTAMP) — watermarks and `unix_micros`
+    * hard-require TimestampType. Same dispatch as
+    * [[graft.core.Tables.normalizeTs]] but schema-driven: a streaming
+    * frame's own schema is authoritative for the staged files.
+    */
+  private def tsAsTimestamp(raw: DataFrame, schema: StructType): DataFrame =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
 
   /** Stateful stages pay a fixed state-store commit cost PER shuffle
     * partition PER micro-batch (HDFS-backed store: delta file + fsync
@@ -540,7 +554,10 @@ object EventStream {
       stageSortedFrames(spark.read.parquet(s"$dir/events.parquet"), nFiles)
     }
 
-  private def stageSortedFrames(src: DataFrame, nFiles: Int): (String, StructType) = {
+  private def stageSortedFrames(raw: DataFrame, nFiles: Int): (String, StructType) = {
+    // Normalize ts BEFORE staging: the staged files then carry
+    // TimestampType and every reader's watermark works unconditionally.
+    val src = graft.core.Tables.normalizeTs(raw)
     val staged = scratchDir("events_sorted")
     val schema = src.schema
     src.repartitionByRange(nFiles, col("ts"))
@@ -565,9 +582,7 @@ object EventStream {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(stagedDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    tsAsTimestamp(raw, schema)
   }
 
   /** Stream-stream interval join: every purchase matched to the same
@@ -654,17 +669,18 @@ object EventStream {
     * driver NPE).
     */
   private def sentinelStaged(spark: SparkSession, dir: String): Option[(String, StructType)] = {
-    val src = spark.read.parquet(s"$dir/events.parquet")
-    require(src.schema("ts").dataType == org.apache.spark.sql.types.LongType,
-      "events.ts expected as nanos-long (spark.sql.legacy.parquet.nanosAsLong)")
-    val maxTsOpt = Option(src.agg(max(col("ts"))).head().getAs[java.lang.Long](0))
-    maxTsOpt.map { maxTs =>
-      val sentinelTs = maxTs.longValue() + 2L * 3600L * 1000000000L
+    // Normalize ts up front (encoding-agnostic — see Tables.normalizeTs)
+    // and do the sentinel arithmetic in micros on the normalized column.
+    val src = graft.core.Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    val maxMicrosOpt =
+      Option(src.agg(max(unix_micros(col("ts")))).head().getAs[java.lang.Long](0))
+    maxMicrosOpt.map { maxMicros =>
+      val sentinelMicros = maxMicros.longValue() + 2L * 3600L * 1000000L
       val sentinels = src.select(col("user_id")).distinct()
         .select(src.schema.fields.map { f =>
           f.name match {
             case "user_id" => col("user_id")
-            case "ts" => lit(sentinelTs).as("ts")
+            case "ts" => timestamp_micros(lit(sentinelMicros)).as("ts")
             case "event_id" => lit(-1L).cast(f.dataType).as("event_id")
             case other => lit(null).cast(f.dataType).as(other)
           }
@@ -813,22 +829,13 @@ object EventStream {
     * ShardedWriterSpec.
     */
   def compactedIngest(spark: SparkSession, dir: String): DataFrame = {
-    val (src, schema) = stageSourceOnce(
-        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
-      val events = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("event_type"), col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val d = scratchDir("st6src")
-      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
-      stageSingleFile(events, d, "b.parquet")
-      (d, events.schema)
-    }
+    val (src, schema) = stagedOverlapSource(spark, dir)
     val root = scratchDir("st11")
     val target = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
     try {
       ingestIncremental(
-        spark, src.toString, schema, target, Seq("event_id"), ckpt,
+        spark, src, schema, target, Seq("event_id"), ckpt,
         filesPerTrigger = Some(1))
       val n = spark.read.parquet(target).count()
       // Target ~4 shards, but never MORE files than the ingest left (at
@@ -869,16 +876,7 @@ object EventStream {
     */
   def streamToJdbc(spark: SparkSession, dir: String): DataFrame = {
     import graft.cardano.JdbcSink
-    val (src, schema) = stageSourceOnce(
-        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
-      val events = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("event_type"), col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val d = scratchDir("st6src")
-      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
-      stageSingleFile(events, d, "b.parquet")
-      (d, events.schema)
-    }
+    val (src, schema) = stagedOverlapSource(spark, dir)
     val props = new java.util.Properties
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     // Default JDBC batchsize (1000) pays a statement-execution round per
@@ -892,29 +890,60 @@ object EventStream {
         |  "event_id" BIGINT PRIMARY KEY, "event_type" VARCHAR(32),
         |  "user_id" BIGINT, "cents" BIGINT)""".stripMargin): Unit
     finally c.close()
-    val root = scratchDir("st12")
     try {
-      val reader = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-      val q = reader.parquet(src.toString)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          JdbcSink.upsertJdbc(batch, url, "events_wh",
-            Seq("event_id"), props = props): Unit
-        }
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runForeachBatchStream(spark, src, schema) { batch =>
+        JdbcSink.upsertJdbc(batch, url, "events_wh",
+          Seq("event_id"), props = props): Unit
+      }
       spark.read.jdbc(url, "events_wh", props)
         .select(col("event_id"), col("event_type"), col("user_id"), col("cents"))
         .orderBy(col("event_id"))
         .localCheckpoint()
     } finally {
-      reap(root)
       try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$name;drop=true").close()
       catch { case _: java.sql.SQLException => () } // 08006 = expected drop signal
     }
+  }
+
+  /** The st6/st11/st12 shared staged source: two overlapping parquet
+    * files (evens, then ALL rows — every key of the first replays) under
+    * one staged directory, the shape that makes any downstream PK merge
+    * prove effectively-once. Staged once per JVM per content fingerprint.
+    */
+  private[graft] def stagedOverlapSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+      val events = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val d = scratchDir("st6src")
+      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d.toString, events.schema)
+    }
+
+  /** The canonical checkpointed micro-batch driver: one file per
+    * trigger, `AvailableNow`, each batch handed to `load`. This seam is
+    * what lets st12's Derby warehouse loop and the live-PostgreSQL twin
+    * (PostgresStreamLoopSpec) run the IDENTICAL stream — only the
+    * warehouse transport differs.
+    */
+  private[graft] def runForeachBatchStream(
+      spark: SparkSession, src: String, schema: StructType)(
+      load: DataFrame => Unit): Unit = {
+    val root = scratchDir("fbstream")
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => load(batch))
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally reap(root)
   }
 
   /** Spec seam: one ingest pass plus `1` replay against the same
@@ -929,23 +958,13 @@ object EventStream {
 
   private def incrementalIngestRuns(
       spark: SparkSession, dir: String, replays: Int): (DataFrame, Seq[Long]) = {
-    val (src, schema) = stageSourceOnce(
-        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
-      val events = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("event_type"), col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val d = scratchDir("st6src")
-      // File A: even event ids. File B: ALL rows — every key of A replays.
-      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
-      stageSingleFile(events, d, "b.parquet")
-      (d, events.schema)
-    }
+    val (src, schema) = stagedOverlapSource(spark, dir)
     val root = scratchDir("st6")
     val target = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
     def run(): Long = {
       ingestIncremental(
-        spark, src.toString, schema, target, Seq("event_id"), ckpt,
+        spark, src, schema, target, Seq("event_id"), ckpt,
         filesPerTrigger = Some(1))
       // the per-run count exists for the replay proof only — the plain
       // query (replays = 0) must not pay an extra job for it
