@@ -96,10 +96,13 @@ class PostgresStreamLoopSpec extends ScratchPostgres {
       .linesIterator.toArray
     assert(got.length == expected.length,
       s"row count: pg=${got.length} oracle=${expected.length}")
-    assert(got.sameElements(expected), {
+    // build the divergence message only on an actual mismatch (the
+    // assert-with-clue form evaluates its clue eagerly, and got(-1) on
+    // the all-equal case would turn a pass into an exception)
+    if (!got.sameElements(expected)) {
       val i = got.zip(expected).indexWhere { case (a, b) => a != b }
-      s"first divergence at row $i: pg=${got(i)} oracle=${expected(i)}"
-    })
+      fail(s"first divergence at row $i: pg=${got(i)} oracle=${expected(i)}")
+    }
 
     if (sys.env.get("GRAFT_PG_AB").contains("1")) {
       val t1 = System.nanoTime()
