@@ -74,22 +74,8 @@ object ShardedWriter {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       key: Column, targetRowsPerFile: Long): (Int, Int) = {
-    def parquetCount(p: String): Int = {
-      val (fs, hp) = graft.core.Fs.resolve(spark, p)
-      if (!fs.exists(hp)) 0
-      else fs.listStatus(hp).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
-    // recover an interrupted publish: dir absent but the retired copy
-    // present means a crash landed between the two renames — complete
-    // it (restore) instead of silently treating the table as empty
-    locally {
-      val (fs, dirP) = graft.core.Fs.resolve(spark, dir)
-      val retiredP = new org.apache.hadoop.fs.Path(dir + ".pre-compact")
-      if (!fs.exists(dirP) && fs.exists(retiredP))
-        require(fs.rename(retiredP, dirP),
-          s"interrupted-publish recovery rename failed: $retiredP -> $dirP")
-    }
-    val before = parquetCount(dir)
+    recoverInterrupted(spark, dir)
+    val before = parquetCount(spark, dir)
     // absent dir or metadata-only residue (zero part files): nothing to
     // fold, and spark.read.parquet could not even infer a schema
     if (before == 0) return (0, 0)
@@ -104,6 +90,66 @@ object ShardedWriter {
     require(fs.rename(new org.apache.hadoop.fs.Path(staging),
       new org.apache.hadoop.fs.Path(dir)), s"publish rename failed: $staging")
     graft.core.Fs.deleteRecursively(spark, retired)
-    (before, parquetCount(dir))
+    (before, parquetCount(spark, dir))
+  }
+
+  /** Z-order OPTIMIZE: [[compactParquet]] keyed on the Morton
+    * interleave ([[graft.functions.ZOrder2]]) of two dimensions after
+    * min-max scaling each onto a 16-bit grid. Raw interleaving of
+    * unequal-width domains degenerates to the wider one's plain sort —
+    * a month of epoch seconds spans ~2^21 distinct values against an id
+    * domain of ~2^8, so every code comparison would be decided by the
+    * seconds' high bits and the id dimension would never prune. Scaling
+    * both dimensions from their actual min/max onto [0, 2^16) gives
+    * them equal weight in the interleave — the same per-column range
+    * normalization Delta/Iceberg OPTIMIZE ZORDER applies before
+    * interleaving. 2^32 grid cells means grid granularity never binds
+    * before file count does; ties within a cell only cost pruning
+    * resolution, never correctness. The min/max pre-read is a
+    * column-pruned 2-column agg (footer-stats cheap next to the full
+    * rewrite that follows).
+    *
+    * Returns (filesBefore, filesAfter); (0, 0) when there is nothing to
+    * fold or a dimension is all-null (no meaningful scale exists).
+    */
+  def compactZorder2(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dimA: String, dimB: String, targetRowsPerFile: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    recoverInterrupted(spark, dir)
+    if (parquetCount(spark, dir) == 0) return (0, 0)
+    val stats = spark.read.parquet(dir)
+      .agg(min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+        min(col(dimB)).cast("long"), max(col(dimB)).cast("long"))
+      .head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) return (0, 0)
+    def scaled(c: String, mn: Long, mx: Long): Column =
+      if (mx <= mn) lit(0L)
+      // non-negative after the shift, so the truncating cast IS floor;
+      // (2^31 span) * 65535 ~ 2^47 stays inside double's exact range
+      else ((col(c).cast("long") - lit(mn)) * lit(65535L) / lit(mx - mn))
+        .cast("long")
+    val key = graft.functions.LayoutExpressions.zorder2(
+      scaled(dimA, stats.getLong(0), stats.getLong(1)),
+      scaled(dimB, stats.getLong(2), stats.getLong(3)))
+    compactParquet(spark, dir, key, targetRowsPerFile)
+  }
+
+  private def parquetCount(spark: org.apache.spark.sql.SparkSession, p: String): Int = {
+    val (fs, hp) = graft.core.Fs.resolve(spark, p)
+    if (!fs.exists(hp)) 0
+    else fs.listStatus(hp).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Recover an interrupted publish: dir absent but the retired copy
+    * present means a crash landed between the two renames — complete it
+    * (restore) instead of silently treating the table as empty.
+    */
+  private def recoverInterrupted(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (fs, dirP) = graft.core.Fs.resolve(spark, dir)
+    val retiredP = new org.apache.hadoop.fs.Path(dir + ".pre-compact")
+    if (!fs.exists(dirP) && fs.exists(retiredP))
+      require(fs.rename(retiredP, dirP),
+        s"interrupted-publish recovery rename failed: $retiredP -> $dirP")
   }
 }

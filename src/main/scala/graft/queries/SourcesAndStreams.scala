@@ -342,6 +342,50 @@ object SourcesAndStreams {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Z-order-compacted layout end-to-end — the OPTIMIZE ZORDER pass a
+    * 100 TB events table needs so BOTH per-user and per-time-range
+    * predicates prune files. The staged layout is worst-case incoming
+    * data: a hash-fragmented copy of events (every file spans the full
+    * user and time domain — exactly what a parallel ingest leaves),
+    * folded by [[graft.operators.ShardedWriter.compactZorder2]] on
+    * (user_id, sec): min-max scaled to a shared 16-bit grid, Morton
+    * interleaved ([[graft.functions.ZOrder2]]), rewritten via the
+    * crash-safe rename protocol. The timed query is the 2-D box
+    * aggregate the layout exists for — each compacted file holds a
+    * tight Morton tile, so its zone maps bound BOTH dimensions and the
+    * box touches a constant number of files regardless of table size
+    * (file-hit counts pinned in LayoutExpressionsSpec, on these real
+    * files). The oracle computes the same box over the ORIGINAL events
+    * table — equality proves the whole stage-fragment-compact pipeline
+    * content-exact where the query lands.
+    */
+  def q46ZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = stageOnce(s"q46z:$dir") { () =>
+      val p = scratch("q46z")
+      val events = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val n = events.count()
+      events.repartition(16).write.mode(SaveMode.Overwrite).parquet(p)
+      val (before, after) = graft.operators.ShardedWriter.compactZorder2(
+        spark, p, "user_id", "sec", math.max(1L, (n + 7) / 8))
+      require(after < before,
+        s"z-order compaction must fold the fragmented layout: $before -> $after")
+      p
+    }
+    // users 3..6 on 2024-01-10..11 UTC: selective in both dimensions
+    spark.read.parquet(path)
+      .filter(col("user_id").between(3, 6) &&
+        col("sec").between(1704844800L, 1705017599L))
+      .agg(
+        count(lit(1)).as("n_box"),
+        sum(col("cents")).as("cents_box"),
+        countDistinct(col("user_id")).as("users_box"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_dpp" -> (s10DynamicPartitionPruning _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
@@ -362,6 +406,7 @@ object SourcesAndStreams {
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "s12_xml_roundtrip" -> (s12XmlRoundtrip _),
+    "q46_zorder_compact" -> (q46ZorderCompact _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +452,18 @@ object SourcesAndStreams {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    // q46 reads the box from the z-order-COMPACTED copy; the oracle
+    // reads it from the original table — equality proves the rewrite
+    // content-exact where the query lands.
+    "q46_zorder_compact" ->
+      """SELECT count(*) AS n_box,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
+        | count(DISTINCT user_id) AS users_box,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 6
+        |  AND CAST(floor(epoch(ts)) AS BIGINT)
+        |      BETWEEN 1704844800 AND 1705017599""".stripMargin,
     "st5_stream_file_sink" ->
       """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,

@@ -139,4 +139,55 @@ class LayoutExpressionsSpec extends SparkSpec {
     assert(math.max(zx, zy) <= 10, s"z-order stripes hit $zx/$zy shards")
     assert(filesHitting(zDir, box) <= 2)
   }
+
+  test("compactZorder2 folds real fragmented events; box query prunes BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val src = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.events(spark, src)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("sec"))
+    def fragment(path: String): Unit =
+      events.repartition(16).write.mode("overwrite").parquet(path)
+    def parquetFiles(dir: String): Seq[String] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    def filesHitting(dir: String, pred: Column): Int =
+      parquetFiles(dir)
+        .count(f => spark.read.parquet(f).filter(pred).limit(1).count() > 0)
+
+    // the compaction path: fragmented ingest layout -> z-order OPTIMIZE
+    val zDir = tmpDir("zc") + "/z"
+    fragment(zDir)
+    val (before, after) =
+      ShardedWriter.compactZorder2(spark, zDir, "user_id", "sec", 125L)
+    assert(before == 16, s"expected the fragmented layout, saw $before files")
+    assert(after <= 8 && after < before, s"compaction must fold: $before -> $after")
+
+    // content-exact through the rewrite (full table, row-level)
+    val got = spark.read.parquet(zDir)
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val want = events.orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "z-order compaction changed table content")
+
+    // comparison layout: same OPTIMIZE but single-column (time) key
+    val sDir = tmpDir("zc") + "/s"
+    fragment(sDir)
+    ShardedWriter.compactParquet(spark, sDir, col("sec"), 125L)
+
+    // users 3..6, 2024-01-10..11 UTC (the q46 box)
+    val userStripe = $"user_id".between(3, 6)
+    val timeStripe = $"sec".between(1704844800L, 1705017599L)
+    val sFiles = parquetFiles(sDir).size
+    // time-sorted prunes its own dimension but EVERY file holds users
+    // 3..6 somewhere, so a user predicate cannot skip any file
+    assert(filesHitting(sDir, userStripe) == sFiles,
+      "time-sorted layout should be un-prunable on the user dimension")
+    // z-order: both single-dimension stripes skip files, and the 2-D
+    // box lands in a handful of Morton tiles
+    val zu = filesHitting(zDir, userStripe)
+    val zb = filesHitting(zDir, userStripe && timeStripe)
+    assert(zu < after, s"z layout must prune the user stripe: hit $zu of $after")
+    assert(filesHitting(zDir, timeStripe) < after)
+    assert(zb <= 3, s"2-D box should touch <=3 Morton tiles, hit $zb")
+  }
 }
