@@ -63,6 +63,53 @@ class ApproxAggSpec extends SparkSpec {
     } finally { events.unpersist(); () }
   }
 
+  test("sketch zone: stored sketches + incremental day-append == direct recompute") {
+    import graft.core.Tables
+    import graft.operators.SketchZone
+    val events = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).cache()
+    try {
+      val days = events.select(col("day")).distinct()
+        .orderBy(col("day")).collect().map(_.getDate(0))
+      assert(days.length >= 3)
+      val cut = days(days.length - 2) // hold out the last day
+      val zone = tmpDir("skzone") + "/daily_users"
+
+      // initial build: the historical prefix becomes the stored zone
+      val n1 = SketchZone.appendDailySketches(
+        spark, events.filter(col("day") <= lit(cut)), "day", "user_id", zone)
+      assert(n1 == days.length - 1)
+      // the nightly increment: full facts arrive, but the watermark
+      // limits the scan-and-append to the ONE day the zone is missing
+      val n2 = SketchZone.appendDailySketches(spark, events, "day", "user_id", zone)
+      assert(n2 == 1, s"expected exactly the held-out day appended, got $n2")
+      // replay safety: an immediate re-run appends nothing
+      assert(SketchZone.appendDailySketches(spark, events, "day", "user_id", zone) == 0)
+      val stored = spark.read.parquet(zone)
+      assert(stored.count() == days.length)
+
+      // the merge law THROUGH STORAGE: union over the parquet-stored
+      // sketch rows (built across two independent appends) estimates
+      // EXACTLY what one direct sketch over all facts estimates
+      val direct = events
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)))
+        .head().getLong(0)
+      val viaZone = SketchZone.estimateRange(spark, zone, days.head, days.last)
+        .head()
+      assert(viaZone.getLong(0) == direct,
+        s"stored-union ${viaZone.getLong(0)} != direct $direct")
+      assert(viaZone.getLong(1) == events.count())
+
+      // window query from the zone alone: prefix window == direct over
+      // prefix facts (any window, never a fact rescan)
+      val prefixDirect = events.filter(col("day") <= lit(cut))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)))
+        .head().getLong(0)
+      assert(SketchZone.estimateRange(spark, zone, days.head, cut)
+        .head().getLong(0) == prefixDirect)
+    } finally { events.unpersist(); () }
+  }
+
   test("q30: approx percentiles respect the rank-error guarantee") {
     // percentile_approx(accuracy = 10000) guarantees rank error
     // <= 1/accuracy; allow 100x slack (still 1%) so the test is immune
