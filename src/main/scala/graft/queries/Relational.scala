@@ -948,26 +948,19 @@ object Relational {
     * click after it, first purchase after that); ties do NOT progress
     * the funnel (strict `>`), pinned on a synthetic fixture. The final
     * rollup is a 3-flag aggregate — one tiny single-partition job.
+    * Expressed via the K-stage library seam
+    * ([[graft.operators.Funnel.ordered]]) — any stage list keeps the
+    * same single-exchange plan; a 4-stage variant is spec-pinned.
     */
   def q45Funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byUser = Window.partitionBy($"user_id")
-    val staged = Tables.events(spark, dir)
-      .select($"user_id", $"event_type", $"ts")
-      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(byUser))
-      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(byUser))
-      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(byUser))
-    val perUser = staged.groupBy($"user_id").agg(
-      max($"t1".isNotNull).as("s1"),
-      max($"t2".isNotNull).as("s2"),
-      max($"t3".isNotNull).as("s3"))
-    perUser.agg(
-        sum(when($"s1", 1L).otherwise(0L)).as("u1"),
-        sum(when($"s2", 1L).otherwise(0L)).as("u2"),
-        sum(when($"s3", 1L).otherwise(0L)).as("u3"))
-      .select(expr(
-        "stack(3, '1_view', u1, '2_click', u2, '3_purchase', u3) AS (stage, users)"))
-      .orderBy($"stage")
+    graft.operators.Funnel.ordered(
+      Tables.events(spark, dir).select($"user_id", $"event_type", $"ts"),
+      $"user_id", $"ts",
+      Seq(
+        "view" -> ($"event_type" === "view"),
+        "click" -> ($"event_type" === "click"),
+        "purchase" -> ($"event_type" === "purchase")))
   }
 
   /** The SQL entry point (the reference's analytics run as plain SQL in

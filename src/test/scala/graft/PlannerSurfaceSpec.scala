@@ -140,6 +140,23 @@ class PlannerSurfaceSpec extends SparkSpec {
     val rows = Relational.q45Funnel(spark, dir).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+
+    // the K-stage seam q45 rides: a FOUR-stage list over the same
+    // fixture (second view after a purchase), still zero joins — only
+    // u1 completes view->click->purchase->view; predicates and stage
+    // count are caller data, not code shape
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.events(spark, dir)
+    val four = graft.operators.Funnel.ordered(
+      events.select(col("user_id"), col("event_type"), col("ts")),
+      col("user_id"), col("ts"),
+      Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"),
+        "review" -> (col("event_type") === "view")))
+    assert(four.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L), ("4_review", 0L)))
   }
 
   test("q42: null columns counted not ranked — all-null min/max is null, typed mins") {
