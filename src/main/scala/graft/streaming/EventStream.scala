@@ -46,6 +46,7 @@ object EventStream {
         Files.createTempDirectory(shm, prefix)
       else Files.createTempDirectory(prefix)
     scratchDirs.synchronized { scratchDirs += dir }
+    Option(buildingDirs.get()).foreach(_ += dir)
     dir
   }
 
@@ -82,20 +83,46 @@ object EventStream {
     * Checkpoints, state and sinks stay strictly per-run. Staged dirs are
     * reaped at JVM exit by the scratch shutdown hook.
     *
-    * The cache key is (kind, path, CONTENT FINGERPRINT): every caller
-    * folds [[sourceFingerprint]] of its input files into the key, so a
-    * caller that rewrites a source file in place mid-session misses the
-    * cache and gets a fresh staged copy and schema — no
-    * source-dir-immutable-per-JVM assumption required (spec-pinned by
-    * the in-place-rewrite test). A superseded staged copy lingers until
-    * the JVM-exit scratch reap — bounded by the number of in-place
-    * rewrites a session performs (zero for the read-only test fixtures).
+    * Entries are keyed by base (kind + source path) and carry the
+    * CONTENT FINGERPRINT ([[sourceFingerprint]]) of the files staged,
+    * so a caller that rewrites a source file in place mid-session
+    * misses the cache and gets a fresh staged copy and schema — no
+    * source-dir-immutable-per-JVM assumption required. The superseded
+    * fingerprint's staged copy is unreachable from that moment, so it
+    * is reaped ON REPLACEMENT (not left for JVM exit): a long-lived
+    * session that keeps rewriting sources holds exactly one staged
+    * copy per (kind, path), never an unbounded backlog of orphans.
+    * Both behaviors are spec-pinned by the in-place-rewrite test.
     */
   private val stagedSources =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[String, StagedEntry]()
 
-  private def stageSourceOnce[A <: AnyRef](key: String)(build: => A): A =
-    stagedSources.computeIfAbsent(key, _ => build).asInstanceOf[A]
+  private case class StagedEntry(fingerprint: String, value: AnyRef,
+      dirs: Seq[java.nio.file.Path])
+
+  /** Scratch dirs created while a staged-source build runs — captured
+    * per thread so the entry knows what to reap when superseded.
+    */
+  private val buildingDirs =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[java.nio.file.Path]]
+
+  private def stageSourceOnce[A <: AnyRef](base: String, fingerprint: String)(
+      build: => A): A =
+    stagedSources.compute(base, (_, old) => {
+      if (old != null && old.fingerprint == fingerprint) old
+      else {
+        val buf = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+        buildingDirs.set(buf)
+        val v = try build finally buildingDirs.remove()
+        // evict the previous fingerprint's staged copy — unreachable now
+        if (old != null) old.dirs.foreach(reap)
+        StagedEntry(fingerprint, v, buf.toList)
+      }
+    }).value.asInstanceOf[A]
+
+  /** Spec seam: the scratch dirs currently staged under a cache base. */
+  private[streaming] def stagedDirsFor(base: String): Seq[java.nio.file.Path] =
+    Option(stagedSources.get(base)).map(_.dirs).getOrElse(Nil)
 
   /** Content fingerprint of the files behind a staged source: each
     * (path, size, mtime) under `paths` (flat listing — sources staged
@@ -132,7 +159,7 @@ object EventStream {
   private def readEventsStaged(spark: SparkSession, dir: String): DataFrame = {
     // File-source needs a directory; stage the single parquet file.
     val (staged, schema) = stageSourceOnce(
-        s"single:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+        s"single:$dir", sourceFingerprint(s"$dir/events.parquet")) {
       val d = scratchDir("events_stream")
       Files.copy(
         Paths.get(s"$dir/events.parquet"),
@@ -550,7 +577,7 @@ object EventStream {
     */
   private def stageSortedByTime(spark: SparkSession, dir: String, nFiles: Int): (String, StructType) =
     stageSourceOnce(
-        s"sorted:$dir:$nFiles:${sourceFingerprint(s"$dir/events.parquet")}") {
+        s"sorted:$dir:$nFiles", sourceFingerprint(s"$dir/events.parquet")) {
       stageSortedFrames(spark.read.parquet(s"$dir/events.parquet"), nFiles)
     }
 
@@ -685,7 +712,7 @@ object EventStream {
             case other => lit(null).cast(f.dataType).as(other)
           }
         }: _*)
-      stageSourceOnce(s"sentinel:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+      stageSourceOnce(s"sentinel:$dir", sourceFingerprint(s"$dir/events.parquet")) {
         stageSortedFrames(src.unionByName(sentinels), 8)
       }
     }
@@ -913,7 +940,7 @@ object EventStream {
   private[graft] def stagedOverlapSource(
       spark: SparkSession, dir: String): (String, StructType) =
     stageSourceOnce(
-        s"st6src:$dir:${sourceFingerprint(s"$dir/events.parquet")}") {
+        s"st6src:$dir", sourceFingerprint(s"$dir/events.parquet")) {
       val events = spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("event_type"), col("user_id"),
           round(col("value") * 100).cast("long").as("cents"))

@@ -349,6 +349,8 @@ class EventStreamSpec extends SparkSpec {
     }
     install("tmp1")
     val first = EventStream.purchasesToFileSink(spark, dir).count()
+    val stagedOld = EventStream.stagedDirsFor(s"single:$dir")
+    assert(stagedOld.nonEmpty && stagedOld.forall(java.nio.file.Files.exists(_)))
     // Rewrite events.parquet IN PLACE (different rows, same path): the
     // staging cache key carries a size/mtime fingerprint, so the stream
     // must observe the fresh contents, not the stale staged copy.
@@ -359,6 +361,14 @@ class EventStreamSpec extends SparkSpec {
       events.limit(n).filter(col("event_type") === "purchase").count())
     assert(Seq(first, second) == expected,
       s"stale staged source served: got ${Seq(first, second)}, want $expected")
+    // the superseded staged copy is evicted on replacement, not left to
+    // accumulate until JVM exit — a rewriting session holds exactly one
+    // staged copy per source
+    val stagedNew = EventStream.stagedDirsFor(s"single:$dir")
+    assert(stagedNew.nonEmpty && stagedNew.intersect(stagedOld).isEmpty)
+    stagedOld.foreach(p => assert(!java.nio.file.Files.exists(p),
+      s"superseded staged copy not reaped: $p"))
+    assert(stagedNew.forall(java.nio.file.Files.exists(_)))
   }
 
   test("runDurableDrained drains an empty bounded source instead of spinning to the deadline") {
