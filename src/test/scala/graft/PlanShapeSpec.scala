@@ -313,6 +313,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q46: box predicates push into the compacted scan on BOTH dimensions") {
+    // default metadata truncation (100 chars) cuts the PushedFilters
+    // list before the sec bounds — widen it for this assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", 1000)
+    try {
+      val p = plan("q46_zorder_compact")
+      // the z-layout's whole value is that the scan can skip files/row
+      // groups on either dimension — both range predicates must reach
+      // the parquet reader, not evaluate post-scan
+      assert(p.contains("PushedFilters: ["), p)
+      assert(p.contains("GreaterThanOrEqual(user_id,3)") &&
+        p.contains("LessThanOrEqual(user_id,6)"), p)
+      assert(p.contains("GreaterThanOrEqual(sec,1704844800)") &&
+        p.contains("LessThanOrEqual(sec,1705017599)"), p)
+      // answered from the compacted table only — the original fact file
+      // never appears in the plan
+      assert(!p.contains("events.parquet"), p)
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("q44: both output branches read the checkpointed sketch table, not the facts") {
     val p = plan("q44_hll_merge")
     // the events scan happens once, inside the checkpoint job; the final
