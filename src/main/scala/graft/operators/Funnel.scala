@@ -30,20 +30,27 @@ object Funnel {
     // identifier-shaped rather than escaping arbitrary SQL strings
     require(stages.forall(_._1.matches("[A-Za-z0-9_-]+")),
       s"stage labels must be [A-Za-z0-9_-]+: ${stages.map(_._1)}")
+    // working columns get a namespaced prefix so a caller frame that
+    // already has _t1/_s1-style names cannot be silently clobbered
+    def t(i: Int) = s"__funnel_t$i"
+    def s(i: Int) = s"__funnel_s$i"
+    def u(i: Int) = s"__funnel_u$i"
+    require(!events.columns.exists(_.startsWith("__funnel_")),
+      "input columns may not start with __funnel_")
     val byEntity = Window.partitionBy(entity)
     val staged = stages.zipWithIndex.foldLeft(events) {
       case (acc, ((_, pred), i)) =>
-        val cond = if (i == 0) pred else pred && ts > col(s"_t$i")
-        acc.withColumn(s"_t${i + 1}", min(when(cond, ts)).over(byEntity))
+        val cond = if (i == 0) pred else pred && ts > col(t(i))
+        acc.withColumn(t(i + 1), min(when(cond, ts)).over(byEntity))
     }
     val reached = stages.indices
-      .map(i => max(col(s"_t${i + 1}").isNotNull).as(s"_s${i + 1}"))
+      .map(i => max(col(t(i + 1)).isNotNull).as(s(i + 1)))
     val perEntity = staged.groupBy(entity)
       .agg(reached.head, reached.tail: _*)
     val totals = stages.indices
-      .map(i => sum(when(col(s"_s${i + 1}"), 1L).otherwise(0L)).as(s"_u${i + 1}"))
+      .map(i => sum(when(col(s(i + 1)), 1L).otherwise(0L)).as(u(i + 1)))
     val stackArgs = stages.zipWithIndex
-      .map { case ((label, _), i) => s"'${i + 1}_$label', _u${i + 1}" }
+      .map { case ((label, _), i) => s"'${i + 1}_$label', ${u(i + 1)}" }
       .mkString(", ")
     perEntity.agg(totals.head, totals.tail: _*)
       .select(expr(s"stack(${stages.length}, $stackArgs) AS (stage, users)"))
