@@ -49,8 +49,13 @@ object Funnel {
       .agg(reached.head, reached.tail: _*)
     val totals = stages.indices
       .map(i => sum(when(col(s(i + 1)), 1L).otherwise(0L)).as(u(i + 1)))
+    // zero-pad the stage index to the width of K so the output ORDER BY
+    // on the label string is numeric order for ANY stage count (a bare
+    // index would sort 10 before 2); K <= 9 keeps the familiar 1_..9_
+    val width = stages.length.toString.length
     val stackArgs = stages.zipWithIndex
-      .map { case ((label, _), i) => s"'${i + 1}_$label', ${u(i + 1)}" }
+      .map { case ((label, _), i) =>
+        s"'%0${width}d_%s'".format(i + 1, label) + s", ${u(i + 1)}" }
       .mkString(", ")
     perEntity.agg(totals.head, totals.tail: _*)
       .select(expr(s"stack(${stages.length}, $stackArgs) AS (stage, users)"))

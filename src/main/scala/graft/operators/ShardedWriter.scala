@@ -70,10 +70,13 @@ object ShardedWriter {
     * assumption; a transactional table format replaces the whole rename
     * protocol with a metadata commit at deployment.
     *
-    * Returns (filesBefore, filesAfter).
+    * Returns (filesBefore, filesAfter). `knownCount` skips
+    * [[writeSharded]]'s sizing scan when the caller already knows the
+    * row count (the same seam writeSharded itself exposes).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
-      key: Column, targetRowsPerFile: Long): (Int, Int) = {
+      key: Column, targetRowsPerFile: Long,
+      knownCount: Option[Long] = None): (Int, Int) = {
     recoverInterrupted(spark, dir)
     val before = parquetCount(spark, dir)
     // absent dir or metadata-only residue (zero part files): nothing to
@@ -82,7 +85,7 @@ object ShardedWriter {
     val frame = spark.read.parquet(dir)
     val staging = dir + ".compact"
     val retired = dir + ".pre-compact"
-    writeSharded(frame, staging, key, targetRowsPerFile)
+    writeSharded(frame, staging, key, targetRowsPerFile, knownCount)
     val (fs, _) = graft.core.Fs.resolve(spark, dir)
     graft.core.Fs.deleteRecursively(spark, retired)
     require(fs.rename(new org.apache.hadoop.fs.Path(dir),
@@ -105,33 +108,40 @@ object ShardedWriter {
     * normalization Delta/Iceberg OPTIMIZE ZORDER applies before
     * interleaving. 2^32 grid cells means grid granularity never binds
     * before file count does; ties within a cell only cost pruning
-    * resolution, never correctness. The min/max pre-read is a
+    * resolution, never correctness. The stats pre-read is a
     * column-pruned 2-column agg (footer-stats cheap next to the full
-    * rewrite that follows).
+    * rewrite that follows) and carries the row count with it, so the
+    * rewrite's file sizing never pays a separate counting scan.
     *
     * Returns (filesBefore, filesAfter); (0, 0) when there is nothing to
     * fold or a dimension is all-null (no meaningful scale exists).
     */
   def compactZorder2(spark: org.apache.spark.sql.SparkSession, dir: String,
       dimA: String, dimB: String, targetRowsPerFile: Long): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     recoverInterrupted(spark, dir)
     if (parquetCount(spark, dir) == 0) return (0, 0)
     val stats = spark.read.parquet(dir)
       .agg(min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
-        min(col(dimB)).cast("long"), max(col(dimB)).cast("long"))
+        min(col(dimB)).cast("long"), max(col(dimB)).cast("long"),
+        count(lit(1)))
       .head()
     if (stats.isNullAt(0) || stats.isNullAt(2)) return (0, 0)
     def scaled(c: String, mn: Long, mx: Long): Column =
       if (mx <= mn) lit(0L)
-      // non-negative after the shift, so the truncating cast IS floor;
-      // (2^31 span) * 65535 ~ 2^47 stays inside double's exact range
-      else ((col(c).cast("long") - lit(mn)) * lit(65535L) / lit(mx - mn))
-        .cast("long")
+      // ratio-first in double: multiply-first long math would overflow
+      // for spans above ~2^48 (e.g. epoch-micros over years) and wrap
+      // into wrong cells. (x-mn)/span is in [0,1], IEEE division and
+      // multiply are monotone, and the truncating cast IS floor for
+      // non-negatives — so cells stay ordered for EVERY long span, at
+      // worst losing sub-cell resolution on astronomically wide domains
+      else ((col(c).cast("long") - lit(mn)).cast("double") / lit((mx - mn).toDouble)
+        * lit(65535.0)).cast("long")
     val key = graft.functions.LayoutExpressions.zorder2(
       scaled(dimA, stats.getLong(0), stats.getLong(1)),
       scaled(dimB, stats.getLong(2), stats.getLong(3)))
-    compactParquet(spark, dir, key, targetRowsPerFile)
+    compactParquet(spark, dir, key, targetRowsPerFile,
+      knownCount = Some(stats.getLong(4)))
   }
 
   private def parquetCount(spark: org.apache.spark.sql.SparkSession, p: String): Int = {

@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   * the estimate a direct scan would produce (the merge law, pinned with
   * the incremental append in ApproxAggSpec).
   *
-  * The zone is day-append-only, so plain parquet `Append` mode is the
-  * correct atomicity unit (one new day = one new file set; replaying a
-  * failed append re-derives the same watermark and re-appends the same
-  * days — duplicate-day protection comes from the watermark filter, the
-  * same effectively-once argument as the reference's watermark loop).
-  * `lgK` must be constant per zone; `hll_union_agg` is run with
+  * Each append is ATOMIC: the batch lands complete in a dot-prefixed
+  * staging dir (hidden from Spark/Hadoop listings, so no reader or
+  * watermark probe can observe it), then one directory rename publishes
+  * it into the zone. A multi-day append that crashed mid-job-commit
+  * under plain `Append` mode could leave a LATER day visible with an
+  * earlier day missing — the next watermark would then skip the hole
+  * forever; the rename protocol makes every append all-or-nothing, so
+  * the watermark-replay argument ("a failed append re-derives the same
+  * watermark and re-appends the same days") actually holds. Stale
+  * hidden staging from a crash is reaped on the next append. `lgK`
+  * must be constant per zone; `hll_union_agg` is run with
   * `allowDifferentLgConfigK = false`, so a drifting writer fails loudly
   * at read instead of silently degrading accuracy.
   */
@@ -46,7 +51,22 @@ object SketchZone {
       // row count and the write don't each rescan the fresh facts
       .localCheckpoint()
     val n = appended.count()
-    if (n > 0) appended.write.mode("append").parquet(zoneDir)
+    val (fs, zoneP) = graft.core.Fs.resolve(spark, zoneDir)
+    // reap hidden staging a crashed append left behind (never
+    // published, so deleting it is always safe)
+    if (fs.exists(zoneP))
+      fs.listStatus(zoneP)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stg-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    if (n > 0) {
+      val tag = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(zoneDir, s".stg-$tag")
+      appended.write.parquet(staging.toString)
+      // the atomic publish: one rename moves the complete batch into
+      // reader visibility
+      require(fs.rename(staging, new org.apache.hadoop.fs.Path(zoneDir, s"append-$tag")),
+        s"sketch-zone publish rename failed: $staging")
+    }
     n
   }
 
@@ -55,7 +75,7 @@ object SketchZone {
     */
   def estimateRange(spark: SparkSession, zoneDir: String,
       from: java.sql.Date, to: java.sql.Date): DataFrame =
-    spark.read.parquet(zoneDir)
+    readZone(spark, zoneDir)
       .filter(col("day").between(lit(from), lit(to)))
       .agg(
         hll_sketch_estimate(
@@ -63,13 +83,21 @@ object SketchZone {
           .as("est_distinct"),
         sum(col("n_events")).as("n_events"))
 
+  /** The zone is a directory of published `append-*` batch dirs —
+    * recursive lookup flattens them; dot-prefixed staging stays hidden.
+    */
+  private def readZone(spark: SparkSession, zoneDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(zoneDir)
+
   /** Driver-side watermark scalar (by design — SURVEY S9/Q1): the
     * zone's max stored day, None when the zone does not exist yet.
     */
   private def watermark(spark: SparkSession, zoneDir: String): Option[java.sql.Date] = {
     val (fs, p) = graft.core.Fs.resolve(spark, zoneDir)
-    if (!fs.exists(p)) None
-    else Option(spark.read.parquet(zoneDir)
+    val hasPublished = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("append-"))
+    if (!hasPublished) None
+    else Option(readZone(spark, zoneDir)
       .agg(max(col("day"))).head().getDate(0))
   }
 }

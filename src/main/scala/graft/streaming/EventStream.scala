@@ -93,6 +93,11 @@ object EventStream {
     * session that keeps rewriting sources holds exactly one staged
     * copy per (kind, path), never an unbounded backlog of orphans.
     * Both behaviors are spec-pinned by the in-place-rewrite test.
+    * Eviction assumes the session's queries run sequentially (true for
+    * Bench/Verify/specs): a stream still READING the superseded copy
+    * when a concurrent caller re-stages the same base would lose its
+    * files mid-batch — concurrent drivers over mutating sources need
+    * refcounting here, not just fingerprint keys.
     */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, StagedEntry]()

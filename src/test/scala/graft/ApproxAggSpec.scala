@@ -85,8 +85,18 @@ class ApproxAggSpec extends SparkSpec {
       assert(n2 == 1, s"expected exactly the held-out day appended, got $n2")
       // replay safety: an immediate re-run appends nothing
       assert(SketchZone.appendDailySketches(spark, events, "day", "user_id", zone) == 0)
-      val stored = spark.read.parquet(zone)
+      val stored = spark.read.option("recursiveFileLookup", "true").parquet(zone)
       assert(stored.count() == days.length)
+      // two atomic appends -> two published batch dirs, no staging left
+      val batchDirs = new java.io.File(zone).listFiles().filter(_.isDirectory)
+      assert(batchDirs.count(_.getName.startsWith("append-")) == 2)
+      assert(!batchDirs.exists(_.getName.startsWith(".stg-")))
+      // a crashed append's hidden staging is invisible to the watermark
+      // and reaped by the next append instead of corrupting the zone
+      val stale = new java.io.File(zone, ".stg-crashed")
+      assert(stale.mkdir())
+      assert(SketchZone.appendDailySketches(spark, events, "day", "user_id", zone) == 0)
+      assert(!stale.exists(), "stale staging not reaped")
 
       // the merge law THROUGH STORAGE: union over the parquet-stored
       // sketch rows (built across two independent appends) estimates

@@ -142,9 +142,10 @@ class PlannerSurfaceSpec extends SparkSpec {
     assert(rows == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
 
     // the K-stage seam q45 rides: a FOUR-stage list over the same
-    // fixture (second view after a purchase), still zero joins — only
-    // u1 completes view->click->purchase->view; predicates and stage
-    // count are caller data, not code shape
+    // fixture (a second view strictly after the purchase), still zero
+    // joins — NO user reaches stage 4 (u1's only view precedes its
+    // purchase), so the tail stage must report 0, not error; predicates
+    // and stage count are caller data, not code shape
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.events(spark, dir)
     val four = graft.operators.Funnel.ordered(
