@@ -88,6 +88,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(LayoutExpressions.ZOrderName),
       new ExpressionInfo(classOf[ZOrder2].getCanonicalName, LayoutExpressions.ZOrderName),
       { exprs: Seq[Expression] => ZOrder2(exprs(0), exprs(1)) }))
+    e.injectFunction((
+      FunctionIdentifier(LayoutExpressions.ZOrderNName),
+      new ExpressionInfo(classOf[ZOrderN].getCanonicalName, LayoutExpressions.ZOrderNName),
+      { exprs: Seq[Expression] => ZOrderN(exprs) }))
   }
 }
 

@@ -144,6 +144,40 @@ object ShardedWriter {
       knownCount = Some(stats.getLong(4)))
   }
 
+  /** K-dimensional Z-order OPTIMIZE — [[compactZorder2]] generalized to
+    * any column list (2..8 dims) via [[graft.functions.ZOrderN]]: the
+    * same one-scan stats pre-read min-max scales EVERY dimension onto
+    * the shared `2^(63/K)` grid, so each weighs equally in the
+    * interleave and a K-rectangle predicate prunes files on all K
+    * dimensions. Same crash-safe rename protocol, same
+    * knownCount-from-stats sizing. Prefer [[compactZorder2]] for two
+    * dimensions (its five-round spread is the unrolled fast path).
+    */
+  def compactZorderN(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dims: Seq[String], targetRowsPerFile: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    require(dims.length >= 2 && dims.length <= 8,
+      s"compactZorderN takes 2..8 dimensions, got ${dims.length}")
+    recoverInterrupted(spark, dir)
+    if (parquetCount(spark, dir) == 0) return (0, 0)
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).cast("long"), max(col(d)).cast("long"))) :+ count(lit(1))
+    val stats = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*).head()
+    if (dims.indices.exists(i => stats.isNullAt(2 * i))) return (0, 0)
+    val gridMax = (1L << (63 / dims.length)) - 1
+    def scaled(c: String, mn: Long, mx: Long): Column =
+      if (mx <= mn) lit(0L)
+      // ratio-first in double — same overflow-free monotone scaling as
+      // compactZorder2, onto this K's per-dimension grid
+      else ((col(c).cast("long") - lit(mn)).cast("double") / lit((mx - mn).toDouble)
+        * lit(gridMax.toDouble)).cast("long")
+    val key = graft.functions.LayoutExpressions.zorderN(
+      dims.zipWithIndex.map { case (d, i) =>
+        scaled(d, stats.getLong(2 * i), stats.getLong(2 * i + 1)) }: _*)
+    compactParquet(spark, dir, key, targetRowsPerFile,
+      knownCount = Some(stats.getLong(2 * dims.length)))
+  }
+
   private def parquetCount(spark: org.apache.spark.sql.SparkSession, p: String): Int = {
     val (fs, hp) = graft.core.Fs.resolve(spark, p)
     if (!fs.exists(hp)) 0

@@ -386,6 +386,45 @@ object SourcesAndStreams {
         max(col("event_id")).as("max_eid"))
   }
 
+  /** [[q46ZorderCompact]]'s K-dimensional sibling: the same fragmented
+    * events copy compacted by
+    * [[graft.operators.ShardedWriter.compactZorderN]] on THREE
+    * dimensions (user_id, sec, cents — each min-max scaled onto the
+    * shared 2^21 grid and interleaved by the codegen'd
+    * [[graft.functions.ZOrderN]]), answering a 3-rectangle aggregate
+    * (user range × time range × amount band) from the compacted table
+    * against an original-table oracle. The amount band is the
+    * dimension a 2-D (user, time) layout cannot prune — exactly the
+    * "top-spenders in a window" shape a 100 TB events table serves.
+    */
+  def q47Zorder3Compact(spark: SparkSession, dir: String): DataFrame = {
+    val path = stageOnce(s"q47z:$dir") { () =>
+      val p = scratch("q47z")
+      val events = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val n = events.count()
+      events.repartition(16).write.mode(SaveMode.Overwrite).parquet(p)
+      val (before, after) = graft.operators.ShardedWriter.compactZorderN(
+        spark, p, Seq("user_id", "sec", "cents"), math.max(1L, (n + 7) / 8))
+      require(after < before,
+        s"3-D z-order compaction must fold the fragmented layout: $before -> $after")
+      p
+    }
+    // users 3..6, 2024-01-10..19 UTC, spend band 20.00..79.99
+    spark.read.parquet(path)
+      .filter(col("user_id").between(3, 6) &&
+        col("sec").between(1704844800L, 1705708799L) &&
+        col("cents").between(2000L, 7999L))
+      .agg(
+        count(lit(1)).as("n_box"),
+        sum(col("cents")).as("cents_box"),
+        countDistinct(col("user_id")).as("users_box"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_dpp" -> (s10DynamicPartitionPruning _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
@@ -407,6 +446,7 @@ object SourcesAndStreams {
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "s12_xml_roundtrip" -> (s12XmlRoundtrip _),
     "q46_zorder_compact" -> (q46ZorderCompact _),
+    "q47_zorder3_compact" -> (q47Zorder3Compact _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
 
   val oracles: Map[String, String] = Map(
@@ -464,6 +504,17 @@ object SourcesAndStreams {
         |WHERE user_id BETWEEN 3 AND 6
         |  AND CAST(floor(epoch(ts)) AS BIGINT)
         |      BETWEEN 1704844800 AND 1705017599""".stripMargin,
+    // q47: the 3-rectangle from the 3-D-compacted copy vs the original
+    "q47_zorder3_compact" ->
+      """SELECT count(*) AS n_box,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
+        | count(DISTINCT user_id) AS users_box,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 6
+        |  AND CAST(floor(epoch(ts)) AS BIGINT)
+        |      BETWEEN 1704844800 AND 1705708799
+        |  AND CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 7999""".stripMargin,
     "st5_stream_file_sink" ->
       """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,

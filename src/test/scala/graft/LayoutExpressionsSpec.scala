@@ -140,6 +140,79 @@ class LayoutExpressionsSpec extends SparkSpec {
     assert(filesHitting(zDir, box) <= 2)
   }
 
+  test("zorderN: K=2 is bit-identical to morton2; K=3 matches the definition; domains enforced") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // K=2: 31 bits per dim, layout 2i/2i+1 — the same code as morton2
+    val dim = Gen.choose(0L, LayoutExpressions.MaxDim)
+    val pairs = Gen.listOfN(300, Gen.zip(dim, dim))
+      .apply(Gen.Parameters.default, Seed(59L)).getOrElse(Nil)
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val z = LayoutExpressions.spreadN(a, 2, 0) | LayoutExpressions.spreadN(b, 2, 1)
+      assert(z == LayoutExpressions.morton2(a, b), s"($a, $b)")
+    }
+    // K=3: bit-by-bit reference over the 21-bit domain
+    def morton3Ref(a: Long, b: Long, c: Long): Long = {
+      var out = 0L
+      for (i <- 0 until 21) {
+        out |= ((a >>> i) & 1L) << (3 * i)
+        out |= ((b >>> i) & 1L) << (3 * i + 1)
+        out |= ((c >>> i) & 1L) << (3 * i + 2)
+      }
+      out
+    }
+    val d3 = Gen.choose(0L, (1L << 21) - 1)
+    val triples = Gen.listOfN(300, Gen.zip(d3, d3, d3))
+      .apply(Gen.Parameters.default, Seed(61L)).getOrElse(Nil)
+    assert(triples.nonEmpty)
+    triples.foreach { case (a, b, c) =>
+      val z = LayoutExpressions.spreadN(a, 3, 0) |
+        LayoutExpressions.spreadN(b, 3, 1) | LayoutExpressions.spreadN(c, 3, 2)
+      assert(z == morton3Ref(a, b, c) && z >= 0L, s"($a, $b, $c)")
+    }
+    // domain guard: bit 21 set (or negative) throws for K=3
+    for (bad <- Seq(1L << 21, -1L, Long.MaxValue)) {
+      val e = intercept[IllegalArgumentException](LayoutExpressions.spreadN(bad, 3, 0))
+      assert(e.getMessage.contains("out of range"), s"$bad: ${e.getMessage}")
+    }
+    // SQL surface: codegen parity with the interpreted spread + null out
+    import spark.implicits._
+    val df = Seq((5L, 9L, 17L)).toDF("a", "b", "c")
+      .select(LayoutExpressions.zorderN($"a", $"b", $"c").as("z"))
+    assert(df.collect().head.getLong(0) == morton3Ref(5, 9, 17))
+    val withNull = spark.sql(
+      "SELECT graft_zordern(1L, CAST(NULL AS BIGINT), 2L) AS z")
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("compactZorderN clusters all THREE dimensions; every stripe prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // 16x16x16 grid fragmented into 16 hash files, folded to 8 z-shards
+    val grid = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val dir = tmpDir("z3c") + "/g"
+    grid.repartition(16).write.parquet(dir)
+    val (before, after) =
+      ShardedWriter.compactZorderN(spark, dir, Seq("x", "y", "z"), 512L)
+    // ~8 range shards; the maxRecordsPerFile cap may split a shard the
+    // boundary sampling overfilled, so allow up to 12 — still a fold
+    assert(before == 16 && after <= 12 && after < before)
+    // content survives the rewrite
+    assert(spark.read.parquet(dir).count() == 4096)
+    def filesHitting(pred: Column): Int =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet"))
+        .count(f => spark.read.parquet(f).filter(pred).limit(1).count() > 0)
+    // a quarter-stripe in EACH dimension skips files — impossible for
+    // any single-column sort, which scatters two of the three
+    for (c <- Seq($"x", $"y", $"z"))
+      assert(filesHitting(c.between(4, 7)) < after, c.toString)
+    // the aligned 3-D box lands in a corner of the curve
+    assert(filesHitting($"x".between(4, 7) && $"y".between(4, 7) && $"z".between(4, 7)) <= 2)
+  }
+
   test("compactZorder2 folds real fragmented events; box query prunes BOTH dimensions") {
     import spark.implicits._
     import org.apache.spark.sql.Column
