@@ -92,6 +92,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(LayoutExpressions.ZOrderNName),
       new ExpressionInfo(classOf[ZOrderN].getCanonicalName, LayoutExpressions.ZOrderNName),
       { exprs: Seq[Expression] => ZOrderN(exprs) }))
+    SketchExpressions.builders.foreach { case (name, cls, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getCanonicalName, name), b))
+    }
   }
 }
 

@@ -38,15 +38,45 @@ object SketchZone {
     * key). Returns the number of day rows appended (0 = up to date).
     */
   def appendDailySketches(spark: SparkSession, facts: DataFrame,
+      dayCol: String, keyCol: String, zoneDir: String, lgK: Int = 12): Long =
+    appendCore(spark, facts, dayCol, zoneDir,
+      Seq(hll_sketch_agg(col(keyCol), lgK).as("sk"),
+        count(lit(1)).as("n_events")))
+
+  /** Theta-sketch zone: same watermark + atomic-publish discipline, but
+    * the stored rows support SET ALGEBRA — [[retentionSeries]] derives
+    * day-over-day retention/churn from the zone alone, the operation an
+    * HLL zone cannot express (Relational.q48 is the in-memory twin).
+    */
+  def appendDailyTheta(spark: SparkSession, facts: DataFrame,
       dayCol: String, keyCol: String, zoneDir: String, lgK: Int = 12): Long = {
+    graft.functions.SketchExpressions.register(spark)
+    appendCore(spark, facts, dayCol, zoneDir,
+      Seq(graft.functions.SketchExpressions.thetaSketch(col(keyCol), lgK).as("sk"),
+        count(lit(1)).as("n_events")))
+  }
+
+  /** KLL quantile-sketch zone: stored per-day value distributions; any
+    * window's percentiles re-derive from [[quantileRange]] without a
+    * fact rescan (Relational.q49 is the in-memory twin).
+    */
+  def appendDailyKll(spark: SparkSession, facts: DataFrame,
+      dayCol: String, valueCol: String, zoneDir: String, k: Int = 200): Long = {
+    graft.functions.SketchExpressions.register(spark)
+    appendCore(spark, facts, dayCol, zoneDir,
+      Seq(graft.functions.SketchExpressions.kllSketch(col(valueCol), k).as("sk"),
+        count(lit(1)).as("n_events")))
+  }
+
+  private def appendCore(spark: SparkSession, facts: DataFrame,
+      dayCol: String, zoneDir: String, aggExprs: Seq[org.apache.spark.sql.Column]): Long = {
     val fresh = watermark(spark, zoneDir) match {
       case Some(maxDay) => facts.filter(col(dayCol) > lit(maxDay))
       case None => facts
     }
     val appended = fresh
       .groupBy(col(dayCol).as("day"))
-      .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"),
-        count(lit(1)).as("n_events"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
       // day-level output is tiny (one row per day) — checkpoint so the
       // row count and the write don't each rescan the fresh facts
       .localCheckpoint()
@@ -82,6 +112,45 @@ object SketchZone {
           hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
           .as("est_distinct"),
         sum(col("n_events")).as("n_events"))
+
+  /** Day-over-day retention/churn answered from a THETA zone's stored
+    * rows only — never the fact table: |active(d)|,
+    * |active(d-1) ∩ active(d)| and |active(d-1) \ active(d)| as
+    * sketch-on-sketch ops over KB-sized rows. Calendar-consecutive
+    * pairing (a gap day pairs with nothing), same semantics as
+    * Relational.q48's direct form. The day-level window is #days rows
+    * forever — one tiny partition by construction.
+    */
+  def retentionSeries(spark: SparkSession, zoneDir: String): DataFrame = {
+    import graft.functions.{SketchExpressions => SK}
+    SK.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    readZone(spark, zoneDir)
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_sk", lag(col("sk"), 1).over(w))
+      .filter(col("prev_sk").isNotNull && datediff(col("day"), col("prev_day")) === 1)
+      .select(col("day"),
+        SK.thetaEstimateCol(col("sk")).as("active"),
+        SK.thetaIntersect(col("prev_sk"), col("sk")).as("retained"),
+        SK.thetaANotB(col("prev_sk"), col("sk")).as("churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Percentiles over an inclusive day window, answered from a KLL
+    * zone's stored rows only. `ranks` → one `p<rank>` column each.
+    */
+  def quantileRange(spark: SparkSession, zoneDir: String,
+      from: java.sql.Date, to: java.sql.Date,
+      ranks: Seq[Double], k: Int = 200): DataFrame = {
+    import graft.functions.{SketchExpressions => SK}
+    SK.register(spark)
+    val merged = readZone(spark, zoneDir)
+      .filter(col("day").between(lit(from), lit(to)))
+      .agg(SK.kllMerge(col("sk"), k).as("sk"), sum(col("n_events")).as("n_events"))
+    ranks.foldLeft(merged) { (df, r) =>
+      df.withColumn(s"p${(r * 100).round}", SK.kllQuantileCol(col("sk"), r))
+    }.drop("sk")
+  }
 
   /** The zone is a directory of published `append-*` batch dirs —
     * recursive lookup flattens them; dot-prefixed staging stays hidden.

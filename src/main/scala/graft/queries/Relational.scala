@@ -494,6 +494,85 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Theta-sketch SET ALGEBRA — day-over-day retention and churn
+    * ([[graft.functions.SketchExpressions]], DataSketches theta). HLL
+    * (q44) unions; theta also INTERSECTS and SUBTRACTS, which is what
+    * retention needs: |active(d-1) ∩ active(d)| and
+    * |active(d-1) \ active(d)| as KB-sized sketch-on-sketch ops instead
+    * of a fact-table self-join per day pair. ONE scan builds the per-day
+    * sketch table (TypedImperativeAggregate: the shuffle carries
+    * fixed-size partial sketches, never user ids); the lag pairing and
+    * the set ops then run over #days rows — at 100 TB the daily sketch
+    * table is what you store (SketchZone), and the whole retention
+    * series re-derives from it without touching facts. The day-level
+    * window is a single tiny partition by construction (#days rows
+    * forever), not a scale hazard.
+    *
+    * Below 2^lgK distinct keys per day a theta sketch is in exact mode
+    * and every estimate here is EXACT (SketchExpressionsSpec pins it) —
+    * so unlike q44, this query carries a full DuckDB hash-parity
+    * oracle at verify scale; past capacity the same plan degrades to
+    * published bounded error, which is the 100 TB operating mode.
+    */
+  def q48ThetaRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{SketchExpressions => SK}
+    SK.register(spark)
+    val daily = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(SK.thetaSketch($"user_id", 12).as("sk"))
+    val w = Window.orderBy($"day")
+    daily
+      .withColumn("prev_day", lag($"day", 1).over(w))
+      .withColumn("prev_sk", lag($"sk", 1).over(w))
+      // day-over-day is CALENDAR-consecutive: a gap day pairs with
+      // nothing (same join condition as the oracle's day - 1)
+      .filter($"prev_sk".isNotNull && datediff($"day", $"prev_day") === 1)
+      .select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        SK.thetaEstimateCol($"sk").as("active_users"),
+        SK.thetaIntersect($"prev_sk", $"sk").as("retained_users"),
+        SK.thetaANotB($"prev_sk", $"sk").as("churned_users"))
+      .orderBy($"day")
+  }
+
+  /** Mergeable KLL quantile-sketch algebra — [[q44HllMerge]]'s pattern
+    * applied to PERCENTILES ([[graft.functions.SketchExpressions]]).
+    * q30's GK summary answers one query's percentiles; KLL sketches are
+    * the STORABLE form: per-day sketches built in one scan (fixed-size
+    * partials across the shuffle), any window's p50/p95 re-derived by
+    * merging the KB-sized stored rows — never rescanning facts (exact
+    * percentiles do not decompose; that is the point of the sketch).
+    * Same no-oracle note as q29/q30/q44: KLL compaction is randomized,
+    * so values are not bit-stable across engines or runs;
+    * SketchExpressionsSpec pins the normalized rank-error bound and the
+    * merge law, and ApproxAggSpec the stored-zone path.
+    */
+  def q49KllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{SketchExpressions => SK}
+    SK.register(spark)
+    // ONE corpus scan builds the sketch table (q44's localCheckpoint
+    // discipline: the per-day branch and the TOTAL-merge branch must not
+    // each re-derive it)
+    val daily = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"value")
+      .groupBy($"day")
+      .agg(SK.kllSketch($"value", 200).as("sk"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    daily.select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        round(SK.kllQuantileCol($"sk", 0.5), 2).as("p50_value"),
+        round(SK.kllQuantileCol($"sk", 0.95), 2).as("p95_value"), $"n")
+      .unionByName(daily.agg(
+        lit("TOTAL").as("day"),
+        round(SK.kllQuantileCol(SK.kllMerge($"sk", 200), 0.5), 2).as("p50_value"),
+        round(SK.kllQuantileCol(SK.kllMerge($"sk", 200), 0.95), 2).as("p95_value"),
+        sum($"n").as("n")))
+      .orderBy($"day")
+  }
+
   /** Approximate percentiles (GK / QuantileSummaries sketch) — the scale
     * twin of [[q19Percentiles]]. Exact percentiles need the sorted value
     * multiset per group; the sketch is bounded-size, mergeable, and
@@ -1073,6 +1152,12 @@ object Relational {
     // q14/q19 answers.
     "q29_approx_distinct" -> (q29ApproxDistinct _),
     "q44_hll_merge" -> (q44HllMerge _),
+    // q48 DOES have an oracle: exact-mode theta estimates are exact
+    // (SketchExpressionsSpec), so they hash-match DuckDB's exact counts.
+    "q48_theta_retention" -> (q48ThetaRetention _),
+    // q49 deliberately has none (randomized KLL compaction) — same
+    // contract-by-spec posture as q29/q30/q44.
+    "q49_kll_merge" -> (q49KllMerge _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1119,6 +1204,23 @@ object Relational {
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
   val oracles: Map[String, String] = Map(
+    // q48: theta sketches in exact mode — retention/churn counts equal
+    // DuckDB's exact per-(day, day-1) distinct-set arithmetic.
+    "q48_theta_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |act AS (SELECT day, count(*) AS active FROM du GROUP BY day),
+        |ret AS (SELECT a.day, count(*) AS retained
+        |        FROM du a JOIN du b
+        |          ON b.user_id = a.user_id AND b.day = a.day - 1
+        |        GROUP BY a.day)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.active AS active_users,
+        |  coalesce(r.retained, 0) AS retained_users,
+        |  p.active - coalesce(r.retained, 0) AS churned_users
+        |FROM act a
+        |JOIN act p ON p.day = a.day - 1
+        |LEFT JOIN ret r ON r.day = a.day
+        |ORDER BY day""".stripMargin,
     "q24_bloom_join" ->
       """SELECT strftime(o_orderdate, '%Y') AS year, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price

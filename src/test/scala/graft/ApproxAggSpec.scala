@@ -120,6 +120,74 @@ class ApproxAggSpec extends SparkSpec {
     } finally { events.unpersist(); () }
   }
 
+  test("theta zone: retention series from stored sketches == q48's direct form") {
+    import graft.core.Tables
+    import graft.operators.SketchZone
+    val events = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).cache()
+    try {
+      val days = events.select(col("day")).distinct()
+        .orderBy(col("day")).collect().map(_.getDate(0))
+      val cut = days(days.length - 2)
+      val zone = tmpDir("thzone") + "/daily_theta"
+      // same incremental discipline as the HLL zone: historical build,
+      // then the nightly one-day append
+      assert(SketchZone.appendDailyTheta(
+        spark, events.filter(col("day") <= lit(cut)), "day", "user_id", zone)
+        == days.length - 1)
+      assert(SketchZone.appendDailyTheta(spark, events, "day", "user_id", zone) == 1)
+      // the zone-only retention series (built across two appends) equals
+      // the direct in-memory q48 computation row for row — exact-mode
+      // theta makes both sides exact, so this is equality, not tolerance
+      val direct = graft.queries.Relational.q48ThetaRetention(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val viaZone = SketchZone.retentionSeries(spark, zone).collect()
+      assert(viaZone.length == direct.size && viaZone.nonEmpty)
+      viaZone.foreach { r =>
+        assert((r.getLong(1), r.getLong(2), r.getLong(3))
+          == direct(r.getDate(0).toString), s"day ${r.getDate(0)}")
+      }
+    } finally { events.unpersist(); () }
+  }
+
+  test("kll zone: window percentiles from stored sketches honor the rank bound") {
+    import graft.core.Tables
+    import graft.operators.SketchZone
+    val events = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("value").cast("double").as("v"))
+      .cache()
+    try {
+      val days = events.select(col("day")).distinct()
+        .orderBy(col("day")).collect().map(_.getDate(0))
+      val cut = days(days.length - 2)
+      val zone = tmpDir("kllzone") + "/daily_value"
+      assert(SketchZone.appendDailyKll(
+        spark, events.filter(col("day") <= lit(cut)), "day", "v", zone)
+        == days.length - 1)
+      assert(SketchZone.appendDailyKll(spark, events, "day", "v", zone) == 1)
+      val eps = org.apache.datasketches.kll.KllSketch
+        .getNormalizedRankError(200, false)
+      // full window AND a prefix window: merged stored sketches answer
+      // both within the published rank error, no fact rescan
+      Seq(days.last, cut).foreach { to =>
+        val window = events.filter(col("day") <= lit(to)).cache()
+        try {
+          val n = window.count()
+          val row = SketchZone.quantileRange(
+            spark, zone, days.head, to, Seq(0.5, 0.95)).head()
+          assert(row.getLong(0) == n)
+          Seq((row.getDouble(1), 0.5), (row.getDouble(2), 0.95)).foreach {
+            case (est, q) =>
+              val rank = window.filter(col("v") <= est).count().toDouble / n
+              assert(math.abs(rank - q) <= 2 * eps,
+                s"to=$to p$q: $est true rank $rank")
+          }
+        } finally { window.unpersist(); () }
+      }
+    } finally { events.unpersist(); () }
+  }
+
   test("q30: approx percentiles respect the rank-error guarantee") {
     // percentile_approx(accuracy = 10000) guarantees rank error
     // <= 1/accuracy; allow 100x slack (still 1%) so the test is immune
