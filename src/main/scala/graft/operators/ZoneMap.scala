@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Explicit zone maps: a PERSISTED per-file min/max stats table and a
+  * driver-side file planner that reads only the files whose range
+  * intersects the query box — the data-skipping architecture Delta and
+  * Iceberg keep in their transaction logs, reproduced on plain parquet.
+  *
+  * Parquet footers already carry row-group min/max, but at 100 TB the
+  * difference matters: footer-based skipping still LISTS and OPENS
+  * every file (one S3 GET per footer, millions of round trips before
+  * the first data byte), while a stats table is one KB-to-MB-scale scan
+  * — one row per file — after which the driver hands Spark the exact
+  * file list. This is why every lakehouse format moved stats out of the
+  * footers and into metadata; [[buildStats]]/[[prunedRead]] is that
+  * move as a library operator, composing with
+  * [[ShardedWriter.compactZorder2]]: z-order makes per-file ranges
+  * TIGHT in every clustered dimension, which is what makes min/max
+  * pruning selective in all of them at once (s13_zonemap_skip proves
+  * the composition end-to-end; ZoneMapSpec pins the file-hit counts).
+  *
+  * Staleness contract: the stats table is a snapshot of the data dir at
+  * build time. [[prunedRead]] fails loudly if the dir has gained files
+  * the stats don't cover (a file the planner doesn't know about could
+  * silently satisfy the predicate) — the single-writer discipline every
+  * other staged layout here assumes; a transactional format replaces
+  * the rebuild with a metadata commit per write.
+  */
+object ZoneMap {
+
+  /** One scan of `dataDir` → stats parquet at `statsDir`: one row per
+    * data file with `(file, n_rows, min_<c>, max_<c>, ...)` for each
+    * requested LONG-valued column. The stats output is #files rows —
+    * tiny at any data scale (a million-file table is a ~100 MB stats
+    * table), and the aggregation is a partial-agg shuffle keyed on file
+    * name, so it moves one row per (file, partition-slice).
+    */
+  def buildStats(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"min_$c"),
+        max(col(c).cast("long")).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+  }
+
+  /** Read only the files whose `[min, max]` stats intersect every
+    * `(column, lo, hi)` bound (inclusive). Planning is DRIVER-SIDE over
+    * the #files-row stats table — the same place Delta's log replay or
+    * an Iceberg manifest scan runs, and the same argument for why it is
+    * not a bottleneck: the planning input is file metadata, not data.
+    * Files with a null min/max (all-null column) are kept — null
+    * stats prove nothing, so skipping them would be wrong.
+    *
+    * The returned frame still needs the caller's row-level predicate on
+    * top (pruning is file-granular); what it saves is ever opening the
+    * files the predicate cannot reach.
+    */
+  def prunedRead(spark: SparkSession, dataDir: String, statsDir: String,
+      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    val stats = spark.read.parquet(statsDir)
+    val keep = bounds.foldLeft(stats) { case (df, (c, lo, hi)) =>
+      df.filter(col(s"min_$c").isNull ||
+        !(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
+    }
+    // driver-side: one short string per SURVIVING file
+    val files = keep.select(col("file")).collect().map(_.getString(0))
+    val known = stats.count()
+    val actual = spark.read.parquet(dataDir).inputFiles.length.toLong
+    require(actual == known,
+      s"zone map stale: $dataDir has $actual files, stats cover $known — rebuild stats")
+    if (files.isEmpty)
+      // no file can match: empty frame, schema preserved from the dir
+      spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+}

@@ -359,8 +359,13 @@ object SourcesAndStreams {
     * table — equality proves the whole stage-fragment-compact pipeline
     * content-exact where the query lands.
     */
-  def q46ZorderCompact(spark: SparkSession, dir: String): DataFrame = {
-    val path = stageOnce(s"q46z:$dir") { () =>
+  /** The q46/s13 staged layout: a hash-fragmented events copy folded by
+    * 2-D z-order compaction on (user_id, sec) — staged once per session
+    * and shared, exactly as one OPTIMIZE'd production table serves many
+    * queries.
+    */
+  private def zorderedEventsCopy(spark: SparkSession, dir: String): String =
+    stageOnce(s"q46z:$dir") { () =>
       val p = scratch("q46z")
       val events = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
@@ -374,6 +379,9 @@ object SourcesAndStreams {
         s"z-order compaction must fold the fragmented layout: $before -> $after")
       p
     }
+
+  def q46ZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderedEventsCopy(spark, dir)
     // users 3..6 on 2024-01-10..11 UTC: selective in both dimensions
     spark.read.parquet(path)
       .filter(col("user_id").between(3, 6) &&
@@ -425,8 +433,44 @@ object SourcesAndStreams {
         max(col("event_id")).as("max_eid"))
   }
 
+  /** Zone-map data skipping end-to-end — [[graft.operators.ZoneMap]]
+    * composed with the z-order layout: per-file min/max stats are built
+    * ONCE into a persisted stats table (one row per file — the
+    * Delta/Iceberg metadata move, on plain parquet), and the 2-D box
+    * query then reads ONLY the files the driver-side planner kept.
+    * Z-order is what makes this selective in BOTH dimensions: each
+    * compacted file is a tight Morton tile, so its min/max bounds both
+    * user and time (ZoneMapSpec pins the file-hit count; the oracle over
+    * the ORIGINAL table proves the pruned read misses nothing). At
+    * 100 TB this is the scan path for every selective query: plan from
+    * KB of stats, open a constant number of files.
+    */
+  def s13ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderedEventsCopy(spark, dir)
+    val statsDir = stageOnce(s"s13stats:$dir") { () =>
+      val sp = scratch("s13stats")
+      graft.operators.ZoneMap.buildStats(spark, path, sp, Seq("user_id", "sec"))
+      sp
+    }
+    // users 10..12 on 2024-01-20..24 UTC — a different box than q46, so
+    // the two queries exercise different file subsets of the same layout
+    graft.operators.ZoneMap.prunedRead(spark, path, statsDir,
+        Seq(("user_id", 10L, 12L), ("sec", 1705708800L, 1706140799L)))
+      // file pruning is file-granular: the row-level predicate still
+      // applies on top (and pushes into the surviving files' scans)
+      .filter(col("user_id").between(10, 12) &&
+        col("sec").between(1705708800L, 1706140799L))
+      .agg(
+        count(lit(1)).as("n_box"),
+        sum(col("cents")).as("cents_box"),
+        countDistinct(col("user_id")).as("users_box"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_dpp" -> (s10DynamicPartitionPruning _),
+    "s13_zonemap_skip" -> (s13ZonemapSkip _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
@@ -492,6 +536,18 @@ object SourcesAndStreams {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    // s13 reads its box through zone-map file pruning over the
+    // z-ordered copy; the oracle reads the original table — equality
+    // proves the pruned file set misses nothing.
+    "s13_zonemap_skip" ->
+      """SELECT count(*) AS n_box,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
+        | count(DISTINCT user_id) AS users_box,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 12
+        |  AND CAST(floor(epoch(ts)) AS BIGINT)
+        |      BETWEEN 1705708800 AND 1706140799""".stripMargin,
     // q46 reads the box from the z-order-COMPACTED copy; the oracle
     // reads it from the original table — equality proves the rewrite
     // content-exact where the query lands.

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Zone-map contracts: stats correctness, the skip-vs-keep decision
+  * (including the null-stats and stale-directory edges), and the
+  * end-to-end composition with z-order — the file-hit counts that make
+  * s13_zonemap_skip a data-SKIPPING query rather than a full scan with
+  * extra steps.
+  */
+class ZoneMapSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 8 files range-partitioned on k: file i holds k in [i*100, i*100+99],
+    * so per-file min/max are disjoint and pruning decisions are exact.
+    */
+  private def rangedLayout(): (String, String) = {
+    val data = tmpDir("zmdata") + "/t"
+    spark.range(800).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.parquet(data)
+    val stats = tmpDir("zmstats") + "/s"
+    ZoneMap.buildStats(spark, data, stats, Seq("k", "v"))
+    (data, stats)
+  }
+
+  test("stats: one row per file with correct min/max") {
+    val (data, stats) = rangedLayout()
+    val s = spark.read.parquet(stats).collect()
+    assert(s.length == spark.read.parquet(data).inputFiles.length)
+    assert(s.map(_.getAs[Long]("n_rows")).sum == 800)
+    s.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+      // v = 2k, so the v stats must track the k stats exactly
+      assert(r.getAs[Long]("min_v") == 2 * r.getAs[Long]("min_k"))
+      assert(r.getAs[Long]("max_v") == 2 * r.getAs[Long]("max_k"))
+    }
+  }
+
+  test("pruned read opens only intersecting files and loses no rows") {
+    val (data, stats) = rangedLayout()
+    // k in [150, 250] intersects exactly two of the eight 100-wide files
+    val pruned = ZoneMap.prunedRead(spark, data, stats, Seq(("k", 150L, 250L)))
+    assert(pruned.inputFiles.length == 2,
+      s"expected 2 files, opened ${pruned.inputFiles.length}")
+    val got = pruned.filter(col("k").between(150, 250))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val want = spark.read.parquet(data).filter(col("k").between(150, 250))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(got.getLong(0) == 101 && got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+  }
+
+  test("disjoint predicate yields an empty frame with the schema intact") {
+    val (data, stats) = rangedLayout()
+    val pruned = ZoneMap.prunedRead(spark, data, stats, Seq(("k", 5000L, 6000L)))
+    assert(pruned.count() == 0)
+    assert(pruned.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("null stats keep the file (null proves nothing)") {
+    val data = tmpDir("zmnull") + "/t"
+    // one file all-null in k, one file with real values
+    spark.range(10).select(lit(null).cast("long").as("k"), col("id").as("v"))
+      .coalesce(1).write.parquet(data)
+    spark.range(10).select((col("id") + 100).as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(data)
+    val stats = tmpDir("zmnullstats") + "/s"
+    ZoneMap.buildStats(spark, data, stats, Seq("k"))
+    // box [0, 50] misses the valued file but must still open the
+    // null-stats file: its rows are unknowable from stats alone
+    val pruned = ZoneMap.prunedRead(spark, data, stats, Seq(("k", 0L, 50L)))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.filter(col("k").between(0, 50)).count() == 0)
+  }
+
+  test("a file added after the stats build fails loudly, never silently skips") {
+    val (data, stats) = rangedLayout()
+    spark.range(5).select((col("id") + 10000).as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(data)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.prunedRead(spark, data, stats, Seq(("k", 0L, 100L)))
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
+  test("composition: z-ordered layout prunes on BOTH dimensions") {
+    val dir = "/root/testdata/sf0.001"
+    val data = tmpDir("zmz") + "/t"
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val n = events.count()
+    events.repartition(8).write.parquet(data)
+    ShardedWriter.compactZorder2(spark, data, "user_id", "sec",
+      math.max(1L, (n + 15) / 16))
+    val total = spark.read.parquet(data).inputFiles.length
+    assert(total >= 8, s"want a multi-file layout, got $total")
+    val stats = tmpDir("zmzstats") + "/s"
+    ZoneMap.buildStats(spark, data, stats, Seq("user_id", "sec"))
+
+    // a 2-D box selective in both dimensions: a handful of Morton tiles
+    val pruned = ZoneMap.prunedRead(spark, data, stats,
+      Seq(("user_id", 3L, 6L), ("sec", 1704844800L, 1705017599L)))
+    assert(pruned.inputFiles.length < total,
+      s"2-D box must skip files: ${pruned.inputFiles.length} of $total")
+    // and each dimension ALONE must also skip — the z-order promise
+    val byUser = ZoneMap.prunedRead(spark, data, stats, Seq(("user_id", 3L, 6L)))
+    val byTime = ZoneMap.prunedRead(spark, data, stats,
+      Seq(("sec", 1704844800L, 1705017599L)))
+    assert(byUser.inputFiles.length < total, "user-only box did not skip")
+    assert(byTime.inputFiles.length < total, "time-only box did not skip")
+    // no rows lost vs the unpruned read
+    val want = spark.read.parquet(data)
+      .filter(col("user_id").between(3, 6) &&
+        col("sec").between(1704844800L, 1705017599L)).count()
+    val got = pruned
+      .filter(col("user_id").between(3, 6) &&
+        col("sec").between(1704844800L, 1705017599L)).count()
+    assert(got == want && want > 0)
+  }
+}
