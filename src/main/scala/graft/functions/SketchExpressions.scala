@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
@@ -61,6 +63,8 @@ object SketchExpressions {
   val KllAggName = "graft_kll_sketch_agg"
   val KllMergeAggName = "graft_kll_merge_agg"
   val KllQuantileName = "graft_kll_quantile"
+  val FreqAggName = "graft_freq_sketch_agg"
+  val FreqTopItemsName = "graft_freq_top_items"
 
   // ---- static helpers: one body shared by interpreted eval and the
   // generated code (the LayoutExpressions.morton2 discipline) ----
@@ -92,6 +96,24 @@ object SketchExpressions {
     else s.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
   }
 
+  /** Frequent items of a serialized frequencies sketch, NO_FALSE_NEGATIVES
+    * (every true heavy hitter appears; past capacity some light items may
+    * ride along — their lb/ub bounds say so). Returns
+    * array<struct<item, est, lb, ub>> sorted by estimate descending.
+    */
+  def freqTopItems(sk: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = ItemsSketch.getInstance[String](
+      Memory.wrap(sk), new ArrayOfStringsSerDe())
+    val rows = s.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.map { r =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(r.getItem), r.getEstimate,
+          r.getLowerBound, r.getUpperBound)
+      })
+  }
+
   /** (name, implementing class, builder) for every sketch function —
     * one list feeds both [[register]] and `GraftExtensions`.
     */
@@ -111,7 +133,13 @@ object SketchExpressions {
     (KllMergeAggName, classOf[KllMergeAgg],
       { exprs: Seq[Expression] => KllMergeAgg(exprs.head, kOf(exprs)) }),
     (KllQuantileName, classOf[KllQuantileExpr],
-      { exprs: Seq[Expression] => KllQuantileExpr(exprs(0), exprs(1)) }))
+      { exprs: Seq[Expression] => KllQuantileExpr(exprs(0), exprs(1)) }),
+    (FreqAggName, classOf[FreqItemsAgg],
+      { exprs: Seq[Expression] =>
+        FreqItemsAgg(exprs.head,
+          if (exprs.length > 1) constInt(exprs(1), "freq maxMapSize") else 512) }),
+    (FreqTopItemsName, classOf[FreqTopItems],
+      { exprs: Seq[Expression] => FreqTopItems(exprs.head) }))
 
   /** Idempotent per-session registration; deployment route is
     * `GraftExtensions` via `spark.sql.extensions` (same dual wiring as
@@ -176,6 +204,21 @@ object SketchExpressions {
 
   def kllQuantileCol(sk: Column, rank: Double): Column =
     call_function(KllQuantileName, sk, lit(rank))
+
+  /** Frequencies (heavy hitters) sketch of a string column; `maxMapSize`
+    * (power of 2) bounds memory. Counts are exact while distinct items
+    * stay under the purge threshold (~0.75·maxMapSize); beyond it every
+    * estimate carries `getMaximumError`-bounded uncertainty and the
+    * top-items read keeps NO_FALSE_NEGATIVES.
+    */
+  def freqSketch(c: Column, maxMapSize: Int = 512): Column =
+    call_function(FreqAggName, c, lit(maxMapSize))
+
+  /** array<struct<item, est, lb, ub>> of a serialized frequencies
+    * sketch, estimate-descending.
+    */
+  def freqTopItemsCol(sk: Column): Column =
+    call_function(FreqTopItemsName, sk)
 }
 
 /** Mergeable theta sketch aggregate over raw keys. The buffer is a
@@ -449,4 +492,76 @@ case class KllQuantileExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantileExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Mergeable frequencies (heavy-hitters) sketch over strings —
+  * Misra-Gries style: at most `maxMapSize` counters regardless of the
+  * distinct-item universe, closed under merge. The 100 TB vocabulary
+  * argument: an exact token top-k shuffles the full distinct-token
+  * universe (billions of keys); the sketch ships one bounded map per
+  * partial, and purged weight is tracked so every estimate carries
+  * explicit lower/upper bounds. Exact while distinct items fit the map
+  * (the verify-scale mode x19 rides); NO_FALSE_NEGATIVES beyond.
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = SketchExpressions.FreqAggName
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] =
+    buffer.merge(other)
+
+  override def eval(buffer: ItemsSketch[String]): Any =
+    buffer.toByteArray(new ArrayOfStringsSerDe())
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(new ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance[String](Memory.wrap(bytes), new ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
+    copy(child = newChild)
+}
+
+/** Top items of a serialized frequencies sketch as
+  * array<struct<item, est, lb, ub>>, estimate-descending,
+  * NO_FALSE_NEGATIVES.
+  */
+case class FreqTopItems(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false),
+    StructField("ub", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = SketchExpressions.FreqTopItemsName
+  override def nullSafeEval(v: Any): Any =
+    SketchExpressions.freqTopItems(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchExpressions.freqTopItems($c)")
+  override protected def withNewChildInternal(newChild: Expression): FreqTopItems =
+    copy(child = newChild)
 }

@@ -190,6 +190,30 @@ object TrainingData {
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
 
+  /** Heavy hitters via a mergeable frequencies sketch
+    * ([[graft.functions.SketchExpressions.freqSketch]], DataSketches
+    * Misra-Gries) — [[x7VocabTopk]]'s answer through the BOUNDED-MEMORY
+    * path. x7's exact formulation shuffles the full distinct-token
+    * universe (billions of keys at 100 TB); the sketch ships one
+    * ≤maxMapSize counter map per partial and merges, so the shuffle is
+    * O(partitions × map), independent of vocabulary size. At verify
+    * scale the 31-token vocabulary fits the map, counts are exact, and
+    * the DuckDB oracle hash-matches x7's tail; past capacity the read
+    * keeps NO_FALSE_NEGATIVES with per-item error bounds
+    * (SketchExpressionsSpec pins both modes).
+    */
+  def x19HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExpressions.register(spark)
+    import graft.functions.{SketchExpressions => SK}
+    Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(SK.freqSketch(col("token"), 512).as("sk"))
+      .select(explode(SK.freqTopItemsCol(col("sk"))).as("f"))
+      .select(col("f.item").as("token"), col("f.est").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
   /** Fuzzy near-dup pairs on a short derived title (first three tokens):
     * blocked edit distance — see [[Dedup.fuzzyPairs]]. The title field
     * stands in for the short-string columns (titles, URLs, author
@@ -824,6 +848,7 @@ object TrainingData {
     "d12_quality_keeper" -> (d12QualityKeeper _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
+    "x19_heavy_hitters" -> (x19HeavyHitters _),
     "x15_oov_rate" -> (x15OovRate _),
     "x16_lm_familiarity" -> (x16LmFamiliarity _),
     "x17_tfidf_keywords" -> (x17TfidfKeywords _),
@@ -1106,6 +1131,13 @@ object TrainingData {
       """SELECT w AS token, count(*) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // x19: the frequencies sketch is exact while the vocabulary fits its
+    // counter map (it does at verify scale), so the sketch-path top-20
+    // hash-matches the exact oracle.
+    "x19_heavy_hitters" ->
+      """SELECT w AS token, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "d14_fuzzy_match" ->
       """WITH t AS (
         |  SELECT doc_id,

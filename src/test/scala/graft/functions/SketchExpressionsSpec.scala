@@ -167,6 +167,62 @@ class SketchExpressionsSpec extends SparkSpec {
     } finally values.unpersist()
   }
 
+  test("freq: exact mode through a shuffle — counts equal the exact group-by") {
+    // 40 distinct items, map of 512: no purge ever happens, so every
+    // estimate is the exact count and lb == est == ub
+    val df = spark.range(10000)
+      .select(concat(lit("w"), (col("id") % 40)).as("w")).repartition(8)
+    val exact = df.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val items = df.agg(SK.freqSketch(col("w"), 512).as("sk"))
+      .select(explode(SK.freqTopItemsCol(col("sk"))).as("f"))
+      .select(col("f.item"), col("f.est"), col("f.lb"), col("f.ub"))
+      .collect()
+    assert(items.length == 40)
+    items.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)))
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(1))
+    }
+  }
+
+  test("freq: past capacity keeps every true heavy hitter within bounds") {
+    // Zipf-ish: item h<i> appears 2000 times each (5 hitters), 20k
+    // singletons flood a 64-counter map far past its purge threshold
+    val hitters = spark.range(10000)
+      .select(concat(lit("h"), (col("id") % 5)).as("w"))
+    val noise = spark.range(20000)
+      .select(concat(lit("n"), col("id")).as("w"))
+    val items = hitters.unionAll(noise).repartition(8)
+      .agg(SK.freqSketch(col("w"), 64).as("sk"))
+      .select(explode(SK.freqTopItemsCol(col("sk"))).as("f"))
+      .select(col("f.item"), col("f.est"), col("f.lb"), col("f.ub"))
+      .collect()
+    val byItem = items.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0 until 5).foreach { i =>
+      // NO_FALSE_NEGATIVES: every true heavy hitter is present, and its
+      // true count lies inside the sketch's own [lb, ub]
+      val (_, lb, ub) = byItem.getOrElse(s"h$i",
+        fail(s"true heavy hitter h$i missing from the frequent-items read"))
+      assert(lb <= 2000L && 2000L <= ub, s"h$i: true 2000 outside [$lb, $ub]")
+    }
+  }
+
+  test("freq: merging partial sketches preserves the heavy hitters") {
+    val df = spark.range(30000)
+      .select((col("id") % 3).as("part"),
+        concat(lit("w"), (col("id") % 10)).as("w"))
+    // build one sketch per part, then re-aggregate the BYTES via a
+    // second freq build is not defined — merge happens inside one agg
+    // across partitions instead: 3-way repartition forces it
+    val items = df.repartition(3, col("part"))
+      .agg(SK.freqSketch(col("w"), 256).as("sk"))
+      .select(explode(SK.freqTopItemsCol(col("sk"))).as("f"))
+      .select(col("f.item"), col("f.est")).collect()
+    assert(items.length == 10)
+    items.foreach(r => assert(r.getLong(1) == 3000L))
+  }
+
   test("theta/kll: registered via GraftExtensions (SQL-visible)") {
     // SparkSpec's session wires graft.functions.GraftExtensions — the
     // sketch functions must resolve from plain SQL with no imperative
