@@ -68,9 +68,30 @@ object SketchZone {
         count(lit(1)).as("n_events")))
   }
 
+  /** Append one BATCH's per-day theta rows unconditionally — the
+    * STREAMING maintenance path (EventStream.streamSketchZone). A
+    * micro-batch stream cannot use the day watermark: days split across
+    * batches, so "beyond the stored max day" would drop a day's second
+    * half. Instead every batch appends its own (day, sk) rows — possibly
+    * several rows per day across batches — and correctness moves to the
+    * READ side: [[retentionSeries]] unions per day first, and theta's
+    * set semantics absorb both the split (union of halves = the day) and
+    * any replayed rows (a set union is idempotent). No n_events column
+    * here on purpose: under replay a row count would be wrong, and
+    * unlike distinct-ness it has no set semantics to hide behind.
+    */
+  def appendThetaBatch(spark: SparkSession, batch: DataFrame,
+      dayCol: String, keyCol: String, zoneDir: String, lgK: Int = 12): Long = {
+    graft.functions.SketchExpressions.register(spark)
+    appendCore(spark, batch, dayCol, zoneDir,
+      Seq(graft.functions.SketchExpressions.thetaSketch(col(keyCol), lgK).as("sk")),
+      useWatermark = false)
+  }
+
   private def appendCore(spark: SparkSession, facts: DataFrame,
-      dayCol: String, zoneDir: String, aggExprs: Seq[org.apache.spark.sql.Column]): Long = {
-    val fresh = watermark(spark, zoneDir) match {
+      dayCol: String, zoneDir: String, aggExprs: Seq[org.apache.spark.sql.Column],
+      useWatermark: Boolean = true): Long = {
+    val fresh = if (!useWatermark) facts else watermark(spark, zoneDir) match {
       case Some(maxDay) => facts.filter(col(dayCol) > lit(maxDay))
       case None => facts
     }
@@ -126,6 +147,10 @@ object SketchZone {
     SK.register(spark)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
     readZone(spark, zoneDir)
+      // a day may hold SEVERAL stored rows (streaming appendThetaBatch:
+      // split days, replayed batches) — union them first; for the
+      // one-row-per-day batch zone this is a no-op pass-through
+      .groupBy(col("day")).agg(SK.thetaUnion(col("sk")).as("sk"))
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("prev_sk", lag(col("sk"), 1).over(w))
       .filter(col("prev_sk").isNotNull && datediff(col("day"), col("prev_day")) === 1)

@@ -215,6 +215,14 @@ object SourcesAndStreams {
   def st12StreamJdbc(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamToJdbc(spark, dir)
 
+  /** Streaming theta-zone maintenance: micro-batches append per-day
+    * user sketches; retention/churn answered from the stored zone and
+    * hash-checked against the exact oracle — replay idempotency is
+    * structural (set union), not a PK merge.
+    */
+  def st13StreamSketchZone(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamSketchZone(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -484,6 +492,7 @@ object SourcesAndStreams {
     "st6_incremental_ingest" -> (st6IncrementalIngest _),
     "st11_compacted_ingest" -> (st11CompactedIngest _),
     "st12_stream_jdbc" -> (st12StreamJdbc _),
+    "st13_stream_sketch_zone" -> (st13StreamSketchZone _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -536,6 +545,23 @@ object SourcesAndStreams {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    // st13: the streamed theta zone must reproduce the exact retention
+    // arithmetic (exact-mode sketches; replays absorbed by set union)
+    "st13_stream_sketch_zone" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |act AS (SELECT day, count(*) AS active FROM du GROUP BY day),
+        |ret AS (SELECT a.day, count(*) AS retained
+        |        FROM du a JOIN du b
+        |          ON b.user_id = a.user_id AND b.day = a.day - 1
+        |        GROUP BY a.day)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.active AS active_users,
+        |  coalesce(r.retained, 0) AS retained_users,
+        |  p.active - coalesce(r.retained, 0) AS churned_users
+        |FROM act a
+        |JOIN act p ON p.day = a.day - 1
+        |LEFT JOIN ret r ON r.day = a.day
+        |ORDER BY day""".stripMargin,
     // s13 reads its box through zone-map file pruning over the
     // z-ordered copy; the oracle reads the original table — equality
     // proves the pruned file set misses nothing.

@@ -937,6 +937,59 @@ object EventStream {
     }
   }
 
+  /** st13: streaming MAINTENANCE of the theta sketch zone — the sketch
+    * sibling of st6's row ingest. Each micro-batch of the same
+    * overlapping 2-file source appends its per-day user sketches to the
+    * zone ([[graft.operators.SketchZone.appendThetaBatch]] — no
+    * watermark: days split across batches, so every batch lands its own
+    * rows and the read side unions per day). Where st6 needs a PK merge
+    * to absorb the replayed file, here idempotency is STRUCTURAL: a
+    * theta sketch is a set, and set union absorbs duplicates — the
+    * replayed batch changes nothing in any day's unioned sketch. The
+    * query answers day-over-day retention/churn from the STORED zone
+    * alone and hash-matches q48's exact oracle (exact-mode theta), so
+    * the whole stream→zone→set-algebra loop is oracle-proved. At 100 TB
+    * this is the nightly loop that keeps a retention dashboard current
+    * without ever rescanning facts: the stream appends KB-sized rows,
+    * the dashboard unions them.
+    */
+  def streamSketchZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SketchZone
+    val (src, schema) = stagedDayOverlapSource(spark, dir)
+    val root = scratchDir("st13")
+    val zone = root.resolve("zone").toString
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        SketchZone.appendThetaBatch(spark, batch, "day", "user_id", zone): Unit
+      }
+      SketchZone.retentionSeries(spark, zone)
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active").as("active_users"),
+          col("retained").as("retained_users"),
+          col("churned").as("churned_users"))
+        .orderBy(col("day"))
+        // materialize before the zone dir is reaped
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st13's staged source: the st6 overlap shape (evens file, then ALL
+    * rows) but carrying the event DAY — the column the sketch zone
+    * aggregates on.
+    */
+  private def stagedDayOverlapSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st13src:$dir", sourceFingerprint(s"$dir/events.parquet")) {
+      val events = graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
+      val d = scratchDir("st13src")
+      stageSingleFile(events.filter(col("event_id") % 2 === 0), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d.toString, events.schema)
+    }
+
   /** The st6/st11/st12 shared staged source: two overlapping parquet
     * files (evens, then ALL rows — every key of the first replays) under
     * one staged directory, the shape that makes any downstream PK merge

@@ -342,6 +342,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
   }
 
+  test("q48: one fact scan; retention is sketch arithmetic after a day-keyed agg") {
+    val p = plan("q48_theta_retention")
+    // the sketch build is the only contact with the facts: one scan,
+    // one partial+final agg pair keyed on day (fixed-size partial
+    // sketches across the exchange), then Window + set-op projections
+    // over #days rows — no join anywhere in the plan
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_theta_sketch_agg"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q49: both output branches read the checkpointed sketch table (q44's shape)") {
+    val p = plan("q49_kll_merge")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("FileScan"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
+  }
+
+  test("x19: heavy hitters collapse to ONE sketch row before the explode") {
+    val p = plan("x19_heavy_hitters")
+    // tokenize → partial sketch per partition → single merged sketch →
+    // explode of the top-items array: the only exchanges are the
+    // global-agg gather and the output top-k
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_freq_sketch_agg"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x18: chunking is map-only — no exchange except the output sort, one Generate") {
     val p = plan("x18_chunk_split")
     // the only Exchange is the output ORDER BY's rangepartitioning: the

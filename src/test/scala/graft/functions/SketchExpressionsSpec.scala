@@ -212,9 +212,9 @@ class SketchExpressionsSpec extends SparkSpec {
     val df = spark.range(30000)
       .select((col("id") % 3).as("part"),
         concat(lit("w"), (col("id") % 10)).as("w"))
-    // build one sketch per part, then re-aggregate the BYTES via a
-    // second freq build is not defined — merge happens inside one agg
-    // across partitions instead: 3-way repartition forces it
+    // the 3-way repartition forces one partial sketch per partition, so
+    // the final counts only come out right if ItemsSketch.merge is
+    // exercised across the exchange
     val items = df.repartition(3, col("part"))
       .agg(SK.freqSketch(col("w"), 256).as("sk"))
       .select(explode(SK.freqTopItemsCol(col("sk"))).as("f"))

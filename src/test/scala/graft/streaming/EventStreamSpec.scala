@@ -336,6 +336,23 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 700L, 4000L), (2L, 2L, 200L, 3000L)), got.toString)
   }
 
+  test("st13: streamed theta zone reproduces q48's exact retention (set-union idempotency)") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = graft.queries.Relational.q48ThetaRetention(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = EventStream.streamSketchZone(spark, dir).collect()
+    // the overlap source's second file replays EVERY row of the first —
+    // if set union were not absorbing the duplicates (or the per-day
+    // union across split batches were broken), these exact-mode counts
+    // could not match the direct computation row for row
+    assert(streamed.length == direct.size && streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == direct(r.getString(0)),
+        s"day ${r.getString(0)}")
+    }
+  }
+
   test("staged sources restage when a source file is rewritten in place") {
     val dir = tmpDir("mut_src")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
