@@ -151,6 +151,25 @@ object SketchExpressions {
         .createOrReplaceTempFunction(name, b, "built-in")
     }
 
+  /** Analysis-time input typing for the sketch functions. The public
+    * `ExpectsInputTypes` route is unavailable outside org.apache.spark
+    * (`AbstractDataType` is private[sql]), so every sketch expression
+    * overrides `checkInputDataTypes` with this helper instead — the SQL
+    * path (GraftExtensions) must fail at analysis like the Column path,
+    * never with an executor-side ClassCastException mid-scan.
+    */
+  private[functions] def requireTypes(name: String,
+      children: Seq[(Expression, Seq[DataType])])
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.zipWithIndex.collectFirst {
+      case ((e, allowed), i) if !allowed.contains(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} requires ${allowed.mkString(" or ")}, " +
+            s"got ${e.dataType}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** Sketch parameters are PLAN constants (they fix buffer layouts), so
     * they must arrive as integer literals — anything else fails at
     * analysis, not mid-job.
@@ -238,6 +257,8 @@ case class ThetaSketchAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = SketchExpressions.ThetaAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(LongType, IntegerType, StringType, BinaryType)))
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
@@ -290,6 +311,8 @@ case class ThetaUnionAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = SketchExpressions.ThetaUnionAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(BinaryType)))
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
@@ -329,6 +352,8 @@ case class ThetaEstimate(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = SketchExpressions.ThetaEstimateName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(BinaryType)))
   override def nullSafeEval(v: Any): Any =
     SketchExpressions.thetaEstimate(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(
@@ -346,6 +371,8 @@ case class ThetaIntersectEst(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = SketchExpressions.ThetaIntersectName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(left -> Seq(BinaryType), right -> Seq(BinaryType)))
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchExpressions.thetaIntersectEstimate(
       a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -365,6 +392,8 @@ case class ThetaANotBEst(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = SketchExpressions.ThetaANotBName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(left -> Seq(BinaryType), right -> Seq(BinaryType)))
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchExpressions.thetaANotBEstimate(
       a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -402,6 +431,8 @@ case class KllDoublesAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = SketchExpressions.KllAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(DoubleType)))
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -445,6 +476,8 @@ case class KllMergeAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = SketchExpressions.KllMergeAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(BinaryType)))
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -480,6 +513,8 @@ case class KllQuantileExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = SketchExpressions.KllQuantileName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(left -> Seq(BinaryType), right -> Seq(DoubleType)))
   override def nullSafeEval(sk: Any, q: Any): Any =
     SketchExpressions.kllQuantile(
       sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
@@ -514,6 +549,8 @@ case class FreqItemsAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = SketchExpressions.FreqAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(StringType)))
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
@@ -554,6 +591,8 @@ case class FreqTopItems(child: Expression)
     StructField("lb", LongType, nullable = false),
     StructField("ub", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = SketchExpressions.FreqTopItemsName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName, Seq(child -> Seq(BinaryType)))
   override def nullSafeEval(v: Any): Any =
     SketchExpressions.freqTopItems(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(

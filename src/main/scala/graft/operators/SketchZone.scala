@@ -142,15 +142,19 @@ object SketchZone {
     * Relational.q48's direct form. The day-level window is #days rows
     * forever — one tiny partition by construction.
     */
-  def retentionSeries(spark: SparkSession, zoneDir: String): DataFrame = {
+  def retentionSeries(spark: SparkSession, zoneDir: String,
+      lgK: Int = 12): DataFrame = {
     import graft.functions.{SketchExpressions => SK}
     SK.register(spark)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
     readZone(spark, zoneDir)
       // a day may hold SEVERAL stored rows (streaming appendThetaBatch:
       // split days, replayed batches) — union them first; for the
-      // one-row-per-day batch zone this is a no-op pass-through
-      .groupBy(col("day")).agg(SK.thetaUnion(col("sk")).as("sk"))
+      // one-row-per-day batch zone this is a no-op pass-through. `lgK`
+      // must match the writers': a smaller read-side union would
+      // silently downsample exact-mode sketches (the same degradation
+      // the HLL zone blocks with allowDifferentLgConfigK = false).
+      .groupBy(col("day")).agg(SK.thetaUnion(col("sk"), lgK).as("sk"))
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("prev_sk", lag(col("sk"), 1).over(w))
       .filter(col("prev_sk").isNotNull && datediff(col("day"), col("prev_day")) === 1)
@@ -169,11 +173,15 @@ object SketchZone {
       ranks: Seq[Double], k: Int = 200): DataFrame = {
     import graft.functions.{SketchExpressions => SK}
     SK.register(spark)
+    val names = ranks.map(r => s"p${(r * 100).round}")
+    require(names.distinct.size == names.size,
+      s"quantile ranks collide after rounding to column names: " +
+        s"${ranks.mkString(", ")} -> ${names.mkString(", ")}")
     val merged = readZone(spark, zoneDir)
       .filter(col("day").between(lit(from), lit(to)))
       .agg(SK.kllMerge(col("sk"), k).as("sk"), sum(col("n_events")).as("n_events"))
-    ranks.foldLeft(merged) { (df, r) =>
-      df.withColumn(s"p${(r * 100).round}", SK.kllQuantileCol(col("sk"), r))
+    ranks.zip(names).foldLeft(merged) { case (df, (r, name)) =>
+      df.withColumn(name, SK.kllQuantileCol(col("sk"), r))
     }.drop("sk")
   }
 

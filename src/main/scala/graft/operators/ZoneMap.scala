@@ -71,10 +71,18 @@ object ZoneMap {
     }
     // driver-side: one short string per SURVIVING file
     val files = keep.select(col("file")).collect().map(_.getString(0))
-    val known = stats.count()
-    val actual = spark.read.parquet(dataDir).inputFiles.length.toLong
-    require(actual == known,
-      s"zone map stale: $dataDir has $actual files, stats cover $known — rebuild stats")
+    // staleness is a FILE-SET comparison, not a count: same-count churn
+    // (compaction replacing one file with another) must fail just as
+    // loudly as an append, or an uncovered file silently never reads
+    val known = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val actual = spark.read.parquet(dataDir).inputFiles.toSet
+    require(actual == known, {
+      val extra = actual -- known
+      val gone = known -- actual
+      s"zone map stale for $dataDir — rebuild stats" +
+        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
+        (if (gone.nonEmpty) s"; stats for missing files: ${gone.take(3).mkString(", ")}" else "")
+    })
     if (files.isEmpty)
       // no file can match: empty frame, schema preserved from the dir
       spark.read.parquet(dataDir).filter(lit(false))

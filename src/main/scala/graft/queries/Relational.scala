@@ -565,11 +565,16 @@ object Relational {
         date_format($"day", "yyyy-MM-dd").as("day"),
         round(SK.kllQuantileCol($"sk", 0.5), 2).as("p50_value"),
         round(SK.kllQuantileCol($"sk", 0.95), 2).as("p95_value"), $"n")
-      .unionByName(daily.agg(
-        lit("TOTAL").as("day"),
-        round(SK.kllQuantileCol(SK.kllMerge($"sk", 200), 0.5), 2).as("p50_value"),
-        round(SK.kllQuantileCol(SK.kllMerge($"sk", 200), 0.95), 2).as("p95_value"),
-        sum($"n").as("n")))
+      .unionByName(daily
+        // merge ONCE, then both quantile lookups read the same merged
+        // sketch — two kllMerge aggs would each re-deserialize and
+        // re-merge every stored row
+        .agg(SK.kllMerge($"sk", 200).as("msk"), sum($"n").as("n"))
+        .select(
+          lit("TOTAL").as("day"),
+          round(SK.kllQuantileCol($"msk", 0.5), 2).as("p50_value"),
+          round(SK.kllQuantileCol($"msk", 0.95), 2).as("p95_value"),
+          $"n"))
       .orderBy($"day")
   }
 
@@ -1203,24 +1208,30 @@ object Relational {
     "q11_dto_projection" -> (q11DtoProjection _),
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
+  /** The exact retention/churn arithmetic in DuckDB SQL — shared by
+    * q48's oracle and st13's (the streamed zone must reproduce the same
+    * numbers; one definition keeps the two gates from drifting).
+    */
+  val retentionOracleSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |act AS (SELECT day, count(*) AS active FROM du GROUP BY day),
+      |ret AS (SELECT a.day, count(*) AS retained
+      |        FROM du a JOIN du b
+      |          ON b.user_id = a.user_id AND b.day = a.day - 1
+      |        GROUP BY a.day)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+      |  a.active AS active_users,
+      |  coalesce(r.retained, 0) AS retained_users,
+      |  p.active - coalesce(r.retained, 0) AS churned_users
+      |FROM act a
+      |JOIN act p ON p.day = a.day - 1
+      |LEFT JOIN ret r ON r.day = a.day
+      |ORDER BY day""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q48: theta sketches in exact mode — retention/churn counts equal
     // DuckDB's exact per-(day, day-1) distinct-set arithmetic.
-    "q48_theta_retention" ->
-      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-        |act AS (SELECT day, count(*) AS active FROM du GROUP BY day),
-        |ret AS (SELECT a.day, count(*) AS retained
-        |        FROM du a JOIN du b
-        |          ON b.user_id = a.user_id AND b.day = a.day - 1
-        |        GROUP BY a.day)
-        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
-        |  a.active AS active_users,
-        |  coalesce(r.retained, 0) AS retained_users,
-        |  p.active - coalesce(r.retained, 0) AS churned_users
-        |FROM act a
-        |JOIN act p ON p.day = a.day - 1
-        |LEFT JOIN ret r ON r.day = a.day
-        |ORDER BY day""".stripMargin,
+    "q48_theta_retention" -> retentionOracleSql,
     "q24_bloom_join" ->
       """SELECT strftime(o_orderdate, '%Y') AS year, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price

@@ -546,22 +546,9 @@ object SourcesAndStreams {
     "st2_stream_dedup" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
     // st13: the streamed theta zone must reproduce the exact retention
-    // arithmetic (exact-mode sketches; replays absorbed by set union)
-    "st13_stream_sketch_zone" ->
-      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-        |act AS (SELECT day, count(*) AS active FROM du GROUP BY day),
-        |ret AS (SELECT a.day, count(*) AS retained
-        |        FROM du a JOIN du b
-        |          ON b.user_id = a.user_id AND b.day = a.day - 1
-        |        GROUP BY a.day)
-        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
-        |  a.active AS active_users,
-        |  coalesce(r.retained, 0) AS retained_users,
-        |  p.active - coalesce(r.retained, 0) AS churned_users
-        |FROM act a
-        |JOIN act p ON p.day = a.day - 1
-        |LEFT JOIN ret r ON r.day = a.day
-        |ORDER BY day""".stripMargin,
+    // arithmetic (exact-mode sketches; replays absorbed by set union) —
+    // the SAME oracle as q48, shared so the two gates cannot drift
+    "st13_stream_sketch_zone" -> Relational.retentionOracleSql,
     // s13 reads its box through zone-map file pruning over the
     // z-ordered copy; the oracle reads the original table — equality
     // proves the pruned file set misses nothing.

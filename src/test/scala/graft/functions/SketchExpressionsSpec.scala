@@ -66,6 +66,23 @@ class SketchExpressionsSpec extends SparkSpec {
       s"theta estimate $est outside ${tol * 100}% of 100000")
   }
 
+  test("wrong-typed SQL input fails at ANALYSIS, not mid-job on an executor") {
+    // the SQL path has no Column-API casts in front of it — a typed
+    // mistake must be an AnalysisException, never a ClassCastException
+    // after the scan has started
+    Seq(
+      s"SELECT ${SK.KllAggName}(id, 200) FROM range(10)", // long, not double
+      s"SELECT ${SK.FreqAggName}(id, 64) FROM range(10)", // long, not string
+      s"SELECT ${SK.ThetaEstimateName}(id) FROM range(10)", // long, not binary
+      s"SELECT ${SK.ThetaAggName}(CAST(id AS DOUBLE), 12) FROM range(10)"
+    ).foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("requires"), s"$sql => ${e.getMessage}")
+    }
+  }
+
   test("theta: sketch parameters must be integer literals") {
     SK.register(spark)
     val e = intercept[Exception] {
