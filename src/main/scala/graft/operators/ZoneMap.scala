@@ -38,16 +38,39 @@ object ZoneMap {
     * name, so it moves one row per (file, partition-slice).
     */
   def buildStats(spark: SparkSession, dataDir: String, statsDir: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit =
+    statsAgg(spark.read.parquet(dataDir), cols)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+
+  private def statsAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one stats column")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"min_$c"),
         max(col(c).cast("long")).as(s"max_$c")))
-    spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+  }
+
+  /** Incremental stats maintenance: scan ONLY the data files the stats
+    * table does not cover yet and append their rows — the nightly loop
+    * that keeps zone maps current without rescanning the table (the
+    * same only-the-delta discipline as the sketch zone's watermark
+    * append; a transactional format does this inside the write commit).
+    * Files present in stats but gone from the directory still fail at
+    * [[prunedRead]] — a delete/compaction rewrote history, and only a
+    * rebuild can prove which stats rows are still true. Returns the
+    * number of newly covered files (0 = up to date).
+    */
+  def appendStats(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Long = {
+    val covered = spark.read.parquet(statsDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataDir).inputFiles.filterNot(covered)
+    if (fresh.isEmpty) return 0L
+    statsAgg(spark.read.parquet(fresh: _*), cols)
+      .write.mode(SaveMode.Append).parquet(statsDir)
+    fresh.length.toLong
   }
 
   /** Read only the files whose `[min, max]` stats intersect every

@@ -87,6 +87,29 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("appendStats covers only the new files; pruning works without a rebuild") {
+    val (data, stats) = rangedLayout()
+    val before = spark.read.parquet(stats)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // two new files arrive (the nightly landing)
+    spark.range(800, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(2, col("k"))
+      .write.mode("append").parquet(data)
+    assert(ZoneMap.appendStats(spark, data, stats, Seq("k", "v")) == 2)
+    // replay safety: an immediate re-run appends nothing
+    assert(ZoneMap.appendStats(spark, data, stats, Seq("k", "v")) == 0)
+    val after = spark.read.parquet(stats)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(after.size == before.size + 2)
+    // the incremental append never touched (or re-derived) old rows
+    before.foreach { case (f, row) => assert(after(f) == row, f) }
+    // and the refreshed stats immediately satisfy the staleness guard,
+    // pruning into the NEW range without a full rebuild
+    val pruned = ZoneMap.prunedRead(spark, data, stats, Seq(("k", 850L, 870L)))
+    assert(pruned.inputFiles.length < after.size)
+    assert(pruned.filter(col("k").between(850, 870)).count() == 21)
+  }
+
   test("composition: z-ordered layout prunes on BOTH dimensions") {
     val dir = "/root/testdata/sf0.001"
     val data = tmpDir("zmz") + "/t"
