@@ -32,10 +32,13 @@ object ZoneMap {
 
   /** One scan of `dataDir` → stats parquet at `statsDir`: one row per
     * data file with `(file, n_rows, min_<c>, max_<c>, ...)` for each
-    * requested LONG-valued column. The stats output is #files rows —
-    * tiny at any data scale (a million-file table is a ~100 MB stats
-    * table), and the aggregation is a partial-agg shuffle keyed on file
-    * name, so it moves one row per (file, partition-slice).
+    * requested column, in the column's NATIVE type — numeric, string
+    * (lexical order), date and timestamp ranges all prune (the same
+    * typed min/max parquet keeps per row group and Delta keeps per
+    * file). The stats output is #files rows — tiny at any data scale
+    * (a million-file table is a ~100 MB stats table), and the
+    * aggregation is a partial-agg shuffle keyed on file name, so it
+    * moves one row per (file, partition-slice).
     */
   def buildStats(spark: SparkSession, dataDir: String, statsDir: String,
       cols: Seq[String]): Unit =
@@ -46,8 +49,7 @@ object ZoneMap {
     require(cols.nonEmpty, "zone map needs at least one stats column")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"min_$c"),
-        max(col(c).cast("long")).as(s"max_$c")))
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -86,8 +88,12 @@ object ZoneMap {
     * files the predicate cannot reach.
     */
   def prunedRead(spark: SparkSession, dataDir: String, statsDir: String,
-      bounds: Seq[(String, Long, Long)]): DataFrame = {
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
     val stats = spark.read.parquet(statsDir)
+    // `lit` gives the bound the caller's type; the comparison then runs
+    // under the stats column's native ordering (numeric, lexical
+    // string, date) — same typed semantics the row-level filter will
+    // apply inside the surviving files
     val keep = bounds.foldLeft(stats) { case (df, (c, lo, hi)) =>
       df.filter(col(s"min_$c").isNull ||
         !(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))

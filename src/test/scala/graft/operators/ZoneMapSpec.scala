@@ -87,6 +87,26 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("native-typed stats: a STRING range prunes files lexically") {
+    val data = tmpDir("zmstr") + "/t"
+    // 4 files range-partitioned on a zero-padded string key: per-file
+    // lexical [min,max] are disjoint
+    spark.range(400)
+      .select(format_string("k%03d", col("id")).as("s"), col("id").as("v"))
+      .repartitionByRange(4, col("s"))
+      .write.parquet(data)
+    val stats = tmpDir("zmstrstats") + "/s"
+    ZoneMap.buildStats(spark, data, stats, Seq("s"))
+    val st = spark.read.parquet(stats)
+    assert(st.schema("min_s").dataType == org.apache.spark.sql.types.StringType)
+    val total = st.count()
+    val pruned = ZoneMap.prunedRead(spark, data, stats,
+      Seq(("s", "k150", "k249")))
+    assert(pruned.inputFiles.length < total,
+      s"string box must skip files: ${pruned.inputFiles.length} of $total")
+    assert(pruned.filter(col("s").between("k150", "k249")).count() == 100)
+  }
+
   test("appendStats covers only the new files; pruning works without a rebuild") {
     val (data, stats) = rangedLayout()
     val before = spark.read.parquet(stats)
