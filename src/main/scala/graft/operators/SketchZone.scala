@@ -165,6 +165,36 @@ object SketchZone {
       .orderBy(col("day"))
   }
 
+  /** Rolling N-day active users (DAU→WAU/MAU) from a THETA zone's
+    * stored rows only: per output day, the union of the trailing N
+    * daily sketches — the sketch aggregate running as a WINDOW function
+    * over a ROWS frame. Rolling distinct counts are the canonical
+    * non-additive metric (a 7-day WAU is NOT the sum of 7 DAUs); with
+    * stored sketches each output day costs an N-row union of KB-sized
+    * binaries instead of a 7-day fact rescan. Frame memory is N sketch
+    * rows; the series is #days rows forever — one tiny partition by
+    * construction, like [[retentionSeries]].
+    */
+  def rollingActive(spark: SparkSession, zoneDir: String, nDays: Int,
+      lgK: Int = 12): DataFrame = {
+    import graft.functions.{SketchExpressions => SK}
+    require(nDays >= 1, s"window must be >= 1 day, got $nDays")
+    SK.register(spark)
+    // RANGE over the epoch-day index, not ROWS over stored rows: a zone
+    // with a gap day must NOT let the frame silently widen to extra
+    // calendar days (trailing-7 means calendar days, not stored rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_idx")).rangeBetween(-(nDays - 1).toLong, 0L)
+    readZone(spark, zoneDir)
+      // per-day union first (streaming zones hold several rows per day)
+      .groupBy(col("day")).agg(SK.thetaUnion(col("sk"), lgK).as("sk"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01")))
+      .select(col("day"),
+        SK.thetaEstimateCol(SK.thetaUnion(col("sk"), lgK).over(w))
+          .as(s"active_${nDays}d"))
+      .orderBy(col("day"))
+  }
+
   /** Percentiles over an inclusive day window, answered from a KLL
     * zone's stored rows only. `ranks` → one `p<rank>` column each.
     */

@@ -151,6 +151,51 @@ class ApproxAggSpec extends SparkSpec {
     } finally { events.unpersist(); () }
   }
 
+  test("theta zone: rolling 7-day actives from stored sketches == exact WAU") {
+    import graft.core.Tables
+    import graft.operators.SketchZone
+    val events = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).cache()
+    try {
+      val zone = tmpDir("wauzone") + "/daily_theta"
+      assert(SketchZone.appendDailyTheta(
+        spark, events, "day", "user_id", zone) > 0)
+      // exact trailing-7-calendar-day distinct per day, via a range join
+      val days = events.select(col("day")).distinct()
+      val exact = days.as("d").join(events.as("e"),
+          col("e.day").between(date_sub(col("d.day"), 6), col("d.day")))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("e.user_id")).as("wau"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val viaZone = SketchZone.rollingActive(spark, zone, 7).collect()
+      assert(viaZone.length == exact.size && viaZone.nonEmpty)
+      viaZone.foreach { r =>
+        assert(r.getLong(1) == exact(r.getDate(0).toString),
+          s"day ${r.getDate(0)}")
+      }
+    } finally { events.unpersist(); () }
+  }
+
+  test("theta zone: a GAP day does not widen the rolling frame (RANGE, not ROWS)") {
+    import graft.operators.SketchZone
+    import spark.implicits._
+    // days 1,2,4 (day 3 missing): the trailing-2-day window at day 4
+    // must cover {4} only in calendar terms... day 3 absent, day 2 is
+    // OUTSIDE rangeBetween(-1, 0) — a ROWS frame would wrongly pull it in
+    val rows = Seq(
+      ("2024-03-01", 1L), ("2024-03-01", 2L),
+      ("2024-03-02", 2L), ("2024-03-02", 3L),
+      ("2024-03-04", 9L))
+      .toDF("d", "user_id").select(to_date($"d").as("day"), $"user_id")
+    val zone = tmpDir("gapzone") + "/daily_theta"
+    assert(SketchZone.appendDailyTheta(spark, rows, "day", "user_id", zone) == 3)
+    val out = SketchZone.rollingActive(spark, zone, 2).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-03-01") == 2L) // {1,2}
+    assert(out("2024-03-02") == 3L) // {1,2} ∪ {2,3}
+    assert(out("2024-03-04") == 1L) // {9} alone — 03-03 missing, 03-02 out of range
+  }
+
   test("kll zone: window percentiles from stored sketches honor the rank bound") {
     import graft.core.Tables
     import graft.operators.SketchZone
