@@ -537,6 +537,35 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Rolling 7-day distinct users — the canonical NON-ADDITIVE rolling
+    * metric (a 7-day WAU is not the sum of 7 DAUs), as a theta union
+    * running in a WINDOW aggregate. The classic formulation is a range
+    * self-join (every output day re-joins 7 days of facts — 7× the
+    * fact volume through a join, per q21's range-join machinery); here
+    * ONE scan builds the daily sketch table and each output day is a
+    * 7-row union of KB-sized binaries. The frame is RANGE over the
+    * epoch-day index so a gap day never silently widens the calendar
+    * window (semantics pinned with the zone twin
+    * `SketchZone.rollingActive` in ApproxAggSpec). Exact-mode theta ⇒
+    * full DuckDB hash-parity oracle, like q48.
+    */
+  def q50RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{SketchExpressions => SK}
+    SK.register(spark)
+    val daily = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(SK.thetaSketch($"user_id", 12).as("sk"))
+    val w = Window.orderBy($"day_idx").rangeBetween(-6L, 0L)
+    daily
+      .withColumn("day_idx", datediff($"day", lit("1970-01-01")))
+      .select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        SK.thetaEstimateCol(SK.thetaUnion($"sk", 12).over(w)).as("active_7d"))
+      .orderBy($"day")
+  }
+
   /** Mergeable KLL quantile-sketch algebra — [[q44HllMerge]]'s pattern
     * applied to PERCENTILES ([[graft.functions.SketchExpressions]]).
     * q30's GK summary answers one query's percentiles; KLL sketches are
@@ -1163,6 +1192,7 @@ object Relational {
     // q49 deliberately has none (randomized KLL compaction) — same
     // contract-by-spec posture as q29/q30/q44.
     "q49_kll_merge" -> (q49KllMerge _),
+    "q50_rolling_distinct" -> (q50RollingDistinct _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1232,6 +1262,15 @@ object Relational {
     // q48: theta sketches in exact mode — retention/churn counts equal
     // DuckDB's exact per-(day, day-1) distinct-set arithmetic.
     "q48_theta_retention" -> retentionOracleSql,
+    // q50: trailing-7-CALENDAR-day distinct, exact via the range join
+    // the sketch formulation avoids
+    "q50_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT e.user_id) AS active_7d
+        |FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin,
     "q24_bloom_join" ->
       """SELECT strftime(o_orderdate, '%Y') AS year, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price

@@ -361,6 +361,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
   }
 
+  test("q50: rolling distinct is ONE scan + a day-level window — no range self-join") {
+    val p = plan("q50_rolling_distinct")
+    // the classic formulation re-joins 7 days of facts per output day;
+    // the sketch formulation must never plan a join at all
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_theta_union_agg"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x19: heavy hitters collapse to ONE sketch row before the explode") {
     val p = plan("x19_heavy_hitters")
     // tokenize → partial sketch per partition → single merged sketch →
