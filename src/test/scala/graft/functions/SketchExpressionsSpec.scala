@@ -44,6 +44,24 @@ class SketchExpressionsSpec extends SparkSpec {
     assert(SK.thetaANotBEstimate(sk("b"), sk("a")) === 1000L)
   }
 
+  test("theta: every declared input type sketches correctly (int, string, binary)") {
+    val ints = spark.range(2000)
+      .select((col("id") % 700).cast("int").as("k"))
+      .agg(SK.thetaEstimateCol(SK.thetaSketch(col("k"))).as("e"))
+      .head().getLong(0)
+    assert(ints === 700L)
+    val strings = spark.range(3000)
+      .select(concat(lit("u"), (col("id") % 900)).as("k"))
+      .agg(SK.thetaEstimateCol(SK.thetaSketch(col("k"))).as("e"))
+      .head().getLong(0)
+    assert(strings === 900L)
+    val binaries = spark.range(2000)
+      .select(sha2((col("id") % 800).cast("string"), 256).cast("binary").as("k"))
+      .agg(SK.thetaEstimateCol(SK.thetaSketch(col("k"))).as("e"))
+      .head().getLong(0)
+    assert(binaries === 800L)
+  }
+
   test("theta: union over STORED sketches equals the direct build (merge law)") {
     val parts = spark.range(9000)
       .select((col("id") % 3).as("part"), (col("id") % 1500).as("k"))
