@@ -73,6 +73,33 @@ class SketchExpressionsSpec extends SparkSpec {
     assert(unioned === 1500L)
   }
 
+  test("property: exact-mode theta set algebra equals exact set arithmetic") {
+    // the law every theta oracle (q48/q50/st13) rides on: for ARBITRARY
+    // key sets below capacity, estimate/intersect/anotb are exactly
+    // |A|, |A ∩ B|, |A \ B| — driver-side sketches, no Spark job, so
+    // 60 random set pairs stay cheap
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch}
+    val pairs = Gen.listOfN(60,
+        Gen.zip(
+          Gen.listOf(Gen.choose(0L, 5000L)).map(_.toSet),
+          Gen.listOf(Gen.choose(0L, 5000L)).map(_.toSet)))
+      .apply(Gen.Parameters.default, Seed(48L)).getOrElse(Nil)
+    assert(pairs.nonEmpty)
+    def sk(s: Set[Long]): Array[Byte] = {
+      val u = UpdateSketch.builder().setLogNominalEntries(13).build()
+      s.foreach(u.update)
+      u.compact().toByteArray
+    }
+    pairs.foreach { case (a, b) =>
+      val (ba, bb) = (sk(a), sk(b))
+      assert(SK.thetaEstimate(ba) == a.size.toLong)
+      assert(SK.thetaIntersectEstimate(ba, bb) == (a & b).size.toLong, s"∩ $a $b")
+      assert(SK.thetaANotBEstimate(ba, bb) == (a -- b).size.toLong, s"\\ $a $b")
+    }
+  }
+
   test("theta: past capacity the estimate stays within published error bounds") {
     // lgK=10 (1024 nominal entries) against 100k distinct: deep in
     // sampling mode. Theta RSE <= 1/sqrt(k); allow 3.5 sigma.
