@@ -566,6 +566,46 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Type-2 slowly-changing-dimension build from history — the warehouse
+    * op that turns an event-grained attribute log into versioned
+    * dimension rows (valid_from / valid_to / is_current), here the
+    * per-customer priority-class history derived from `orders`
+    * (reference keeps dimension tables current via its staging+merge
+    * loop, `cardano_block_dao.py:93-148`; SCD2 is the same maintenance
+    * problem when history must be KEPT, not overwritten).
+    *
+    * Shape: run-length-collapse consecutive equal attribute values with
+    * `lag`, then close each surviving version with `lead` — three window
+    * functions, ALL over the same (o_custkey) partitioning and
+    * (o_orderdate, o_orderkey) ordering, so Catalyst plans ONE exchange
+    * and one sort for the whole build (pinned in PlanShapeSpec). At
+    * 100 TB that is the floor for this op: state per key is bounded by
+    * that key's change count, no self-join of history against itself
+    * (the naive "join each row to its successor" formulation ships the
+    * fact table through a second exchange). Ties inside a day are
+    * broken by o_orderkey in BOTH engines, so the collapse is
+    * deterministic.
+    */
+  def q51Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byKey = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderpriority".as("priority"),
+        $"o_orderdate", $"o_orderkey")
+      .withColumn("prev_p", lag($"priority", 1).over(byKey))
+      // run boundaries: first row per key, or the value changed
+      .filter($"prev_p".isNull || $"prev_p" =!= $"priority")
+      .select(
+        $"o_custkey",
+        row_number().over(byKey).cast("long").as("version"),
+        $"priority",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("valid_from"),
+        date_format(lead($"o_orderdate", 1).over(byKey), "yyyy-MM-dd")
+          .as("valid_to"),
+        lead($"o_orderdate", 1).over(byKey).isNull.as("is_current"))
+      .orderBy($"o_custkey", $"version")
+  }
+
   /** Mergeable KLL quantile-sketch algebra — [[q44HllMerge]]'s pattern
     * applied to PERCENTILES ([[graft.functions.SketchExpressions]]).
     * q30's GK summary answers one query's percentiles; KLL sketches are
@@ -1193,6 +1233,7 @@ object Relational {
     // contract-by-spec posture as q29/q30/q44.
     "q49_kll_merge" -> (q49KllMerge _),
     "q50_rolling_distinct" -> (q50RollingDistinct _),
+    "q51_scd2_history" -> (q51Scd2History _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1288,6 +1329,27 @@ object Relational {
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q51_scd2_history" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, priority, o_orderdate, o_orderkey
+        |  FROM h WHERE prev_p IS NULL OR prev_p <> priority),
+        |v AS (
+        |  SELECT o_custkey, priority,
+        |    row_number() OVER w AS version,
+        |    o_orderdate AS vf,
+        |    lead(o_orderdate) OVER w AS vt
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, version, priority,
+        |  strftime(CAST(vf AS DATE), '%Y-%m-%d') AS valid_from,
+        |  strftime(CAST(vt AS DATE), '%Y-%m-%d') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM v ORDER BY o_custkey, version""".stripMargin,
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |           FROM orders),

@@ -711,6 +711,63 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-size per-stratum sampling: EXACTLY k documents from every
+    * (lang, source) stratum, chosen by seeded-hash order — the balanced
+    * eval-set / ablation-corpus construction step where "rate ≈ k/n"
+    * ([[x11StratifiedSample]]) is not good enough because downstream
+    * wants a fixed row count per cell.
+    *
+    * The naive formulation is `row_number() OVER (PARTITION BY stratum
+    * ORDER BY hash)` — one corpus-sized exchange plus a FULL sort of
+    * every stratum to keep k rows. Here a one-pass histogram over the
+    * hash's top byte (≤ #strata × 256 rows) finds, per stratum, the
+    * smallest byte-prefix cutoff whose cumulative count reaches k; only
+    * rows at-or-below the cutoff enter the window. Because the byte is
+    * the hash's most-significant bits, every global top-k-by-hash row
+    * sorts at-or-below the cutoff, so the pruned window is provably
+    * EXACT while its exchange+sort input shrinks to ~k + n/256 rows per
+    * stratum (deeper prefixes extend the reduction; the histogram stays
+    * metadata-sized either way). The corpus itself is scanned twice but
+    * never fully shuffled — at 100 TB the scans are the cheap part, the
+    * stratum sorts were the bottleneck. Pruned-vs-naive equality is
+    * property-checked in GroupSampleSpec; the DuckDB oracle runs the
+    * naive formulation.
+    */
+  def x20GroupSample(spark: SparkSession, dir: String): DataFrame =
+    groupSampleTopK(Tables(spark, dir, "documents"), k = 5)
+
+  /** Library seam for [[x20GroupSample]]: exact top-k-by-seeded-hash per
+    * (lang, source) stratum with histogram-pruned window input.
+    */
+  def groupSampleTopK(docs: DataFrame, k: Int): DataFrame = {
+    val strata = Seq(col("lang"), col("source"))
+    val hk = TextOps.h60(concat(lit("gs:"), col("doc_id").cast("string")))
+    val hashed = docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("hk", hk)
+      .withColumn("hb", shiftrightunsigned(col("hk"), 52).cast("int")) // top byte of h60
+    // one partial-agg pass → ≤ #strata × 256 rows; everything below
+    // this line until the broadcast join is metadata-sized
+    val hist = hashed.groupBy(strata :+ col("hb"): _*).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(strata: _*).orderBy(col("hb"))
+    val wAll = Window.partitionBy(strata: _*)
+    val cut = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      // smallest byte whose cumulative count covers k (or the whole
+      // stratum when n < k — then the cutoff is the stratum max and
+      // nothing is pruned, correctly)
+      .filter(col("cum") >= least(lit(k.toLong), col("n")))
+      .groupBy(strata: _*).agg(min(col("hb")).as("hb_cut"))
+    val rk = row_number().over(
+      Window.partitionBy(strata: _*).orderBy(col("hk"), col("doc_id")))
+    hashed.join(broadcast(cut), Seq("lang", "source"))
+      .filter(col("hb") <= col("hb_cut"))
+      .withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
   /** Dataset balancing / mixing: downsample every language to the
     * smallest language's size with deterministic hash sampling — the
     * data-mixing step that equalizes corpus composition before training.
@@ -839,6 +896,7 @@ object TrainingData {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_repetition" -> (x10Repetition _),
     "x11_stratified_sample" -> (x11StratifiedSample _),
+    "x20_group_sample" -> (x20GroupSample _),
     "x12_sequence_pack" -> (x12SequencePack _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
@@ -1008,6 +1066,15 @@ object TrainingData {
         |  (CAST(top_cnt AS DOUBLE) / n_bigrams > 0.18
         |    OR CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.5) AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "x20_group_sample" ->
+      s"""WITH h AS (SELECT lang, source, doc_id,
+         |    ${h60sql.format("'gs:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |r AS (SELECT lang, source, doc_id,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hk, doc_id) AS rk
+         |  FROM h)
+         |SELECT lang, source, doc_id, rk FROM r WHERE rk <= 5
+         |ORDER BY lang, source, rk""".stripMargin,
     "x11_stratified_sample" ->
       s"""SELECT doc_id, lang,
          |  ${h60sql.format("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket

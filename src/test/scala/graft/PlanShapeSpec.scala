@@ -401,4 +401,29 @@ class PlanShapeSpec extends SparkSpec {
     // the corpus text is exploded exactly once (df rides the tf frame)
     assert("Generate explode".r.findAllIn(p).size == 1, p)
   }
+
+  test("q51: SCD2 build runs lag, filter, row_number and lead on ONE key exchange") {
+    val p = plan("q51_scd2_history")
+    // one hashpartitioning(o_custkey) feeds all three window functions
+    // (the run-collapse lag, then row_number+lead over the survivors);
+    // the only other Exchange is the output ORDER BY's rangepartitioning.
+    // A second hash exchange would mean the post-filter windows stopped
+    // riding the first one — the naive join-successor formulation's cost.
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 2 && p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
+    val p = plan("x20_group_sample")
+    // the per-stratum byte cutoffs come back as a broadcast — the corpus
+    // must never shuffle to meet its own metadata
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the filter on the broadcast cutoff sits BELOW the ranking window's
+    // exchange: prune-then-shuffle, not shuffle-then-prune
+    val win = p.indexOf("Window [row_number()")
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(win >= 0 && bhj > win, p)
+  }
 }
