@@ -606,6 +606,54 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** Declarative data-expectations audit — the validation gate a
+    * production pipeline runs before publishing a table (the reference
+    * gates loads via PK conflicts and watermark checks; this is the
+    * generalized form: named rules → violation counts → pass/fail).
+    *
+    * The three real rule families, each with its minimal plan:
+    *   - ROW rules (range / not-null / sign): conditional sums folded
+    *     into ONE aggregate — [[q42ProfileStats]]'s one-scan argument,
+    *     so cost stays a single pass no matter how many rules;
+    *   - UNIQUENESS: `n_rows - count(DISTINCT key)` rides the SAME scan
+    *     (one distinct spec ⇒ two-phase agg, no Expand);
+    *   - REFERENTIAL: orphan count via LEFT ANTI join against the
+    *     parent's key projection (broadcast here; at 100 TB a bloom
+    *     pre-filter (q24) cuts the fact side before any exchange).
+    * The fact table is scanned exactly twice TOTAL (audit scan + anti
+    * probe), pinned in PlanShapeSpec; per-rule queries would scan it
+    * once per rule.
+    */
+  def q52Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val rowRules: Seq[(String, Column)] = Seq(
+      ("r1_quantity_range", $"l_quantity" < 1.0 || $"l_quantity" > 50.0),
+      ("r2_discount_range", $"l_discount" < 0.0 || $"l_discount" > 0.1),
+      ("r3_shipdate_not_null", $"l_shipdate".isNull),
+      ("r4_price_positive", $"l_extendedprice" <= 0.0))
+    val aggs =
+      count(lit(1)).as("n_checked") +:
+        (count(lit(1)) - countDistinct(struct($"l_orderkey", $"l_linenumber")))
+          .as("r5_line_unique") +:
+        rowRules.map { case (n, violated) =>
+          sum(when(violated, 1L).otherwise(0L)).as(n)
+        }
+    val base = li.agg(aggs.head, aggs.tail: _*)
+    val orphans = li.select($"l_orderkey")
+      .join(broadcast(Tables(spark, dir, "orders").select($"o_orderkey")),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("r6_orderkey_fk"))
+    val ruleNames = rowRules.map(_._1) ++ Seq("r5_line_unique", "r6_orderkey_fk")
+    val stackArgs = ruleNames.map(n => s"'$n', `$n`").mkString(", ")
+    base.crossJoin(broadcast(orphans)) // 1 row × 1 row
+      .select($"n_checked",
+        expr(s"stack(${ruleNames.size}, $stackArgs) AS (rule, n_violations)"))
+      .select($"rule", $"n_violations".cast("long").as("n_violations"),
+        $"n_checked", ($"n_violations" === 0L).as("pass"))
+      .orderBy($"rule")
+  }
+
   /** Mergeable KLL quantile-sketch algebra — [[q44HllMerge]]'s pattern
     * applied to PERCENTILES ([[graft.functions.SketchExpressions]]).
     * q30's GK summary answers one query's percentiles; KLL sketches are
@@ -1234,6 +1282,7 @@ object Relational {
     "q49_kll_merge" -> (q49KllMerge _),
     "q50_rolling_distinct" -> (q50RollingDistinct _),
     "q51_scd2_history" -> (q51Scd2History _),
+    "q52_expectations" -> (q52Expectations _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1329,6 +1378,28 @@ object Relational {
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_expectations" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v4,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v5
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v6 FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'r1_quantity_range' AS rule, v1 AS v, n FROM base UNION ALL
+        |  SELECT 'r2_discount_range', v2, n FROM base UNION ALL
+        |  SELECT 'r3_shipdate_not_null', v3, n FROM base UNION ALL
+        |  SELECT 'r4_price_positive', v4, n FROM base UNION ALL
+        |  SELECT 'r5_line_unique', v5, n FROM base UNION ALL
+        |  SELECT 'r6_orderkey_fk', v6, n FROM base, fk)
+        |SELECT rule, CAST(v AS BIGINT) AS n_violations, n AS n_checked,
+        |  v = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
     "q51_scd2_history" ->
       """WITH h AS (
         |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,

@@ -414,6 +414,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q52: expectations audit scans the fact exactly twice, no Expand, broadcast anti-probe") {
+    val p = plan("q52_expectations")
+    // all row rules + the uniqueness distinct fold into ONE lineitem
+    // scan; the referential probe is the second; orders is the third
+    // scan in the plan. More scans would mean per-rule passes returned.
+    assert("FileScan parquet".r.findAllIn(p).size == 3, p)
+    // single distinct spec must plan as a two-phase agg, never Expand
+    // (Expand would multiply the fact scan by the rule count)
+    assert(!p.contains("Expand"), p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
