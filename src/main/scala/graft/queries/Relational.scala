@@ -588,22 +588,33 @@ object Relational {
     */
   def q51Scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byKey = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-    Tables(spark, dir, "orders")
-      .select($"o_custkey", $"o_orderpriority".as("priority"),
-        $"o_orderdate", $"o_orderkey")
-      .withColumn("prev_p", lag($"priority", 1).over(byKey))
-      // run boundaries: first row per key, or the value changed
-      .filter($"prev_p".isNull || $"prev_p" =!= $"priority")
-      .select(
-        $"o_custkey",
-        row_number().over(byKey).cast("long").as("version"),
-        $"priority",
-        date_format($"o_orderdate", "yyyy-MM-dd").as("valid_from"),
-        date_format(lead($"o_orderdate", 1).over(byKey), "yyyy-MM-dd")
-          .as("valid_to"),
-        lead($"o_orderdate", 1).over(byKey).isNull.as("is_current"))
+    scd2Collapse(Tables(spark, dir, "orders")
+        .select($"o_custkey", $"o_orderpriority".as("priority"),
+          $"o_orderdate", $"o_orderkey"))
       .orderBy($"o_custkey", $"version")
+  }
+
+  /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
+    * per-micro-batch by the streaming zone maintenance in
+    * [[graft.streaming.EventStream]]): history rows
+    * (o_custkey, priority, o_orderdate, o_orderkey) → versioned rows.
+    * Unordered — callers sort.
+    */
+  def scd2Collapse(history: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    history
+      .withColumn("prev_p", lag(col("priority"), 1).over(byKey))
+      // run boundaries: first row per key, or the value changed
+      .filter(col("prev_p").isNull || col("prev_p") =!= col("priority"))
+      .select(
+        col("o_custkey"),
+        row_number().over(byKey).cast("long").as("version"),
+        col("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(lead(col("o_orderdate"), 1).over(byKey), "yyyy-MM-dd")
+          .as("valid_to"),
+        lead(col("o_orderdate"), 1).over(byKey).isNull.as("is_current"))
   }
 
   /** Declarative data-expectations audit — the validation gate a
@@ -1328,6 +1339,32 @@ object Relational {
     "q11_dto_projection" -> (q11DtoProjection _),
     "q12_normalize_explode" -> (q12NormalizeExplode _))
 
+  /** The SCD2 build in DuckDB SQL — shared by q51's oracle and the
+    * streaming zone twin's (st14): maintained-incrementally must equal
+    * built-from-scratch, so both gates hash against one definition.
+    */
+  val scd2OracleSql: String =
+    """WITH h AS (
+      |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey, priority, o_orderdate, o_orderkey
+      |  FROM h WHERE prev_p IS NULL OR prev_p <> priority),
+      |v AS (
+      |  SELECT o_custkey, priority,
+      |    row_number() OVER w AS version,
+      |    o_orderdate AS vf,
+      |    lead(o_orderdate) OVER w AS vt
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, version, priority,
+      |  strftime(CAST(vf AS DATE), '%Y-%m-%d') AS valid_from,
+      |  strftime(CAST(vt AS DATE), '%Y-%m-%d') AS valid_to,
+      |  vt IS NULL AS is_current
+      |FROM v ORDER BY o_custkey, version""".stripMargin
+
   /** The exact retention/churn arithmetic in DuckDB SQL — shared by
     * q48's oracle and st13's (the streamed zone must reproduce the same
     * numbers; one definition keeps the two gates from drifting).
@@ -1400,27 +1437,7 @@ object Relational {
         |SELECT rule, CAST(v AS BIGINT) AS n_violations, n AS n_checked,
         |  v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
-    "q51_scd2_history" ->
-      """WITH h AS (
-        |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
-        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev_p
-        |  FROM orders),
-        |c AS (
-        |  SELECT o_custkey, priority, o_orderdate, o_orderkey
-        |  FROM h WHERE prev_p IS NULL OR prev_p <> priority),
-        |v AS (
-        |  SELECT o_custkey, priority,
-        |    row_number() OVER w AS version,
-        |    o_orderdate AS vf,
-        |    lead(o_orderdate) OVER w AS vt
-        |  FROM c
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-        |SELECT o_custkey, version, priority,
-        |  strftime(CAST(vf AS DATE), '%Y-%m-%d') AS valid_from,
-        |  strftime(CAST(vt AS DATE), '%Y-%m-%d') AS valid_to,
-        |  vt IS NULL AS is_current
-        |FROM v ORDER BY o_custkey, version""".stripMargin,
+    "q51_scd2_history" -> scd2OracleSql,
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |           FROM orders),

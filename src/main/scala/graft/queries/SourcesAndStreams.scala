@@ -223,6 +223,15 @@ object SourcesAndStreams {
   def st13StreamSketchZone(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamSketchZone(spark, dir)
 
+  /** Streaming SCD2-dimension maintenance: micro-batches of attribute
+    * changes land in a PK-dedup'd change log, only touched keys'
+    * versions rebuild, only touched key-buckets rewrite (dynamic
+    * partition overwrite); the maintained dim hash-matches q51's
+    * from-scratch oracle.
+    */
+  def st14StreamScd2(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamScd2(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -493,6 +502,7 @@ object SourcesAndStreams {
     "st11_compacted_ingest" -> (st11CompactedIngest _),
     "st12_stream_jdbc" -> (st12StreamJdbc _),
     "st13_stream_sketch_zone" -> (st13StreamSketchZone _),
+    "st14_stream_scd2" -> (st14StreamScd2 _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -549,6 +559,7 @@ object SourcesAndStreams {
     // arithmetic (exact-mode sketches; replays absorbed by set union) —
     // the SAME oracle as q48, shared so the two gates cannot drift
     "st13_stream_sketch_zone" -> Relational.retentionOracleSql,
+    "st14_stream_scd2" -> Relational.scd2OracleSql,
     // s13 reads its box through zone-map file pruning over the
     // z-ordered copy; the oracle reads the original table — equality
     // proves the pruned file set misses nothing.

@@ -990,6 +990,106 @@ object EventStream {
       (d.toString, events.schema)
     }
 
+  /** st14: streaming MAINTENANCE of the SCD2 dimension zone — the
+    * versioned-dimension sibling of st13's sketch zone. Each micro-batch
+    * of attribute-change rows is absorbed into a PK-dedup'd change LOG
+    * (replays vanish in the anti-join, st6's machinery), then ONLY the
+    * batch's keys have their version runs rebuilt from the log and ONLY
+    * the key-buckets containing them are rewritten via dynamic partition
+    * overwrite. The log is load-bearing for correctness, not bookkeeping:
+    * a late row landing INSIDE an already-collapsed run must split it
+    * (A@d1 collapsed over [d1,d5) + late B@d3 ⇒ A[d1,d3) B[d3,d5)
+    * A[d5,…)), which no maintained-versions-only scheme can do — the
+    * intermediate rows are already collapsed away (spec-pinned in
+    * Scd2ZoneSpec). Per-batch cost is therefore ∝ touched keys' history
+    * + touched buckets' rows, never dim size; untouched bucket files are
+    * asserted byte-identical across batches. The final dim hash-matches
+    * q51's from-scratch oracle: maintained ≡ rebuilt.
+    */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val (src, schema) = stagedOrdersOverlapSource(spark, dir)
+    val root = scratchDir("st14")
+    val log = root.resolve("log").toString
+    val dim = root.resolve("dim").toString
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        scd2ApplyBatch(batch, log, dim): Unit
+      }
+      spark.read.parquet(dim)
+        .select(col("o_custkey"), col("version"), col("priority"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** Key-bucket count for the SCD2 dim zone. Toy-sized here; at scale
+    * this is the knob that makes a batch's rewrite surface proportional
+    * to its key spread instead of the dimension's size.
+    */
+  private[graft] val scd2Buckets = 8
+
+  /** One SCD2 maintenance step (st14's per-batch body; spec seam).
+    * Returns the number of NEW log rows — 0 means the batch was a full
+    * replay and the dim zone was left untouched.
+    */
+  private[graft] def scd2ApplyBatch(
+      batch: DataFrame, log: String, dim: String): Long = {
+    val s = batch.sparkSession
+    // the batch feeds the PK merge, the key set, and (transitively) the
+    // rebuild — pin it once instead of re-running the source scan
+    val b = batch.localCheckpoint()
+    val stats = graft.cardano.IdempotentSink.upsertParquet(
+      s, b, log, Seq("o_orderkey"))
+    if (stats.inserted > 0) {
+      val keys = b.select(col("o_custkey")).distinct()
+      // int, matching what partition-value inference reads back — a
+      // long here would make the post-first-batch union type-mismatch
+      val kb = pmod(col("o_custkey"), lit(scd2Buckets.toLong)).cast("int")
+      val touched = s.read.parquet(log)
+        .join(keys, Seq("o_custkey"), "left_semi")
+      val rebuilt = graft.queries.Relational.scd2Collapse(touched)
+        .withColumn("kb", kb)
+      val next =
+        if (graft.core.Fs.exists(s, dim)) {
+          // partition-pruned: only buckets that contain a touched key
+          // are read, and dynamic overwrite below replaces only them
+          val buckets = keys.select(kb.as("kb")).distinct()
+          s.read.parquet(dim)
+            .join(buckets, Seq("kb"), "left_semi")
+            .join(keys, Seq("o_custkey"), "left_anti")
+            .unionByName(rebuilt.select(
+              col("kb"), col("o_custkey"), col("version"), col("priority"),
+              col("valid_from"), col("valid_to"), col("is_current")))
+        } else rebuilt
+      // the rewrite reads the same bucket dirs it replaces — materialize
+      // before the overwrite (distributed), same rule as upsertParquet
+      next.localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(dim)
+    }
+    stats.inserted
+  }
+
+  /** st14's staged source: the st6 overlap shape (even order keys, then
+    * ALL rows) over the ORDERS attribute history — the columns
+    * [[graft.queries.Relational.scd2Collapse]] consumes.
+    */
+  private def stagedOrdersOverlapSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st14src:$dir", sourceFingerprint(s"$dir/orders.parquet")) {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+          col("o_orderdate"), col("o_orderkey"))
+      val d = scratchDir("st14src")
+      stageSingleFile(orders.filter(col("o_orderkey") % 2 === 0), d, "a.parquet")
+      stageSingleFile(orders, d, "b.parquet")
+      (d.toString, orders.schema)
+    }
+
   /** The st6/st11/st12 shared staged source: two overlapping parquet
     * files (evens, then ALL rows — every key of the first replays) under
     * one staged directory, the shape that makes any downstream PK merge
