@@ -594,6 +594,45 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** Point-in-time enrichment against the SCD2 dimension — the canonical
+    * CONSUMER of [[q51Scd2History]]'s versioned rows, and the pattern
+    * that keeps training data leak-free: every fact joins the dimension
+    * version that was valid AT its own (here: 30-days-prior) timestamp,
+    * never today's. The naive formulation is an interval join
+    * (`vf <= t < vt`) — quadratic per key under skew; this rides
+    * [[graft.operators.AsOfJoin]]'s windowed-union instead (one key
+    * exchange for the as-of itself, two total with the dim build's own
+    * window; linear per key, no pairwise blow-up, plan-pinned
+    * join-free). Correctness leans on SCD2's structure: versions TILE
+    * each key's timeline, so the most recent valid_from ≤ t is exactly
+    * the interval containing t; same-day version collisions (empty
+    * intervals) resolve identically on both engines — the as-of
+    * tie-break takes the highest version, the oracle's interval check
+    * skips the empty one.
+    */
+  def q53PitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val dim = scd2Collapse(orders
+        .select($"o_custkey", $"o_orderpriority".as("priority"),
+          $"o_orderdate", $"o_orderkey"))
+      .select($"o_custkey", to_timestamp($"valid_from", "yyyy-MM-dd").as("t"),
+        $"version", $"priority")
+      // asOf's id column is name-shared across sides; on the right it is
+      // only the same-instant tie-break, where the HIGHEST version must
+      // win (an earlier same-day version has an empty validity interval)
+      .withColumn("o_orderkey", $"version")
+    val probes = orders.select($"o_custkey",
+      ($"o_orderdate" - expr("INTERVAL 30 DAYS")).as("t"), $"o_orderkey")
+    graft.operators.AsOfJoin.asOf(
+        probes, dim, key = "o_custkey", time = "t", idCol = "o_orderkey",
+        rightVals = Seq("version", "priority"))
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"t", "yyyy-MM-dd").as("probe_day"),
+        $"asof_version", $"asof_priority")
+      .orderBy($"o_orderkey")
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1294,6 +1333,7 @@ object Relational {
     "q50_rolling_distinct" -> (q50RollingDistinct _),
     "q51_scd2_history" -> (q51Scd2History _),
     "q52_expectations" -> (q52Expectations _),
+    "q53_pit_enrich" -> (q53PitEnrich _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1438,6 +1478,30 @@ object Relational {
         |  v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
     "q51_scd2_history" -> scd2OracleSql,
+    "q53_pit_enrich" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, priority, o_orderdate, o_orderkey
+        |  FROM h WHERE prev_p IS NULL OR prev_p <> priority),
+        |v AS (
+        |  SELECT o_custkey, priority,
+        |    row_number() OVER w AS version,
+        |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS vf,
+        |    CAST(CAST(lead(o_orderdate) OVER w AS DATE) AS TIMESTAMP) AS vt
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |p AS (SELECT o_custkey, o_orderkey,
+        |        o_orderdate - INTERVAL 30 DAY AS t FROM orders)
+        |SELECT p.o_custkey, p.o_orderkey, strftime(p.t, '%Y-%m-%d') AS probe_day,
+        |  v.version AS asof_version, v.priority AS asof_priority
+        |FROM p LEFT JOIN v
+        |  ON v.o_custkey = p.o_custkey AND v.vf <= p.t
+        |     AND (v.vt IS NULL OR p.t < v.vt)
+        |ORDER BY p.o_orderkey""".stripMargin,
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |           FROM orders),

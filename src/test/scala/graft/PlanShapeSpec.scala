@@ -426,6 +426,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q53: point-in-time enrichment is join-free — windowed union, one key exchange") {
+    val p = plan("q53_pit_enrich")
+    // the interval-join formulation would plan a Join (quadratic per key
+    // under skew); the as-of composition must not
+    assert(!p.contains("Join"), p)
+    // exactly two key exchanges: the SCD2 dim build's window and the
+    // as-of union's window — nothing re-shuffles beyond those
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 2, p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
