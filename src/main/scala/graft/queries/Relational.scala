@@ -633,6 +633,55 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Cohort retention matrix — users bucketed by FIRST-seen day, activity
+    * counted per (cohort, day-offset): the product-analytics staple that
+    * generalizes q48's day-over-day retention to every horizon at once.
+    * Join-free: the per-user cohort assignment is a window min riding
+    * ONE user exchange (the groupBy-then-join-back formulation ships the
+    * fact table through a second exchange), then (user, day) dedup makes
+    * each surviving row exactly one active user-day, so the final
+    * (cohort, offset) count is a plain agg — no distinct spec needed.
+    * Per-user state in the window is one running date; per-cell output
+    * is #cohorts × #offsets rows, tiny at any corpus size.
+    */
+  def q54CohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", to_date($"ts").as("day"))
+    val w = Window.partitionBy($"user_id")
+    ev.withColumn("cohort", min($"day").over(w))
+      .distinct() // one row per active (user, day); cohort is functionally dependent
+      .groupBy(
+        date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"day", $"cohort").cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_day", $"offset_days")
+  }
+
+  /** Co-occurrence (market-basket) pairs: the top-20 part pairs by
+    * number of shared orders — the self-join family (d2's shingle
+    * co-occurrence on retail baskets). The join keys on the basket id,
+    * so pair generation is bounded per order by basket-size² (≤ ~13
+    * items in this schema; an unbounded-basket corpus would cap baskets
+    * first, exactly [[graft.operators.Dedup.capShingles]]'s move —
+    * one pathological basket of b items is b²/2 join rows).
+    * `shuffle_hash` forbids broadcasting a corpus-sized side (d2's
+    * rule); top-20 is TakeOrderedAndProject, never a global sort.
+    */
+  def q55CopurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = li.select($"l_orderkey", $"l_partkey".as("part_a"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("part_b"))
+    a.hint("shuffle_hash")
+      .join(b, Seq("l_orderkey"))
+      .filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1334,6 +1383,8 @@ object Relational {
     "q51_scd2_history" -> (q51Scd2History _),
     "q52_expectations" -> (q52Expectations _),
     "q53_pit_enrich" -> (q53PitEnrich _),
+    "q54_cohort_matrix" -> (q54CohortMatrix _),
+    "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
     "q32_cube" -> (q32Cube _),
@@ -1478,6 +1529,22 @@ object Relational {
         |  v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
     "q51_scd2_history" -> scd2OracleSql,
+    "q54_cohort_matrix" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(e.day - f.cohort AS BIGINT) AS offset_days,
+        |  count(*) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+    "q55_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q53_pit_enrich" ->
       """WITH h AS (
         |  SELECT o_custkey, o_orderpriority AS priority, o_orderdate, o_orderkey,

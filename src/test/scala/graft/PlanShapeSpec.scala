@@ -436,6 +436,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 2, p)
   }
 
+  test("q54: cohort assignment is a window, not a join-back; one user exchange") {
+    val p = plan("q54_cohort_matrix")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q55: basket self-join is a shuffled hash join; top-20 is TakeOrderedAndProject") {
+    val p = plan("q55_copurchase_pairs")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
