@@ -232,6 +232,14 @@ object SourcesAndStreams {
   def st14StreamScd2(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamScd2(spark, dir)
 
+  /** Streaming zone-map maintenance: each micro-batch PK-merges into the
+    * data dir and appends per-file stats for its delta only; the range
+    * aggregate is answered through the stats-planned pruned read, with
+    * real file skipping asserted inline.
+    */
+  def st15StreamZonemap(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamZoneMapIngest(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -503,6 +511,7 @@ object SourcesAndStreams {
     "st12_stream_jdbc" -> (st12StreamJdbc _),
     "st13_stream_sketch_zone" -> (st13StreamSketchZone _),
     "st14_stream_scd2" -> (st14StreamScd2 _),
+    "st15_stream_zonemap" -> (st15StreamZonemap _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -560,6 +569,13 @@ object SourcesAndStreams {
     // the SAME oracle as q48, shared so the two gates cannot drift
     "st13_stream_sketch_zone" -> Relational.retentionOracleSql,
     "st14_stream_scd2" -> Relational.scd2OracleSql,
+    "st15_stream_zonemap" ->
+      """WITH m AS (SELECT max(event_id) // 4 AS hi FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events, m
+        |WHERE event_id >= 0 AND event_id <= m.hi
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // s13 reads its box through zone-map file pruning over the
     // z-ordered copy; the oracle reads the original table — equality
     // proves the pruned file set misses nothing.

@@ -1090,6 +1090,75 @@ object EventStream {
       (d.toString, orders.schema)
     }
 
+  /** st15: streaming MAINTENANCE of the zone-map stats table — the
+    * data-skipping sibling of st13/st14's zones. Each micro-batch PK-
+    * merges into the data dir (st6's machinery) and then brings the
+    * per-file min/max stats table current ([[graft.operators.ZoneMap]]
+    * — only never-covered files are scanned, so the stats append costs
+    * the batch's delta, not the table). The read side answers a range
+    * aggregate through [[graft.operators.ZoneMap.prunedRead]]: bounds
+    * come from the STATS table alone (metadata altitude), and because
+    * time-ordered ingest lands each batch's files range-disjoint (the
+    * source splits on the id, not parity), the lower-quarter query
+    * provably skips the later batch's files — asserted inline, not
+    * assumed. Replay: the merged no-op appends no files, appendStats
+    * returns 0, stats stay exact (the staleness guard would fail
+    * loudly otherwise). At 100 TB this is data skipping kept current
+    * by the ingest loop itself instead of a nightly rebuild.
+    */
+  def streamZoneMapIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZoneMap
+    val (src, schema) = stagedRangeOverlapSource(spark, dir)
+    val root = scratchDir("st15")
+    val target = root.resolve("data").toString
+    val stats = root.resolve("stats").toString
+    val statCols = Seq("event_id")
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        val s = batch.sparkSession
+        graft.cardano.IdempotentSink.upsertParquet(
+          s, batch, target, Seq("event_id")): Unit
+        if (graft.core.Fs.exists(s, stats))
+          ZoneMap.appendStats(s, target, stats, statCols): Unit
+        else ZoneMap.buildStats(s, target, stats, statCols)
+      }
+      // plan the query from stats alone: lower quarter of the id range
+      val hi = spark.read.parquet(stats)
+        .agg(max(col("max_event_id"))).head().getLong(0) / 4
+      val pruned = ZoneMap.prunedRead(spark, target, stats,
+        Seq(("event_id", 0L, hi)))
+      // range-disjoint batches make skipping REAL: the second batch's
+      // upper-half files must not survive the file plan
+      val all = spark.read.parquet(target).inputFiles.length
+      require(pruned.inputFiles.length < all,
+        s"zone map pruned nothing (${pruned.inputFiles.length}/$all files)")
+      pruned.filter(col("event_id") <= hi) // row-level predicate on top
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st15's staged source: the overlap-replay shape (first file, then
+    * ALL rows) split on the id RANGE instead of parity — time-ordered
+    * ingest, where each batch's merged delta lands range-disjoint files
+    * (what makes min/max skipping selective under streaming append).
+    */
+  private def stagedRangeOverlapSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st15src:$dir", sourceFingerprint(s"$dir/events.parquet")) {
+      val events = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val half = events.agg(max(col("event_id"))).head().getLong(0) / 2
+      val d = scratchDir("st15src")
+      stageSingleFile(events.filter(col("event_id") < half), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d.toString, events.schema)
+    }
+
   /** The st6/st11/st12 shared staged source: two overlapping parquet
     * files (evens, then ALL rows — every key of the first replays) under
     * one staged directory, the shape that makes any downstream PK merge
