@@ -760,7 +760,14 @@ object TrainingData {
       .groupBy(strata: _*).agg(min(col("hb")).as("hb_cut"))
     val rk = row_number().over(
       Window.partitionBy(strata: _*).orderBy(col("hk"), col("doc_id")))
-    hashed.join(broadcast(cut), Seq("lang", "source"))
+    // NULL-SAFE stratum match: window partitioning groups null strata
+    // like any other value, so the cutoff join must too — a plain
+    // equi-join would silently drop null-lang/source rows the naive
+    // formulation (and any SQL oracle) keeps
+    val cutR = cut.withColumnRenamed("lang", "c_lang")
+      .withColumnRenamed("source", "c_source")
+    hashed.join(broadcast(cutR),
+        col("lang") <=> col("c_lang") && col("source") <=> col("c_source"))
       .filter(col("hb") <= col("hb_cut"))
       .withColumn("rk", rk.cast("long"))
       .filter(col("rk") <= k)

@@ -66,6 +66,22 @@ class GroupSampleSpec extends SparkSpec {
     checkEqual(docs, k = 7)
   }
 
+  test("null strata sample like any other stratum (null-safe cutoff join)") {
+    import spark.implicits._
+    val rows: Seq[(Long, String, String)] =
+      (1 to 50).map(i => (i.toLong, null.asInstanceOf[String], "web")) ++
+        (1 to 50).map(i => (100L + i, "en", null.asInstanceOf[String])) ++
+        (1 to 50).map(i => (200L + i, "en", "web"))
+    val docs = rows.toDF("doc_id", "lang", "source")
+    val out = TrainingData.groupSampleTopK(docs, k = 4)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((null, "web")) == 4L)
+    assert(out(("en", null)) == 4L)
+    assert(out(("en", "web")) == 4L)
+    checkEqual(docs, k = 4)
+  }
+
   test("cutoff lands exactly at a bucket boundary: still exact") {
     import spark.implicits._
     // engineer doc_ids so several share the minimum top byte by brute
