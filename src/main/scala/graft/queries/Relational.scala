@@ -633,6 +633,33 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Equi-width histogram with DATA-DERIVED bounds — the distribution
+    * profile that complements the percentile family (q19/q30/q49): bin
+    * counts + bin sums of order totals per bucket. Bounds come from a
+    * column-only min/max scan whose 1-row result broadcasts back
+    * (q41's scalar pattern — never a collect); binning is EXACT integer
+    * arithmetic on cents, `(cents−lo)·B div span`, so both engines land
+    * every boundary value in the same bin (a float `width_bucket`
+    * diverges at bin edges across libm implementations). Two scans
+    * total — the bounds scan reads one column; the bin pass is one
+    * partial-agg shuffle of B rows.
+    */
+  def q56Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = 8
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderstatus", c100($"o_totalprice").as("cents"))
+    val bounds = o.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      // `div` not `/`: long division stays integral (operands are
+      // non-negative by construction, so div ≡ floor on both engines)
+      .withColumn("bin",
+        expr(s"least(${bins - 1}, ((cents - lo) * $bins) div (hi - lo + 1))"))
+      .groupBy($"o_orderstatus", $"bin".cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), sum($"cents").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"bin")
+  }
+
   /** Cohort retention matrix — users bucketed by FIRST-seen day, activity
     * counted per (cohort, day-offset): the product-analytics staple that
     * generalizes q48's day-over-day retention to every horizon at once.
@@ -1384,6 +1411,7 @@ object Relational {
     "q52_expectations" -> (q52Expectations _),
     "q53_pit_enrich" -> (q53PitEnrich _),
     "q54_cohort_matrix" -> (q54CohortMatrix _),
+    "q56_histogram" -> (q56Histogram _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1529,6 +1557,16 @@ object Relational {
         |  v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
     "q51_scd2_history" -> scd2OracleSql,
+    "q56_histogram" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+        |SELECT o.o_orderstatus,
+        |  least(7, ((o.cents - b.lo) * 8) // (b.hi - b.lo + 1)) AS bin,
+        |  count(*) AS cnt,
+        |  CAST(sum(o.cents) AS BIGINT) AS sum_cents
+        |FROM o, b
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, bin""".stripMargin,
     "q54_cohort_matrix" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)

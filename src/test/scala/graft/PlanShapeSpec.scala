@@ -449,6 +449,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q56: histogram bounds broadcast as a 1-row frame; binning is one agg pass") {
+    val p = plan("q56_histogram")
+    // min/max come back via BroadcastNestedLoopJoin (1 row), never a
+    // collect or a fact-sized shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, p) // bounds + bins, partial/final each
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
