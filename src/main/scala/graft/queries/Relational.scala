@@ -752,31 +752,23 @@ object Relational {
     */
   def q52Expectations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.operators.Expectations
     val li = Tables(spark, dir, "lineitem")
-    val rowRules: Seq[(String, Column)] = Seq(
-      ("r1_quantity_range", $"l_quantity" < 1.0 || $"l_quantity" > 50.0),
-      ("r2_discount_range", $"l_discount" < 0.0 || $"l_discount" > 0.1),
-      ("r3_shipdate_not_null", $"l_shipdate".isNull),
-      ("r4_price_positive", $"l_extendedprice" <= 0.0))
-    val aggs =
-      count(lit(1)).as("n_checked") +:
-        (count(lit(1)) - countDistinct(struct($"l_orderkey", $"l_linenumber")))
-          .as("r5_line_unique") +:
-        rowRules.map { case (n, violated) =>
-          sum(when(violated, 1L).otherwise(0L)).as(n)
-        }
-    val base = li.agg(aggs.head, aggs.tail: _*)
-    val orphans = li.select($"l_orderkey")
-      .join(broadcast(Tables(spark, dir, "orders").select($"o_orderkey")),
-        $"l_orderkey" === $"o_orderkey", "left_anti")
-      .agg(count(lit(1)).as("r6_orderkey_fk"))
-    val ruleNames = rowRules.map(_._1) ++ Seq("r5_line_unique", "r6_orderkey_fk")
-    val stackArgs = ruleNames.map(n => s"'$n', `$n`").mkString(", ")
-    base.crossJoin(broadcast(orphans)) // 1 row × 1 row
-      .select($"n_checked",
-        expr(s"stack(${ruleNames.size}, $stackArgs) AS (rule, n_violations)"))
-      .select($"rule", $"n_violations".cast("long").as("n_violations"),
-        $"n_checked", ($"n_violations" === 0L).as("pass"))
+    val (wide, names) = Expectations.auditWide(li,
+      rowRules = Seq(
+        ("r1_quantity_range", $"l_quantity" < 1.0 || $"l_quantity" > 50.0),
+        ("r2_discount_range", $"l_discount" < 0.0 || $"l_discount" > 0.1),
+        ("r3_shipdate_not_null", $"l_shipdate".isNull),
+        ("r4_price_positive", $"l_extendedprice" <= 0.0)),
+      uniqueKey = Some(("r5_line_unique", Seq($"l_orderkey", $"l_linenumber"))))
+    val fk = Expectations.referential("r6_orderkey_fk",
+      li, "l_orderkey", Tables(spark, dir, "orders"), "o_orderkey")
+    // 1-row × 1-row cross attaches the fk count as one more wide
+    // column before the pivot — the audit's scan count stays fixed
+    Expectations.stackLong(
+        wide.crossJoin(broadcast(fk)), names :+ "r6_orderkey_fk")
+      .select($"rule", $"n_violations", $"n_checked",
+        ($"n_violations" === 0L).as("pass"))
       .orderBy($"rule")
   }
 
