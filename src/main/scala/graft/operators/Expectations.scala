@@ -59,6 +59,11 @@ object Expectations {
     * `stack` over one row, metadata-sized.
     */
   def stackLong(wide: DataFrame, names: Seq[String]): DataFrame = {
+    // names are interpolated into a generated stack() expression —
+    // restrict to identifier characters so a quote or backtick cannot
+    // break (or inject into) the parsed SQL
+    names.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"rule name must be [A-Za-z0-9_]+, got '$n'"))
     val stackArgs = names.map(n => s"'$n', `$n`").mkString(", ")
     wide.select(col("n_checked"),
         expr(s"stack(${names.size}, $stackArgs) AS (rule, n_violations)"))

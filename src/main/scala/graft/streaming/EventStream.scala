@@ -1031,18 +1031,30 @@ object EventStream {
 
   /** One SCD2 maintenance step (st14's per-batch body; spec seam).
     * Returns the number of NEW log rows — 0 means the batch was a full
-    * replay and the dim zone was left untouched.
+    * replay and the dim zone was left untouched. The touched-key set
+    * comes from the merge DELTA, not the raw batch: in a partially
+    * replayed batch, keys whose rows were all conflict-skipped have
+    * nothing to rebuild, and deriving keys from the batch would rewrite
+    * their buckets for no change — the per-batch cost claim (∝ touched
+    * history + touched buckets) holds only delta-keyed.
     */
   private[graft] def scd2ApplyBatch(
       batch: DataFrame, log: String, dim: String): Long = {
     val s = batch.sparkSession
-    // the batch feeds the PK merge, the key set, and (transitively) the
-    // rebuild — pin it once instead of re-running the source scan
-    val b = batch.localCheckpoint()
-    val stats = graft.cardano.IdempotentSink.upsertParquet(
-      s, b, log, Seq("o_orderkey"))
-    if (stats.inserted > 0) {
-      val keys = b.select(col("o_custkey")).distinct()
+    // within-batch PK dedup, then the conflict-skip anti-join against
+    // the stored log (upsertParquet's merge, inlined because the DELTA
+    // itself — not just its count — drives the rebuild); materialized
+    // before the append because the plan reads the log it extends
+    val b = batch.dropDuplicates("o_orderkey")
+    val fresh = (
+      if (graft.core.Fs.exists(s, log))
+        b.join(s.read.parquet(log), Seq("o_orderkey"), "left_anti")
+      else b
+    ).localCheckpoint()
+    val inserted = fresh.count()
+    if (inserted > 0) {
+      fresh.write.mode("append").parquet(log)
+      val keys = fresh.select(col("o_custkey")).distinct()
       // int, matching what partition-value inference reads back — a
       // long here would make the post-first-batch union type-mismatch
       val kb = pmod(col("o_custkey"), lit(scd2Buckets.toLong)).cast("int")
@@ -1070,7 +1082,7 @@ object EventStream {
         .partitionBy("kb")
         .parquet(dim)
     }
-    stats.inserted
+    inserted
   }
 
   /** st14's staged source: the st6 overlap shape (even order keys, then

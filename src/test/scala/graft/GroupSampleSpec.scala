@@ -84,12 +84,24 @@ class GroupSampleSpec extends SparkSpec {
 
   test("cutoff lands exactly at a bucket boundary: still exact") {
     import spark.implicits._
-    // engineer doc_ids so several share the minimum top byte by brute
-    // search: take the 64 doc_ids with the smallest h60 top byte from a
-    // large pool — the cumulative histogram then crosses k inside the
-    // very first occupied bucket(s), the boundary case
+    // ENGINEER the boundary: recompute each id's h60 top byte in plain
+    // Scala (same md5 formula as TextOps.h60) and set k to the exact
+    // cumulative count at the smallest occupied byte — the cutoff rule
+    // `cum >= least(k, n)` then fires at cum == k precisely, the
+    // off-by-one-prone edge (`cum > k` there would drop a bucket and
+    // lose sample rows)
+    def topByte(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"gs:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) >>> 52).toInt
+    }
     val pool = (1 to 5000).map(_.toLong)
+    val minByte = pool.map(topByte).min
+    val kAtBoundary = pool.count(topByte(_) == minByte)
+    assert(kAtBoundary >= 2, "fixture degenerate: need a multi-row first bucket")
     val docs = pool.map((_, "en", "web")).toDF("doc_id", "lang", "source")
-    checkEqual(docs, k = 64)
+    checkEqual(docs, k = kAtBoundary)   // cum == k exactly at the first bucket
+    checkEqual(docs, k = kAtBoundary + 1) // and one past it, crossing into the next
   }
 }

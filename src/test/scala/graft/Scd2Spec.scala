@@ -50,7 +50,12 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
-  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+  // UTC-pinned (the reference formatter and the Spark session both run
+  // UTC; Timestamp.valueOf would parse in the JVM default zone and
+  // shift day strings on a non-UTC JVM)
+  private def ts(day: Int): Timestamp = Timestamp.from(
+    java.time.LocalDate.of(2024, 1, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
 
   test("randomized histories: windowed build equals the in-memory reference") {
     val rnd = new scala.util.Random(51)

@@ -16,7 +16,12 @@ import graft.SparkSpec
   */
 class Scd2ZoneSpec extends SparkSpec {
 
-  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-02-$day%02d 00:00:00")
+  // UTC-pinned: Timestamp.valueOf would parse in the JVM default zone
+  // while scd2Collapse renders in the UTC session zone — day strings
+  // would shift on any JVM east of UTC
+  private def ts(day: Int): Timestamp = Timestamp.from(
+    java.time.LocalDate.of(2024, 2, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
 
   private def batchDf(rows: (Long, String, Int, Long)*) = {
     import spark.implicits._
@@ -65,6 +70,24 @@ class Scd2ZoneSpec extends SparkSpec {
     assert(changed == Set("kb=3"), s"buckets rewritten: $changed")
     // and key 3 (also bucket 3) must have survived the bucket rewrite
     assert(readDim(dim).count(_.head == 3L) == 1)
+  }
+
+  test("partially replayed batch rebuilds only the DELTA's keys, not the batch's") {
+    val root = tmpDir("scd2zone")
+    val (log, dim) = (s"$root/log", s"$root/dim")
+    // keys 1 (bucket 1) and 2 (bucket 2)
+    EventStream.scd2ApplyBatch(
+      batchDf((1L, "A", 1, 10L), (2L, "A", 1, 11L)), log, dim)
+    val before = dimFiles(dim)
+    // replay key 1's row verbatim + one genuinely new row for key 2:
+    // key 1 contributed nothing to the merge delta, so bucket 1 must
+    // not be rewritten (delta-keyed rebuild, not batch-keyed)
+    assert(EventStream.scd2ApplyBatch(
+      batchDf((1L, "A", 1, 10L), (2L, "B", 4, 12L)), log, dim) == 1L)
+    val after = dimFiles(dim)
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k)).map(_.split("/").find(_.startsWith("kb=")).getOrElse("?"))
+    assert(changed == Set("kb=2"), s"buckets rewritten: $changed")
   }
 
   test("late row inside a collapsed run splits it (the change log's reason to exist)") {
