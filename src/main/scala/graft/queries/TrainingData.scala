@@ -775,6 +775,49 @@ object TrainingData {
       .orderBy(col("lang"), col("source"), col("rk"))
   }
 
+  /** c2: the composed training-corpus pipeline — the round-8 "pieces
+    * work together" proof for the text family, as ONE Catalyst plan
+    * with a full DuckDB oracle: quality filter (x3's score formula,
+    * IEEE-exact float ops so the threshold cut is bit-identical across
+    * engines) → exact content dedup keeping the min doc id (d1's rule,
+    * as a window min on one md5 exchange — no groupBy-and-join-back) →
+    * deterministic hash split (x6's rule) → per-split corpus stats.
+    * Scale shape: two codegen'd projections around a single
+    * hash-partitioned exchange on the content hash, then a 3-group
+    * aggregate; nothing corpus-sized moves twice.
+    */
+  def c2TrainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), t)
+      .withColumn("n_chars_len", length(t).cast("long"))
+      .withColumn("n_tokens", TextOps.tokenCount(t).cast("long"))
+      // x3's formula verbatim — term order preserved so the float
+      // arithmetic matches the oracle bit-for-bit
+      .withColumn("score",
+        (TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").cast("double")
+            / col("n_tokens")) * 5.0
+          - (size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").cast("double")
+            / col("n_chars_len")) * 3.0
+          - (size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").cast("double")
+            / col("n_chars_len")) * 2.0
+          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    val kept = scored.filter(col("score") > 0.0)
+    val ded = kept
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(t))))
+      .filter(col("doc_id") === col("keeper"))
+    val bucket = TextOps.h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    ded
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars_len")).as("n_chars"))
+      .orderBy(col("split"))
+  }
+
   /** Dataset balancing / mixing: downsample every language to the
     * smallest language's size with deterministic hash sampling — the
     * data-mixing step that equalizes corpus composition before training.
@@ -904,6 +947,7 @@ object TrainingData {
     "x10_repetition" -> (x10Repetition _),
     "x11_stratified_sample" -> (x11StratifiedSample _),
     "x20_group_sample" -> (x20GroupSample _),
+    "c2_training_corpus" -> (c2TrainingCorpus _),
     "x12_sequence_pack" -> (x12SequencePack _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
@@ -1073,6 +1117,30 @@ object TrainingData {
         |  (CAST(top_cnt AS DOUBLE) / n_bigrams > 0.18
         |    OR CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.5) AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "c2_training_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    (CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS DOUBLE)
+        |       / len(regexp_extract_all(lower(text), '\w+'))) * 5.0
+        |    - (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)) * 3.0
+        |    - (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 2.0
+        |    + CASE WHEN length(text) BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END AS score
+        |  FROM documents),
+        |kept AS (SELECT doc_id, text FROM q WHERE score > 0),
+        |ded AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |    FROM kept) WHERE doc_id = keeper),
+        |sp AS (SELECT
+        |    CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(regexp_extract_all(lower(text), '\w+')) AS ntok,
+        |    length(text) AS nch
+        |  FROM ded)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "x20_group_sample" ->
       s"""WITH h AS (SELECT lang, source, doc_id,
          |    ${h60sql.format("'gs:' || CAST(doc_id AS VARCHAR)")} AS hk

@@ -457,6 +457,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 4, p) // bounds + bins, partial/final each
   }
 
+  test("c2: composed corpus pipeline moves the corpus through ONE content-hash exchange") {
+    val p = plan("c2_training_corpus")
+    assert(!p.contains("Join"), p)
+    // quality filter and split are projections; dedup's window (on the
+    // projected md5 attribute _w0) is the only corpus-sized exchange —
+    // the other two are the 3-row agg and the output sort
+    assert("Exchange hashpartitioning\\(_w0".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("Window [min(doc_id"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
