@@ -69,6 +69,127 @@ object Multimodal {
       new_h: Option[Long],
       resize_ok: Boolean)
 
+  /** Output of [[phashImages]]; None hash when the payload did not
+    * decode.
+    */
+  case class ImageHash(doc_id: Long, phash: Option[Long], decode_ok: Boolean)
+
+  /** Perceptual 64-bit image hash (pHash): full pixel decode →
+    * grayscale 32×32 block-average downscale (integer sums — no
+    * float resampling ambiguity) → 2-D DCT-II → the 8×8 low-frequency
+    * block thresholded at its own median. Content-level identity: two
+    * PNGs of the SAME pixels under DIFFERENT encodings (filter choice,
+    * compression level, re-encode round-trips) hash identically where
+    * byte-level md5 ([[graft.operators.Dedup.exactByContent]]) sees two
+    * distinct documents — the image twin of text near-dup, and small
+    * pixel perturbations move few bits (Hamming-near), so the d11
+    * pigeonhole machinery applies unchanged to image corpora. All math
+    * is fixed-sequence IEEE doubles over deterministic integers —
+    * bit-reproducible across runs and executors.
+    */
+  object PHash {
+    private val N = 32
+    private val cosTable: Array[Array[Double]] = Array.tabulate(N, N) {
+      (u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * N))
+    }
+
+    def hash(payload: Array[Byte]): Option[Long] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some(hashImage(img))
+      } catch { case _: Exception => None }
+
+    private[graft] def hashImage(img: java.awt.image.BufferedImage): Long = {
+      // grayscale 32×32 by integer block averaging over the source grid
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray = Array.ofDim[Double](N, N)
+      var gy = 0
+      while (gy < N) {
+        val y0 = gy * h / N; val y1 = math.max(y0 + 1, (gy + 1) * h / N)
+        var gx = 0
+        while (gx < N) {
+          val x0 = gx * w / N; val x1 = math.max(x0 + 1, (gx + 1) * w / N)
+          var sum = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              // integer luma (BT.601 weights scaled by 1000)
+              sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          gray(gy)(gx) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      // 2-D DCT-II, rows then columns (separable; fixed op order)
+      val tmp = Array.ofDim[Double](N, N)
+      var u = 0
+      while (u < N) {
+        var v = 0
+        while (v < N) {
+          var s = 0.0; var x = 0
+          while (x < N) { s += gray(u)(x) * cosTable(v)(x); x += 1 }
+          tmp(u)(v) = s; v += 1
+        }
+        u += 1
+      }
+      val dct = Array.ofDim[Double](8, 8)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var y = 0
+          while (y < N) { s += tmp(y)(v) * cosTable(u)(y); y += 1 }
+          dct(u)(v) = s; v += 1
+        }
+        u += 1
+      }
+      // median threshold over the 64 low-frequency coefficients,
+      // EXCLUDING the DC term from the median (classic pHash: DC is
+      // overall brightness and would bias the cut)
+      val coeffs = for { i <- 0 until 8; j <- 0 until 8 if i != 0 || j != 0 }
+        yield dct(i)(j)
+      val sorted = coeffs.sorted
+      val median = sorted(sorted.size / 2)
+      var bits = 0L; var k = 0
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          if (dct(i)(j) > median) bits |= (1L << k)
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      bits
+    }
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  }
+
+  /** Per-partition perceptual hashing of image rows ([[PHash]]); bad
+    * payloads become `decode_ok=false` rows, never task failures.
+    * Narrow plan — no shuffle.
+    */
+  def phashImages(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        PHash.hash(r.payload) match {
+          case Some(h) => ImageHash(r.doc_id, Some(h), decode_ok = true)
+          case None => ImageHash(r.doc_id, None, decode_ok = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in for a video codec: digest-derived
     * pseudo-features, reproducible from the bytes alone in any engine.
     */

@@ -652,6 +652,23 @@ object TrainingData {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Perceptual image hashing (m5): every image row's REAL pixels
+    * through [[Multimodal.PHash]] — content-level identity (same pixels
+    * under different PNG encodings hash identically, where d1's md5
+    * sees distinct bytes), Hamming-near under small perturbations, so
+    * image near-dup rides d11's pigeonhole machinery unchanged. The
+    * hash value is pixel-decode-derived, so no SQL oracle can re-derive
+    * it (same posture as q29/q44's sketch bytes); the content-identity,
+    * perturbation, and corrupt-payload contracts are pinned in
+    * MultimodalSpec. Narrow plan: decode + hash per partition, no
+    * shuffle.
+    */
+  def m5ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashImages(
+        Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Frame sampling over decoded video rows (bounded lateral explode). */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -971,6 +988,7 @@ object TrainingData {
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m4_audio_stats" -> (m4AudioStats _),
+    "m5_image_phash" -> (m5ImagePhash _),
     "m3_image_resize" -> (m3ImageResize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),

@@ -91,4 +91,67 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(0L).resize_ok && out(0L).new_w.isEmpty)
     assert(!out(51L).resize_ok && out(51L).new_w.isEmpty)
   }
+
+  private def encodeAs(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  private def paint(w: Int, h: Int)(px: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    img
+  }
+
+  test("pHash is content identity: same pixels under different lossless encodings hash equal, md5 does not") {
+    for (seed <- Seq(3L, 8L, 21L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngBytes(40, 28, seed)))
+      val a = encodeAs(img, "png")
+      val b = encodeAs(img, "bmp") // same pixels, entirely different byte stream
+      assert(!java.util.Arrays.equals(a, b))
+      assert(Multimodal.PHash.hash(a).isDefined)
+      assert(Multimodal.PHash.hash(a) == Multimodal.PHash.hash(b), s"seed=$seed")
+    }
+  }
+
+  test("pHash: small pixel perturbation moves few bits; different structure many; brightness shift none") {
+    // structured content, not the fixture gradient: pHash deliberately
+    // ignores uniform brightness (DC), so "different" must mean
+    // different STRUCTURE, and a global +16-on-every-channel shift is
+    // asserted hash-IDENTICAL (the invariance that makes it a
+    // perceptual hash, not a checksum)
+    val grad = paint(40, 28)((x, y) => ((x * 6) << 16) | ((y * 8) << 8) | 0x40)
+    val checker = paint(40, 28)((x, y) => if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)
+    val hGrad = Multimodal.PHash.hash(encodeAs(grad, "png")).get
+    val hChecker = Multimodal.PHash.hash(encodeAs(checker, "png")).get
+    assert(Multimodal.PHash.hamming(hGrad, hChecker) > 10,
+      s"far dist ${Multimodal.PHash.hamming(hGrad, hChecker)}")
+    // perturb the TEXTURED image: on a near-flat gradient the AC
+    // spectrum is tiny and the median cut degenerate, so single-pixel
+    // stability is only promised where there is structure to hold onto
+    val nudged = paint(40, 28)((x, y) =>
+      if (x == 3 && y == 3) 0x808080
+      else if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)
+    val hNear = Multimodal.PHash.hash(encodeAs(nudged, "png")).get
+    assert(Multimodal.PHash.hamming(hChecker, hNear) <= 10,
+      s"near dist ${Multimodal.PHash.hamming(hChecker, hNear)}")
+    val brighter = paint(40, 28)((x, y) =>
+      (((x * 6) + 16) << 16) | (((y * 8) + 16) << 8) | 0x50)
+    assert(Multimodal.PHash.hash(encodeAs(brighter, "png")).get == hGrad,
+      "brightness shift must not move the hash")
+  }
+
+  test("phashImages: corrupt payloads flagged, hashes deterministic across runs") {
+    val docs = (0L to 20L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
+    def run() = Multimodal.phashImages(Multimodal.asMedia(docs))
+      .collect().map(h => h.doc_id -> h).toMap
+    val out = run()
+    assert(out.keySet == (0L to 20L).filter(_ % 3 == 0).toSet) // images only
+    assert(!out(0L).decode_ok && out(0L).phash.isEmpty) // corrupt (0 % 51 == 0)
+    assert(out(3L).decode_ok && out(3L).phash.isDefined)
+    assert(run().view.mapValues(_.phash).toMap == out.view.mapValues(_.phash).toMap)
+  }
 }
