@@ -332,19 +332,31 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, hamming) for verified pairs.
     */
-  def simhashPairs(sig: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    hammingPairs(sig, "simhash", bits = 60, maxHamming, chunks)
+
+  /** [[simhashPairs]] generalized to any ≤64-bit signature column —
+    * the same pigeonhole blocking serves the 64-bit perceptual image
+    * hash ([[Multimodal.PHash]], d16) unchanged. `shiftrightunsigned`
+    * because a full-width 64-bit hash can be negative (an arithmetic
+    * shift would smear the sign bit across every chunk); identical to
+    * the former `>>` on the non-negative 60-bit simhash.
+    */
+  def hammingPairs(sig: DataFrame, hashCol: String, bits: Int,
+      maxHamming: Int, chunks: Int): DataFrame = {
     require(chunks > maxHamming, "pigeonhole guarantee needs chunks > maxHamming")
-    require(60 % chunks == 0, "chunks must divide the 60-bit signature")
-    val bitsPer = 60 / chunks
-    val mask = (1L << bitsPer) - 1
+    require(bits % chunks == 0, s"chunks must divide the $bits-bit signature")
+    val bitsPer = bits / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     val chunkCols = (0 until chunks).map { c =>
-      struct(lit(c).as("c"), expr(s"(simhash >> ${c * bitsPer}) & $mask").as("v"))
+      struct(lit(c).as("c"),
+        expr(s"shiftrightunsigned(`$hashCol`, ${c * bitsPer}) & $mask").as("v"))
     }
     // Both self-join sides read the chunked table; persist (tracked) so
-    // the signature aggregation upstream runs once.
+    // the signature derivation upstream runs once.
     val chunked = graft.core.Caches.persistTracked(
-      sig.select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
-        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v")))
+      sig.select(col("doc_id"), col(hashCol).as("_h"), explode(array(chunkCols: _*)).as("ch"))
+        .select(col("doc_id"), col("_h"), col("ch.c").as("c"), col("ch.v").as("v")))
     val a = chunked.as("a")
     val b = chunked.as("b")
     // Corpus-sized self-join: shuffled hash, not broadcast (see jaccardPairs).
@@ -352,7 +364,7 @@ object Dedup {
       .join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        expr("bit_count(a._h ^ b._h)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       // a close pair agrees on several chunks — one row per pair
       .distinct()

@@ -669,6 +669,25 @@ object TrainingData {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Image near-dup pairs (d16): m5's perceptual hashes through the
+    * SAME pigeonhole machinery as text SimHash (d11) — 64 bits in 4
+    * chunks, exact-recall blocking for Hamming ≤ 3, codegen'd
+    * xor/popcount verify, `shuffle_hash` self-join. The cross-modal
+    * point: once a modality yields a Hamming-space signature, the
+    * blocking layer is modality-blind. No SQL oracle (hash values are
+    * pixel-decode-derived, m5's posture); pair-set correctness vs the
+    * brute-force all-pairs formulation is pinned in MultimodalSpec.
+    */
+  def d16ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.phashImages(
+        Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .filter(col("decode_ok"))
+      .select(col("doc_id"), col("phash"))
+    Dedup.hammingPairs(hashes, "phash", bits = 64, maxHamming = 3, chunks = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Frame sampling over decoded video rows (bounded lateral explode). */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -989,6 +1008,7 @@ object TrainingData {
     "m2_frame_sample" -> (m2FrameSample _),
     "m4_audio_stats" -> (m4AudioStats _),
     "m5_image_phash" -> (m5ImagePhash _),
+    "d16_image_neardup" -> (d16ImageNeardup _),
     "m3_image_resize" -> (m3ImageResize _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),

@@ -144,6 +144,23 @@ class MultimodalSpec extends SparkSpec {
       "brightness shift must not move the hash")
   }
 
+  test("d16 pigeonhole blocking equals brute-force all-pairs at Hamming <= 3") {
+    // range includes the known near pairs of the generated corpus
+    // (e.g. 303/399, 321/417 at Hamming 2)
+    val docs = (0L to 450L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
+    val hashed = Multimodal.phashImages(Multimodal.asMedia(docs))
+      .filter(_.decode_ok).collect().map(h => h.doc_id -> h.phash.get)
+    val brute = (for {
+      (ia, ha) <- hashed; (ib, hb) <- hashed
+      if ia < ib && Multimodal.PHash.hamming(ha, hb) <= 3
+    } yield (ia, ib, Multimodal.PHash.hamming(ha, hb).toLong)).toSet
+    assert(brute.nonEmpty, "fixture degenerate: no near pairs to verify recall on")
+    val hashesDf = hashed.toSeq.toDF("doc_id", "phash")
+    val blocked = Dedup.hammingPairs(hashesDf, "phash", bits = 64, maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute) // pigeonhole recall is EXACT, not approximate
+  }
+
   test("phashImages: corrupt payloads flagged, hashes deterministic across runs") {
     val docs = (0L to 20L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
     def run() = Multimodal.phashImages(Multimodal.asMedia(docs))
