@@ -709,6 +709,66 @@ object Relational {
       .limit(20)
   }
 
+  /** CDC apply (MERGE): latest-wins application of an insert/update/
+    * delete change feed onto a base snapshot — the reference's
+    * `INSERT … ON CONFLICT DO NOTHING` loader
+    * (`src/dao/cardano_block_dao.py:140-148`) generalized to full MERGE
+    * semantics (its conflict-skip is the op='I'-only special case). The
+    * feed is derived deterministically from lineitem (seq = linenumber,
+    * delete when returnflag='R', a keyspace-shifted slice standing in
+    * for genuinely new keys), so every MERGE path is exercised: update,
+    * delete, insert, untouched base, and the no-op delete of a missing
+    * key.
+    *
+    * Scale shape: "latest change per key" is a partial-aggregable
+    * max-over-struct (seq first), NOT a row_number window — a hot key
+    * with millions of change rows collapses map-side before the
+    * exchange. The apply itself is ONE full-outer join keyed on the PK;
+    * at 100 TB the base is the bucketed/z-ordered table and the feed is
+    * the small side, so the join co-locates on the existing layout and
+    * only touched buckets rewrite (the [[graft.streaming.EventStream]]
+    * st14 dynamic-partition-overwrite discipline; this query is the
+    * semantics, that one is the incremental writer).
+    */
+  def q57CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir, "orders")
+      .select($"o_orderkey".as("key"), c100($"o_totalprice").as("cents"))
+    val changes = Tables(spark, dir, "lineitem")
+      .select(
+        when($"l_partkey" % 10 === 0, $"l_orderkey" + 1000000L)
+          .otherwise($"l_orderkey").as("key"),
+        $"l_linenumber".as("seq"),
+        when($"l_returnflag" === "R", lit("D")).otherwise(lit("U")).as("op"),
+        c100($"l_extendedprice").as("new_cents"))
+    cdcApply(base, changes)
+      .select($"key".as("o_orderkey"), $"cents", $"action")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Library seam for [[q57CdcApply]]: apply a change feed
+    * (key, seq, op ∈ {'U','D'}, new_cents) onto a base snapshot
+    * (key, cents) with latest-wins semantics. Ties on (key, seq) break
+    * by the full (seq, op, new_cents) lexicographic max — deterministic
+    * on any feed. Unordered output (key, cents, action); callers sort.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("op"), col("new_cents"))).as("last"))
+      .select(col("key"), col("last.op").as("op"),
+        col("last.new_cents").as("new_cents"))
+    base.join(latest.hint("shuffle_hash"), Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("key"),
+        when(col("op").isNull, col("cents")).otherwise(col("new_cents"))
+          .as("cents"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("cents").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"))
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1404,6 +1464,7 @@ object Relational {
     "q53_pit_enrich" -> (q53PitEnrich _),
     "q54_cohort_matrix" -> (q54CohortMatrix _),
     "q56_histogram" -> (q56Histogram _),
+    "q57_cdc_apply" -> (q57CdcApply _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1567,6 +1628,27 @@ object Relational {
         |  count(*) AS n_active
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+    "q57_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |ch AS (SELECT CASE WHEN l_partkey % 10 = 0 THEN l_orderkey + 1000000
+        |              ELSE l_orderkey END AS key,
+        |         l_linenumber AS seq,
+        |         CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS new_cents
+        |       FROM lineitem),
+        |-- tie-break mirrors the Spark side's max-over-struct field order
+        |last AS (SELECT key, op, new_cents FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY seq DESC, op DESC, new_cents DESC) AS rn FROM ch)
+        |         WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS o_orderkey,
+        |  CASE WHEN l.key IS NULL THEN b.cents ELSE l.new_cents END AS cents,
+        |  CASE WHEN l.key IS NULL THEN 'kept'
+        |       WHEN b.key IS NULL THEN 'inserted' ELSE 'updated' END AS action
+        |FROM base b FULL OUTER JOIN last l ON b.key = l.key
+        |WHERE l.key IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "q55_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -337,7 +337,15 @@ object TrainingData {
     * `chunkLen` is the window, `stride` the hop; `stride < chunkLen`
     * overlaps chunks, `stride == chunkLen` tiles them exactly.
     */
-  def chunkSplit(docs: DataFrame, chunkLen: Int = 32, stride: Int = 24): DataFrame = {
+  def chunkSplit(docs: DataFrame, chunkLen: Int = 32, stride: Int = 24): DataFrame =
+    chunkTiles(docs, chunkLen, stride).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[chunkSplit]] without the output-contract sort — the composition
+    * seam for consumers ([[passageDedup]]) that immediately re-shuffle;
+    * keeping the sort out of the middle of their plans is explicit
+    * rather than delegated to EliminateSorts.
+    */
+  private def chunkTiles(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
     require(chunkLen > 0 && stride > 0, s"chunkLen/stride must be positive")
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -352,7 +360,55 @@ object TrainingData {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk_toks")).cast("long").as("n_tok"),
         concat_ws(" ", col("chunk_toks")).as("chunk"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Passage-level exact dedup (d17) — the corpus-hygiene step BETWEEN
+    * document-level d1 and substring-level dedup, the
+    * MassiveText/Gopher recipe expressed relationally: documents are
+    * tiled into fixed 4-token passages ([[chunkTiles]] with
+    * stride == length), every passage that repeats ANYWHERE in the
+    * corpus keeps only its globally first occurrence
+    * (min (doc_id, position)), and survivors are reassembled in
+    * position order — so boilerplate repeated across documents
+    * (headers, license blocks, navigation chrome) is removed from every
+    * copy but the first while each document's unique prose survives.
+    *
+    * Scale shape: the keeper per passage text is a partial-aggregable
+    * min-over-struct, so a boilerplate passage repeated millions of
+    * times collapses to one row per map task BEFORE the exchange (the
+    * skew-proof formulation; a row_number window PARTITION BY chunk
+    * would ship every occurrence of the hot passage into one task).
+    * The join back is keyed on the same passage text — two exchanges
+    * total plus the per-doc reassembly agg, `shuffle_hash` because the
+    * keeper table is corpus-sized (one row per DISTINCT passage), never
+    * broadcastable.
+    */
+  def d17PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedup(Tables(spark, dir, "documents"))
+
+  /** Library seam for [[d17PassageDedup]]: passage-dedup a
+    * caller-supplied corpus; `passageLen` is the tile width in tokens
+    * (production corpora use ~50-token tiles; 4 here so the synthetic
+    * corpus actually exhibits cross-document repetition).
+    */
+  def passageDedup(docs: DataFrame, passageLen: Int = 4): DataFrame = {
+    val p = chunkTiles(docs, passageLen, passageLen)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    val keepers = p.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    p.hint("shuffle_hash")
+      .join(keepers, Seq("chunk"))
+      .withColumn("keep", col("keeper.doc_id") === col("doc_id") &&
+        col("keeper.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** Benchmark decontamination: shingle-overlap of every corpus document
@@ -998,6 +1054,7 @@ object TrainingData {
     "x16_lm_familiarity" -> (x16LmFamiliarity _),
     "x17_tfidf_keywords" -> (x17TfidfKeywords _),
     "x18_chunk_split" -> (x18ChunkSplit _),
+    "d17_passage_dedup" -> (d17PassageDedup _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -1096,6 +1153,23 @@ object TrainingData {
         |SELECT doc_id, chunk_idx, CAST(len(chunk_toks) AS BIGINT) AS n_tok,
         |  array_to_string(chunk_toks, ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d17_passage_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        |             FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 4)) AS strt
+        |       FROM s),
+        |p AS (SELECT doc_id, CAST(strt // 4 AS BIGINT) AS chunk_idx,
+        |        array_to_string(toks[strt + 1 : least(strt + 4, n)], ' ') AS chunk
+        |      FROM st),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY chunk
+        |                                   ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                      ORDER BY chunk_idx), '') AS clean_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x17_tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
         |             FROM documents),
