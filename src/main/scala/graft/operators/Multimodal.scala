@@ -315,6 +315,93 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** Output of [[fingerprintAudio]]; None hash when the payload did not
+    * decode (or is too short to segment).
+    */
+  case class AudioHash(doc_id: Long, ahash: Option[Long], decode_ok: Boolean)
+
+  /** 60-bit acoustic fingerprint (m6): the Haitsma-Kalker energy-delta
+    * construction reduced to its time axis — the sample stream is cut
+    * into 61 contiguous segments (integer boundaries `i·61 div n`), each
+    * segment's EXACT integer energy Σs² accumulated in one streamed
+    * pass, and bit k−1 records whether segment k's energy rose against
+    * segment k−1. Deltas, not absolute energies, so the hash is
+    * invariant under uniform gain (scaling every sample scales every
+    * segment energy alike, preserving each comparison) and
+    * Hamming-near under local edits (one corrupted window flips only
+    * the two bits whose comparisons straddle it) — which is exactly
+    * what [[Dedup.hammingPairs]] needs to block audio corpora the same
+    * way it blocks SimHash text (d11) and pHash images (d16). 60 bits,
+    * not 64, keeps the value in BIGINT-positive range so the SQL oracle
+    * can rebuild it bit-for-bit from the fixture's sample recurrence —
+    * unlike m5's pixel hashes this fingerprint is integer-exact
+    * end-to-end. Payloads shorter than 61 samples cannot be segmented
+    * and report None (never a hash over empty segments).
+    */
+  object AudioEnergyHash {
+    private[graft] val Segments = 61
+
+    def decode(payload: Array[Byte]): Option[Long] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian || fmt.getFrameSize != 2) None
+          else {
+            val frames = in.getFrameLength
+            if (frames < Segments) None
+            else {
+              val energy = new Array[Long](Segments)
+              var idx = 0L; var seen = 0L; var lo = -1
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0) {
+                var i = 0
+                while (i < n) {
+                  if (lo < 0) { lo = buf(i) & 0xff }
+                  else {
+                    val s = ((buf(i) << 8) | lo).toShort.toLong
+                    energy((idx * Segments / frames).toInt) += s * s
+                    idx += 1; lo = -1
+                  }
+                  i += 1
+                }
+                seen += n
+                n = in.read(buf)
+              }
+              if (lo < 0 && seen == frames * 2L) {
+                var bits = 0L; var k = 1
+                while (k < Segments) {
+                  if (energy(k) > energy(k - 1)) bits |= (1L << (k - 1))
+                  k += 1
+                }
+                Some(bits)
+              } else None // truncated/sheared: same rule as WavSampleStats
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Per-partition acoustic fingerprinting of the media table's AUDIO
+    * rows ([[AudioEnergyHash]]); bad payloads become `decode_ok=false`
+    * rows, never task failures. Narrow typed map, no shuffle.
+    */
+  def fingerprintAudio(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        AudioEnergyHash.decode(r.payload) match {
+          case Some(h) => AudioHash(r.doc_id, Some(h), decode_ok = true)
+          case None => AudioHash(r.doc_id, None, decode_ok = false)
+        }
+      }
+    }
+  }
+
   /** Per-partition audio statistics over the media table's AUDIO rows
     * (m4): real decode doing strictly more work than the oracle's
     * arithmetic re-derivation. Narrow typed map, no shuffle.

@@ -725,6 +725,23 @@ object TrainingData {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Acoustic fingerprinting (m6): every audio row's REAL PCM sample
+    * stream through [[Multimodal.AudioEnergyHash]] — a 60-bit
+    * energy-delta fingerprint that is gain-invariant and Hamming-near
+    * under local edits, so audio near-dup rides the same
+    * [[Dedup.hammingPairs]] pigeonhole machinery as text (d11) and
+    * images (d16). Unlike m5's pixel hashes the construction is
+    * integer-exact end-to-end, so the oracle rebuilds every hash
+    * bit-for-bit from the fixture's sample recurrence — a full
+    * hash-match on a perceptual signature. Truncated payloads surface
+    * as decode_ok=false with a null hash. Narrow plan, no shuffle.
+    */
+  def m6AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fingerprintAudio(
+        Multimodal.asMedia(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Image near-dup pairs (d16): m5's perceptual hashes through the
     * SAME pigeonhole machinery as text SimHash (d11) — 64 bits in 4
     * chunks, exact-recall blocking for Hamming ≤ 3, codegen'd
@@ -1064,6 +1081,7 @@ object TrainingData {
     "m1_media_features" -> (m1MediaFeatures _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m4_audio_stats" -> (m4AudioStats _),
+    "m6_audio_fingerprint" -> (m6AudioFingerprint _),
     "m5_image_phash" -> (m5ImagePhash _),
     "d16_image_neardup" -> (d16ImageNeardup _),
     "m3_image_resize" -> (m3ImageResize _),
@@ -1534,6 +1552,26 @@ object TrainingData {
          |       WHEN doc_id % 3 = 1 THEN doc_id % 34 <> 0
          |       ELSE TRUE END AS decode_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "m6_audio_fingerprint" ->
+      """WITH a AS (SELECT doc_id, 256 + doc_id % 1000 AS n FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |v AS (
+        |  SELECT a.doc_id, (r.i * 61) // a.n AS seg,
+        |         ((r.i * 2654435761 + a.doc_id) % 65536) - 32768 AS s
+        |  FROM a, range(1256) r(i) WHERE r.i < a.n),
+        |e AS (SELECT doc_id, seg, CAST(sum(s * s) AS BIGINT) AS energy
+        |      FROM v GROUP BY 1, 2),
+        |d AS (SELECT doc_id, seg, energy,
+        |        lag(energy) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+        |      FROM e),
+        |h AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN energy > prev THEN (CAST(1 AS BIGINT) << (seg - 1))
+        |                 ELSE 0 END) AS BIGINT) AS ahash
+        |      FROM d WHERE seg >= 1 GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  CASE WHEN a.doc_id % 34 = 0 THEN NULL ELSE h.ahash END AS ahash,
+        |  (a.doc_id % 34 <> 0) AS decode_ok
+        |FROM a JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m4_audio_stats" ->
       """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
         |s AS (

@@ -469,6 +469,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("d17: keeper is a partial agg, never a window; join-back is shuffled hash") {
+    val p = plan("d17_passage_dedup")
+    // a row_number window PARTITION BY chunk would ship every occurrence
+    // of a hot boilerplate passage into one task; the min-over-struct
+    // keeper must collapse map-side instead
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p) // keeper table is corpus-sized
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q57: latest-per-key is a partial agg; apply is one full-outer join") {
+    val p = plan("q57_cdc_apply")
+    assert(!p.contains("Window"), p) // no row_number over the feed
+    assert(p.contains("FullOuter"), p)
+    assert("Join".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("partial_max"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus

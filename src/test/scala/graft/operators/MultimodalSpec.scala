@@ -161,6 +161,65 @@ class MultimodalSpec extends SparkSpec {
     assert(blocked == brute) // pigeonhole recall is EXACT, not approximate
   }
 
+  test("AudioEnergyHash: gain invariance, local-edit proximity, rejects bad payloads") {
+    // a structured signal: rising-then-falling envelope over 610 samples
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    // even values only, so the half-gain copy below is EXACT scaling
+    val base = Array.tabulate[Short](610)(i =>
+      ((((i * 37) % 523) - 261 + (if ((i / 61) % 2 == 0) i % 61 else -(i % 61))) * 2).toShort)
+    val h = Multimodal.AudioEnergyHash.decode(wav(base)).get
+    // uniform gain: halving every sample scales every segment energy
+    // alike, preserving each delta comparison -> identical hash
+    val half = base.map(s => (s / 2).toShort)
+    assert(Multimodal.AudioEnergyHash.decode(wav(half)).get == h,
+      "uniform gain must not move the hash")
+    // local edit: zeroing one 10-sample window can only flip the bits
+    // whose comparisons straddle the touched segment
+    val edited = base.clone()
+    (300 until 310).foreach(edited(_) = 0)
+    val hEdit = Multimodal.AudioEnergyHash.decode(wav(edited)).get
+    val dist = java.lang.Long.bitCount(h ^ hEdit)
+    assert(dist <= 3, s"local edit moved $dist bits")
+    // rejections: truncated, too-short, stereo-shaped garbage
+    val full = wav(base)
+    assert(Multimodal.AudioEnergyHash.decode(full.take(44 + 610)).isEmpty)
+    assert(Multimodal.AudioEnergyHash.decode(
+      wav(Array.tabulate[Short](60)(_.toShort))).isEmpty) // < 61 samples
+    assert(Multimodal.AudioEnergyHash.decode(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
+  test("audio near-dup composition: hammingPairs over fingerprints finds the planted pair") {
+    // the cross-modal claim on a THIRD modality: any Hamming signature
+    // rides d11's blocking unchanged
+    // range includes the known near pairs of the generated corpus
+    // (355/358 at Hamming 0, 370/373 at Hamming 2)
+    val docs = (0L to 400L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
+    val hashed = Multimodal.fingerprintAudio(Multimodal.asMedia(docs))
+      .filter(_.decode_ok).collect().map(h => h.doc_id -> h.ahash.get)
+    val brute = (for {
+      (ia, ha) <- hashed; (ib, hb) <- hashed
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(brute.nonEmpty, "fixture degenerate: no near pairs to verify recall on")
+    val hashesDf = hashed.toSeq.toDF("doc_id", "ahash")
+    val blocked = Dedup.hammingPairs(hashesDf, "ahash", bits = 60, maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute) // exact recall, same machinery as d11/d16
+  }
+
   test("phashImages: corrupt payloads flagged, hashes deterministic across runs") {
     val docs = (0L to 20L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
     def run() = Multimodal.phashImages(Multimodal.asMedia(docs))
