@@ -769,6 +769,58 @@ object Relational {
           .otherwise(lit("updated")).as("action"))
   }
 
+  /** Integer PageRank (q58) over the co-purchase graph — the iterative
+    * graph-analytics shape (d9's connected components is label
+    * propagation; this is the weighted-mass sibling): parts are
+    * vertices, orders induce symmetric co-purchase edges, and five
+    * damped power-iteration rounds move rank mass along them. ALL
+    * arithmetic is scaled-long integer (`rank div outdeg`, `85·Σ div
+    * 100`) so both engines land bit-identically — a float PageRank sums
+    * contributions in engine-dependent order and can never hash-match.
+    * Dangling vertices keep the teleport share and simply leak their
+    * mass (the classic simplification), identically on both engines.
+    *
+    * Scale shape: the edge table (with out-degrees) is built ONCE and
+    * persisted; each iteration is one edges⋈ranks join keyed on src —
+    * ranks is VERTEX-sized, so it is the `shuffle_hash` build side and
+    * the edge table streams — plus one dst-keyed partial agg, then a
+    * vertex-sized left join. `localCheckpoint` truncates lineage per
+    * round (d9's fixpoint discipline) so five rounds cost five shallow
+    * plans, not one exponentially-reanalyzed tree. At 100 TB the edge
+    * table is bucketed by src so every iteration reuses the layout with
+    * no re-shuffle; iteration count is fixed (power iteration converges
+    * geometrically — K is a knob, not a fixpoint hunt).
+    */
+  def q58PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val edges = li.select($"l_orderkey", $"l_partkey".as("src"))
+      .hint("shuffle_hash")
+      .join(li.select($"l_orderkey", $"l_partkey".as("dst")), Seq("l_orderkey"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst").distinct()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = graft.core.Caches.persistTracked(edges.join(deg, Seq("src")))
+    val verts = Tables(spark, dir, "part").select($"p_partkey".as("part_id"))
+    var ranks = verts.withColumn("rank", lit(scale))
+    for (_ <- 1 to 5) {
+      val totals = edgesDeg
+        .join(ranks.withColumnRenamed("part_id", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .select($"dst", expr("rank div outdeg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("total"))
+      ranks = verts
+        .join(totals.withColumnRenamed("dst", "part_id"), Seq("part_id"), "left")
+        .select($"part_id",
+          (lit(15L * scale / 100L) +
+            expr("(85 * coalesce(total, 0)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.orderBy($"rank".desc, $"part_id")
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1465,6 +1517,7 @@ object Relational {
     "q54_cohort_matrix" -> (q54CohortMatrix _),
     "q56_histogram" -> (q56Histogram _),
     "q57_cdc_apply" -> (q57CdcApply _),
+    "q58_pagerank" -> (q58PageRank _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1557,7 +1610,34 @@ object Relational {
       |LEFT JOIN ret r ON r.day = a.day
       |ORDER BY day""".stripMargin
 
+  /** q58's oracle: the same five integer power-iteration rounds as
+    * chained CTEs — generated by the same loop bound so the iteration
+    * counts can never drift apart.
+    */
+  private val pageRankOracleSql: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (SELECT v.part_id,
+         |  CAST(150000000000 + (85 * COALESCE(s.total, 0)) // 100 AS BIGINT) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // d.outdeg) AS total
+         |    FROM edges e JOIN r${k - 1} r ON r.part_id = e.src
+         |                 JOIN deg d ON d.part_id = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.part_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |                      AND a.l_partkey <> b.l_partkey),
+       |edges AS (SELECT DISTINCT src, dst FROM pairs),
+       |deg AS (SELECT src AS part_id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |verts AS (SELECT p_partkey AS part_id FROM part),
+       |r0 AS (SELECT part_id, CAST(1000000000000 AS BIGINT) AS rank FROM verts),
+       |$rounds
+       |SELECT part_id, rank FROM r5 ORDER BY rank DESC, part_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q58_pagerank" -> pageRankOracleSql,
     // q48: theta sketches in exact mode — retention/churn counts equal
     // DuckDB's exact per-(day, day-1) distinct-set arithmetic.
     "q48_theta_retention" -> retentionOracleSql,

@@ -240,6 +240,15 @@ object SourcesAndStreams {
   def st15StreamZonemap(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamZoneMapIngest(spark, dir)
 
+  /** Streaming CDC apply: q57's MERGE semantics maintained per
+    * micro-batch — full-struct last-writer-wins seq guard (replays apply
+    * nothing and skip the rewrite), tombstoned deletes, bucket-scoped
+    * dynamic-partition rewrites; the maintained snapshot hash-matches
+    * the batch full-outer apply.
+    */
+  def st16StreamCdc(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamCdc(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -512,6 +521,7 @@ object SourcesAndStreams {
     "st13_stream_sketch_zone" -> (st13StreamSketchZone _),
     "st14_stream_scd2" -> (st14StreamScd2 _),
     "st15_stream_zonemap" -> (st15StreamZonemap _),
+    "st16_stream_cdc" -> (st16StreamCdc _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -569,6 +579,27 @@ object SourcesAndStreams {
     // the SAME oracle as q48, shared so the two gates cannot drift
     "st13_stream_sketch_zone" -> Relational.retentionOracleSql,
     "st14_stream_scd2" -> Relational.scd2OracleSql,
+    // st16: the maintained CDC snapshot must equal q57's one-shot batch
+    // apply over the same base + feed (same derivation, minus the
+    // batch-boundary action classification)
+    "st16_stream_cdc" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |ch AS (SELECT CASE WHEN l_partkey % 10 = 0 THEN l_orderkey + 1000000
+        |              ELSE l_orderkey END AS key,
+        |         l_linenumber AS seq,
+        |         CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS new_cents
+        |       FROM lineitem),
+        |last AS (SELECT key, op, new_cents FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY seq DESC, op DESC, new_cents DESC) AS rn FROM ch)
+        |         WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS o_orderkey,
+        |  CASE WHEN l.key IS NULL THEN b.cents ELSE l.new_cents END AS cents
+        |FROM base b FULL OUTER JOIN last l ON b.key = l.key
+        |WHERE l.key IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "st15_stream_zonemap" ->
       """WITH m AS (SELECT max(event_id) // 4 AS hi FROM events)
         |SELECT event_type, count(*) AS cnt,

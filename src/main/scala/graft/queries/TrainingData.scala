@@ -177,6 +177,31 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling (x21): draw k=100 documents with inclusion bias
+    * proportional to a per-row weight (here length — the stand-in for a
+    * quality score, the knob data-mixing recipes actually turn). This is
+    * priority sampling (Duffield-Lund-Thorup): each row's priority is
+    * h/w for a uniform deterministic hash h, and the k SMALLEST
+    * priorities are the sample — heavier rows draw smaller priorities
+    * proportionally more often, and the whole draw is reproducible from
+    * the ids alone (x6's seeded-hash contract; a `rand()`-based sampler
+    * can never be oracle-checked or re-run). Integer `div` keeps both
+    * engines bit-identical; ties break on doc_id so the k-th slot is
+    * total-ordered. Scale shape: one narrow scan + TakeOrderedAndProject
+    * (per-partition top-k, k rows per partition into the driver merge —
+    * never a global sort), identical at any corpus size.
+    */
+  def x21WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.h60(concat(lit("wsample:"), col("doc_id").cast("string")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("weight"),
+        h.as("h"))
+      .withColumn("priority", expr("h div weight"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(100)
+  }
+
   /** Vocabulary building: corpus-wide token frequencies, top-100 with a
     * deterministic tiebreak — the first step of any tokenizer/vocab prep.
     * One partial-aggregated shuffle on the token; top-k is
@@ -1066,6 +1091,7 @@ object TrainingData {
     "d12_quality_keeper" -> (d12QualityKeeper _),
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
+    "x21_weighted_sample" -> (x21WeightedSample _),
     "x19_heavy_hitters" -> (x19HeavyHitters _),
     "x15_oov_rate" -> (x15OovRate _),
     "x16_lm_familiarity" -> (x16LmFamiliarity _),
@@ -1512,6 +1538,10 @@ object TrainingData {
          |  coalesce(c.n_contaminated, 0) AS n_contaminated,
          |  CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS contamination_rate
          |FROM tot t LEFT JOIN cont c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x21_weighted_sample" ->
+      s"""SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+         |  ${h60sql.format("'wsample:' || doc_id")} // GREATEST(n_chars, 1) AS priority
+         |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin,
     "x6_deterministic_split" ->
       s"""SELECT doc_id,
          |  ${h60sql.format("'split:' || doc_id")} % 100 AS bucket,

@@ -1102,6 +1102,127 @@ object EventStream {
       (d.toString, orders.schema)
     }
 
+  /** st16: streaming CDC apply — [[graft.queries.Relational.cdcApply]]'s
+    * MERGE semantics (q57) maintained by the ingest loop itself, the
+    * production CDC consumer: each micro-batch of change rows
+    * (key, seq, op ∈ {'U','D'}, new_cents) is folded into a bucketed
+    * snapshot with last-writer-wins ordered by the FULL (seq, op, cents)
+    * struct — the same total order q57's batch oracle maximizes, so
+    * maintained ≡ batch-applied by construction, whatever the batch
+    * boundaries. The three disciplines that make it production-shaped:
+    *
+    *   - **seq guard, not file dedup**: a replayed batch's changes
+    *     compare ≤ the stored struct and apply nothing — idempotency is
+    *     semantic (st13's sketch-absorption argument for a NON-set
+    *     state), and the no-change case skips the rewrite entirely
+    *     (untouched files stay byte-identical, spec-pinned);
+    *   - **tombstones**: a delete keeps its (key, seq, op='D') row so a
+    *     late stale update CANNOT resurrect the key (the read side
+    *     filters op='D'; age-based tombstone GC is the deployment knob);
+    *   - **bucket-scoped rewrites**: the snapshot is hash-bucketed on
+    *     the key and only buckets containing an APPLIED change rewrite
+    *     via dynamic partition overwrite (st14's discipline) — per-batch
+    *     cost ∝ touched buckets, never snapshot size.
+    *
+    * The final snapshot hash-matches q57's full-outer batch apply over
+    * the same base + feed (minus the action classification, which is a
+    * property of one batch boundary, not of the maintained state).
+    */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val (src, schema) = stagedCdcFeedSource(spark, dir)
+    val root = scratchDir("st16")
+    val snap = root.resolve("snap").toString
+    try {
+      // initial snapshot load: the base table as seq-0 upserts
+      val kb = pmod(col("key"), lit(cdcBuckets.toLong)).cast("int")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("key"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .withColumn("kb", kb)
+        .write.partitionBy("kb").parquet(snap)
+      runForeachBatchStream(spark, src, schema) { batch =>
+        cdcApplyBatch(batch, snap): Unit
+      }
+      spark.read.parquet(snap)
+        .filter(col("op") =!= "D")
+        .select(col("key").as("o_orderkey"), col("cents"))
+        .orderBy(col("o_orderkey"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** Key-bucket count for the CDC snapshot zone — st14's knob: rewrite
+    * surface ∝ a batch's key spread, never snapshot size.
+    */
+  private[graft] val cdcBuckets = 8
+
+  /** One CDC maintenance step (st16's per-batch body; spec seam).
+    * Returns the number of APPLIED changes — 0 means every change in
+    * the batch was stale (a replay) and the snapshot was not touched.
+    */
+  private[graft] def cdcApplyBatch(batch: DataFrame, snap: String): Long = {
+    val s = batch.sparkSession
+    // within-batch last-writer: the same lexicographic struct max as
+    // q57's batch apply; small (one row per touched key), reused thrice
+    val latest = batch
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("op"), col("new_cents"))).as("last"))
+      .select(col("key"), col("last.seq").as("c_seq"),
+        col("last.op").as("c_op"), col("last.new_cents").as("c_cents"))
+      .localCheckpoint()
+    val kb = pmod(col("key"), lit(cdcBuckets.toLong)).cast("int")
+    val buckets = latest.select(kb.as("kb")).distinct()
+    // bucket-pruned snapshot read: only partitions a batch key hashes to
+    val stored = s.read.parquet(snap).join(buckets, Seq("kb"), "left_semi")
+    val joined = stored.drop("kb").join(latest, Seq("key"), "full_outer")
+    // last-writer-wins on the FULL struct: stale and replayed changes
+    // (≤ stored) apply nothing; a tombstone's struct keeps winning until
+    // a genuinely newer change arrives
+    val applies = col("c_seq").isNotNull && (col("seq").isNull ||
+      struct(col("c_seq"), col("c_op"), col("c_cents")) >
+        struct(col("seq"), col("op"), col("cents")))
+    val changed = joined.filter(applies).count()
+    if (changed > 0) {
+      val next = joined.select(
+        col("key"),
+        when(applies, col("c_cents")).otherwise(col("cents")).as("cents"),
+        when(applies, col("c_seq")).otherwise(col("seq")).as("seq"),
+        when(applies, col("c_op")).otherwise(col("op")).as("op"))
+        .withColumn("kb", kb)
+      // the rewrite reads the bucket dirs it replaces — materialize
+      // first (upsertParquet's rule), then overwrite only those buckets
+      next.localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(snap)
+    }
+    changed
+  }
+
+  /** st16's staged source: q57's deterministic change feed (seq from
+    * linenumber, deletes from returnflag, a keyspace-shifted slice as
+    * genuinely new keys) split st6-style — early changes (seq ≤ 3),
+    * then ALL changes (a full replay of the first file plus the rest).
+    */
+  private def stagedCdcFeedSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st16src:$dir", sourceFingerprint(s"$dir/lineitem.parquet")) {
+      val feed = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          when(col("l_partkey") % 10 === 0, col("l_orderkey") + 1000000L)
+            .otherwise(col("l_orderkey")).as("key"),
+          col("l_linenumber").cast("long").as("seq"),
+          when(col("l_returnflag") === "R", lit("D")).otherwise(lit("U")).as("op"),
+          round(col("l_extendedprice") * 100).cast("long").as("new_cents"))
+      val d = scratchDir("st16src")
+      stageSingleFile(feed.filter(col("seq") <= 3), d, "a.parquet")
+      stageSingleFile(feed, d, "b.parquet")
+      (d.toString, feed.schema)
+    }
+
   /** st15: streaming MAINTENANCE of the zone-map stats table — the
     * data-skipping sibling of st13/st14's zones. Each micro-batch PK-
     * merges into the data dir (st6's machinery) and then brings the
