@@ -249,6 +249,16 @@ object SourcesAndStreams {
   def st16StreamCdc(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamCdc(spark, dir)
 
+  /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
+    * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
+    * the stats rebuild the rewrite forces, and the 2-D box answered
+    * through the rebuilt stats with real pruning asserted inline; the
+    * hash match against the original-table box proves the whole chain
+    * content-exact.
+    */
+  def c3LakeMaintenance(spark: SparkSession, dir: String): DataFrame =
+    EventStream.lakeMaintenance(spark, dir)
+
   /** st6's ingest followed by the compaction/OPTIMIZE rewrite; the hash
     * match against st6's oracle proves the rewrite content-exact, and
     * the query itself requires the file fold to have happened.
@@ -522,6 +532,7 @@ object SourcesAndStreams {
     "st14_stream_scd2" -> (st14StreamScd2 _),
     "st15_stream_zonemap" -> (st15StreamZonemap _),
     "st16_stream_cdc" -> (st16StreamCdc _),
+    "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
     "st8_stream_static_join" -> (st8StreamStaticJoin _),
@@ -530,6 +541,21 @@ object SourcesAndStreams {
     "q46_zorder_compact" -> (q46ZorderCompact _),
     "q47_zorder3_compact" -> (q47Zorder3Compact _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _))
+
+  /** The (user 3..6) × (2024-01-10..11 UTC) box over the ORIGINAL
+    * events table — the oracle both q46 (z-order compaction) and c3
+    * (the full maintenance pipeline) must reproduce from their rewritten
+    * copies.
+    */
+  private val zorderBoxOracleSql: String =
+    """SELECT count(*) AS n_box,
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
+      | count(DISTINCT user_id) AS users_box,
+      | min(event_id) AS min_eid, max(event_id) AS max_eid
+      |FROM events
+      |WHERE user_id BETWEEN 3 AND 6
+      |  AND CAST(floor(epoch(ts)) AS BIGINT)
+      |      BETWEEN 1704844800 AND 1705017599""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s10_dpp" ->
@@ -622,15 +648,11 @@ object SourcesAndStreams {
     // q46 reads the box from the z-order-COMPACTED copy; the oracle
     // reads it from the original table — equality proves the rewrite
     // content-exact where the query lands.
-    "q46_zorder_compact" ->
-      """SELECT count(*) AS n_box,
-        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
-        | count(DISTINCT user_id) AS users_box,
-        | min(event_id) AS min_eid, max(event_id) AS max_eid
-        |FROM events
-        |WHERE user_id BETWEEN 3 AND 6
-        |  AND CAST(floor(epoch(ts)) AS BIGINT)
-        |      BETWEEN 1704844800 AND 1705017599""".stripMargin,
+    "q46_zorder_compact" -> zorderBoxOracleSql,
+    // c3: the maintained, rewritten, stats-planned lake must land on the
+    // SAME box as the original table — shared with q46 so the two gates
+    // cannot drift
+    "c3_lake_maintenance" -> zorderBoxOracleSql,
     // q47: the 3-rectangle from the 3-D-compacted copy vs the original
     "q47_zorder3_compact" ->
       """SELECT count(*) AS n_box,

@@ -1223,6 +1223,85 @@ object EventStream {
       (d.toString, feed.schema)
     }
 
+  /** c3: the lakehouse MAINTENANCE WEEKEND end-to-end — the composition
+    * the round-8 pieces exist for, run as one pipeline: (1) checkpointed
+    * ingest with zone-map stats maintained per batch (st6's PK merge +
+    * st15's appendStats), (2) the OPTIMIZE rewrite z-ordering the
+    * accumulated table on (user_id, sec) (q46's compaction, crash-safe
+    * rename protocol), (3) the stats REBUILD the rewrite forces —
+    * history changed, so appendStats' never-covered-files contract is
+    * exactly wrong here and prunedRead's staleness guard would fail
+    * loudly against the old stats; only a rebuild proves which rows
+    * remain true (SCALE.md's zone-map caveat, executed rather than
+    * documented), and (4) the 2-D box answered through the rebuilt
+    * stats with REAL pruning asserted inline — post-compaction files
+    * are Morton tiles, tight in BOTH dimensions, so the box must not
+    * open every file. The oracle computes the same box over the
+    * ORIGINAL events table: the hash match proves
+    * ingest → merge → rewrite → stats → pruned read content-exact end
+    * to end. (The file-count FOLD claim lives in st11, the layout
+    * tightness claims in LayoutExpressionsSpec/ZoneMapSpec — this query
+    * pins the composition, not re-proofs of the parts.)
+    */
+  def lakeMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ShardedWriter, ZoneMap}
+    val (src, schema) = stagedLakeSource(spark, dir)
+    val root = scratchDir("c3")
+    val target = root.resolve("data").toString
+    val stats = root.resolve("stats").toString
+    val statsRebuilt = root.resolve("stats-rebuilt").toString
+    val statCols = Seq("user_id", "sec")
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        val s = batch.sparkSession
+        graft.cardano.IdempotentSink.upsertParquet(
+          s, batch, target, Seq("event_id")): Unit
+        if (graft.core.Fs.exists(s, stats))
+          ZoneMap.appendStats(s, target, stats, statCols): Unit
+        else ZoneMap.buildStats(s, target, stats, statCols)
+      }
+      val n = spark.read.parquet(target).count()
+      ShardedWriter.compactZorder2(
+        spark, target, "user_id", "sec", math.max(1L, (n + 7) / 8)): Unit
+      ZoneMap.buildStats(spark, target, statsRebuilt, statCols)
+      val pruned = ZoneMap.prunedRead(spark, target, statsRebuilt,
+        Seq(("user_id", 3L, 6L), ("sec", 1704844800L, 1705017599L)))
+      val all = spark.read.parquet(target).inputFiles.length
+      require(pruned.inputFiles.length < all,
+        s"z-order + zone maps pruned nothing (${pruned.inputFiles.length}/$all files)")
+      pruned
+        .filter(col("user_id").between(3, 6) &&
+          col("sec").between(1704844800L, 1705017599L))
+        .agg(
+          count(lit(1)).as("n_box"),
+          sum(col("cents")).as("cents_box"),
+          countDistinct(col("user_id")).as("users_box"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** c3's staged source: events projected to the lake schema
+    * (event_id, user_id, sec, cents), lower id half then ALL rows (the
+    * overlap-replay shape), so the ingest exercises both the merge and
+    * the stats append before the maintenance pass.
+    */
+  private def stagedLakeSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"c3src:$dir", sourceFingerprint(s"$dir/events.parquet")) {
+      val events = graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val half = events.agg(max(col("event_id"))).head().getLong(0) / 2
+      val d = scratchDir("c3src")
+      stageSingleFile(events.filter(col("event_id") < half), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d.toString, events.schema)
+    }
+
   /** st15: streaming MAINTENANCE of the zone-map stats table — the
     * data-skipping sibling of st13/st14's zones. Each micro-batch PK-
     * merges into the data dir (st6's machinery) and then brings the
