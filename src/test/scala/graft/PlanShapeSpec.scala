@@ -488,6 +488,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max"), p)
   }
 
+  test("x21: weighted sample is one scan into TakeOrderedAndProject — no global sort, no exchange") {
+    val p = plan("x21_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
