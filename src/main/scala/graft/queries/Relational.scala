@@ -831,6 +831,59 @@ object Relational {
     ranks.orderBy($"rank".desc, $"part_id")
   }
 
+  /** Triangle counting (q59) over the repeat-co-purchase graph — the
+    * clustering-structure sibling of q58's rank propagation: parts are
+    * vertices, an edge means two parts shared ≥ 2 orders (the repeat
+    * threshold keeps signal edges and drops single-basket noise), and
+    * the output is the top-20 parts by triangle participation.
+    *
+    * The formulation is the one that survives scale: orient every edge
+    * from its LOWER-(degree, id) endpoint to the higher one, enumerate
+    * wedges s→t1, t1→t2, and close them with a semi-join against the
+    * oriented edge set. Degree orientation bounds every vertex's
+    * out-degree at O(√m), so total wedges are O(m^1.5) — with naive id
+    * orientation one hub vertex of degree d yields d² wedges, the
+    * quadratic blowup that kills triangle jobs on power-law graphs
+    * (pinned in TriangleSpec: on a star fixture the degree-ordered
+    * wedge count is linear where id-ordering is quadratic). Per-vertex
+    * triangle counts are orientation-INVARIANT (each triangle lands
+    * exactly once whatever the acyclic orientation), which is why the
+    * DuckDB oracle can use the simple a<b<c formulation and still
+    * hash-match. All joins `shuffle_hash` keyed on vertex ids; the
+    * final top-20 is TakeOrderedAndProject.
+    */
+  def q59Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val und = li.select($"l_orderkey", $"l_partkey".as("u"))
+      .hint("shuffle_hash")
+      .join(li.select($"l_orderkey", $"l_partkey".as("v")), Seq("l_orderkey"))
+      .filter($"u" < $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+    val deg = und.select(explode(array($"u", $"v")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    val lower = struct($"du", $"u") < struct($"dv", $"v")
+    val e = graft.core.Caches.persistTracked(und
+      .join(deg.select($"p".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"p".as("v"), $"d".as("dv")), Seq("v"))
+      .select(
+        when(lower, $"u").otherwise($"v").as("s"),
+        when(lower, $"v").otherwise($"u").as("t")))
+    val tri = e.as("e1")
+      .hint("shuffle_hash")
+      .join(e.as("e2"), col("e1.t") === col("e2.s"))
+      .join(e.as("e3").hint("shuffle_hash"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"), "left_semi")
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("part_id"))
+      .groupBy($"part_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"part_id")
+      .limit(20)
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1528,6 +1581,7 @@ object Relational {
     "q56_histogram" -> (q56Histogram _),
     "q57_cdc_apply" -> (q57CdcApply _),
     "q58_pagerank" -> (q58PageRank _),
+    "q59_triangles" -> (q59Triangles _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1648,6 +1702,22 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q58_pagerank" -> pageRankOracleSql,
+    // q59: per-vertex triangle counts are orientation-invariant, so the
+    // oracle's simple a<b<c enumeration must equal the engine's
+    // degree-ordered formulation
+    "q59_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                  AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |p AS (SELECT unnest([a, b, c]) AS part_id FROM tri)
+        |SELECT part_id, count(*) AS n_triangles
+        |FROM p GROUP BY 1
+        |ORDER BY n_triangles DESC, part_id LIMIT 20""".stripMargin,
     // q48: theta sketches in exact mode — retention/churn counts equal
     // DuckDB's exact per-(day, day-1) distinct-set arithmetic.
     "q48_theta_retention" -> retentionOracleSql,
