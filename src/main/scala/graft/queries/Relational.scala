@@ -884,6 +884,47 @@ object Relational {
       .limit(20)
   }
 
+  /** Robust volume-anomaly detection (q60) — the pipeline-observability
+    * gate a production ingest runs on itself: daily event volumes
+    * scored against the median ± 3·MAD band. Median/MAD, not mean/σ:
+    * one bad backfill day would drag a mean-based band toward itself
+    * and mask the very anomaly it should flag; the breakdown point of
+    * the median is 50%. Both medians are EXACT LOWER medians by rank
+    * (row_number at ⌈n/2⌉) — interpolating percentile definitions
+    * differ across engines, rank selection cannot.
+    *
+    * Scale shape: the only corpus-sized work is the day rollup (one
+    * partial-agg shuffle); everything after runs on the DAILY frame,
+    * which is metadata-sized at any corpus scale (q50's day-window
+    * argument), so its unpartitioned rank windows and 1-row broadcast
+    * scalars (q56's pattern — never a collect) are free. MAD = 0
+    * degenerates the band to "any deviation flags", which is the
+    * correct reading of a constant series.
+    */
+  def q60AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    def lowerMedian(df: DataFrame, value: Column, as: String): DataFrame =
+      df.withColumn("rn",
+          row_number().over(Window.orderBy(value, col("day"))))
+        .crossJoin(broadcast(nDays))
+        .filter($"rn" === expr("(n_days + 1) div 2"))
+        .select(value.as(as))
+    val med = lowerMedian(daily, $"n_events", "med")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("deviation", abs($"n_events" - $"med"))
+    val mad = lowerMedian(dev, $"deviation", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events", $"med", $"mad", $"deviation",
+        ($"deviation" > $"mad" * 3).as("is_anomaly"))
+      .orderBy($"day")
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1582,6 +1623,7 @@ object Relational {
     "q57_cdc_apply" -> (q57CdcApply _),
     "q58_pagerank" -> (q58PageRank _),
     "q59_triangles" -> (q59Triangles _),
+    "q60_anomaly_days" -> (q60AnomalyDays _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1702,6 +1744,19 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q58_pagerank" -> pageRankOracleSql,
+    "q60_anomaly_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |               FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n_days FROM daily),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_events, day) AS rn FROM daily),
+        |med AS (SELECT n_events AS med FROM r, n WHERE rn = (n_days + 1) // 2),
+        |d AS (SELECT daily.day, daily.n_events, med.med,
+        |        abs(daily.n_events - med.med) AS deviation FROM daily, med),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY deviation, day) AS rn FROM d),
+        |mad AS (SELECT deviation AS mad FROM r2, n WHERE rn = (n_days + 1) // 2)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events, d.med, mad.mad,
+        |  d.deviation, d.deviation > 3 * mad.mad AS is_anomaly
+        |FROM d, mad ORDER BY day""".stripMargin,
     // q59: per-vertex triangle counts are orientation-invariant, so the
     // oracle's simple a<b<c enumeration must equal the engine's
     // degree-ordered formulation
