@@ -41,6 +41,36 @@ class PassageDedupSpec extends SparkSpec {
     assert(out == Seq((7L, 3L, 2L, "a b")))
   }
 
+  test("randomized corpora: passageDedup equals an in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Array("a", "b", "c") // tiny vocab forces passage collisions
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      // reference: tile into 2-token passages, keep global first
+      // occurrence by (doc, idx), reassemble in order
+      val tiles = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(2).zipWithIndex
+          .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+      }
+      val keeper = tiles.groupBy(_._3).view
+        .mapValues(_.map(t => (t._1, t._2)).min).toMap
+      val expected = tiles.groupBy(_._1).view.mapValues { ts =>
+        val sorted = ts.sortBy(_._2)
+        val kept = sorted.filter(t => keeper(t._3) == ((t._1, t._2)))
+        (sorted.size.toLong, (sorted.size - kept.size).toLong,
+          kept.map(_._3).mkString(" "))
+      }.toMap
+      val got = TrainingData.passageDedup(docs.toDF("doc_id", "text"), passageLen = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
+
   test("invariants on the real corpus: kept count = distinct passages, clean docs untouched") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -70,6 +70,32 @@ class CdcZoneSpec extends SparkSpec {
     assert(live(snap) == Map(7L -> 770L))
   }
 
+  test("randomized feeds and splits: maintained equals one-shot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(16)
+    for (trial <- 1 to 2) {
+      val baseRows = (0L to 12L).map(k => (k, 100L + rnd.nextInt(900)))
+      val feed = (1 to 80).map { _ =>
+        (rnd.nextInt(18).toLong, 1L + rnd.nextInt(4),
+          if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000).toLong)
+      }
+      val oneShot = graft.queries.Relational
+        .cdcApply(baseRows.toDF("key", "cents"),
+          feed.toDF("key", "seq", "op", "new_cents"))
+        .select("key", "cents").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val snap = graft.core.Scratch.dir(s"cdczone_rnd$trial") + "/snap"
+      seed(snap, baseRows: _*)
+      // three random contiguous batches (empty batches legal)
+      val cut1 = rnd.nextInt(feed.size)
+      val cut2 = cut1 + rnd.nextInt(feed.size - cut1)
+      for (part <- Seq(feed.take(cut1), feed.slice(cut1, cut2), feed.drop(cut2))
+           if part.nonEmpty)
+        EventStream.cdcApplyBatch(changes(part: _*), snap): Unit
+      assert(live(snap) == oneShot, s"trial $trial diverged")
+    }
+  }
+
   test("maintained snapshot equals one-shot batch apply whatever the batch split") {
     import spark.implicits._
     val base = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("key", "cents")
