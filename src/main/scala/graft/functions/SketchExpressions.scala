@@ -65,6 +65,7 @@ object SketchExpressions {
   val KllQuantileName = "graft_kll_quantile"
   val FreqAggName = "graft_freq_sketch_agg"
   val FreqTopItemsName = "graft_freq_top_items"
+  val BloomAggName = "graft_bloom_filter_agg"
 
   // ---- static helpers: one body shared by interpreted eval and the
   // generated code (the LayoutExpressions.morton2 discipline) ----
@@ -139,7 +140,12 @@ object SketchExpressions {
         FreqItemsAgg(exprs.head,
           if (exprs.length > 1) constInt(exprs(1), "freq maxMapSize") else 512) }),
     (FreqTopItemsName, classOf[FreqTopItems],
-      { exprs: Seq[Expression] => FreqTopItems(exprs.head) }))
+      { exprs: Seq[Expression] => FreqTopItems(exprs.head) }),
+    (BloomAggName, classOf[BloomAgg],
+      { exprs: Seq[Expression] =>
+        BloomAgg(exprs.head,
+          if (exprs.length > 1) constInt(exprs(1), "bloom expectedItems")
+          else 4096) }))
 
   /** Idempotent per-session registration; deployment route is
     * `GraftExtensions` via `spark.sql.extensions` (same dual wiring as
@@ -230,6 +236,15 @@ object SketchExpressions {
     * estimate carries `getMaximumError`-bounded uncertainty and the
     * top-items read keeps NO_FALSE_NEGATIVES.
     */
+  /** Bloom filter of a key column (long/int/string/binary), serialized
+    * (BinaryType, `spark-sketch` wire format — [[org.apache.spark.util
+    * .sketch.BloomFilter.readFrom]] on the read side). `expectedItems`
+    * sizes the bit array for ~3% false positives at that cardinality; a
+    * plan constant, like every sketch parameter here.
+    */
+  def bloomAgg(c: Column, expectedItems: Int = 4096): Column =
+    call_function(BloomAggName, c, lit(expectedItems))
+
   def freqSketch(c: Column, maxMapSize: Int = 512): Column =
     call_function(FreqAggName, c, lit(maxMapSize))
 
@@ -294,6 +309,74 @@ case class ThetaSketchAgg(
   override def withNewInputAggBufferOffset(n: Int): ThetaSketchAgg =
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** Mergeable Bloom-filter aggregate over raw keys — the MEMBERSHIP
+  * sketch the theta/KLL/frequencies families don't cover: a theta
+  * sketch answers "how many distinct", a bloom filter answers "could
+  * this key be here" in O(1) with no false negatives. Built on Spark's
+  * own `spark-sketch` [[org.apache.spark.util.sketch.BloomFilter]]
+  * (the engine's runtime-filter implementation — `bloom_filter_agg` is
+  * not registered for end users in Spark 4, so this exposes the same
+  * machinery through the graft function surface). Partials cross the
+  * shuffle as serialized filters; `mergeInPlace` is bitwise OR, so the
+  * aggregate is associative and partial-aggregation-safe. Output is
+  * the `writeTo` wire format, readable driver-side via `readFrom` —
+  * which is what [[graft.operators.ZoneMap.bloomPrunedRead]] does for
+  * per-file point-lookup skipping.
+  */
+case class BloomAgg(
+    child: Expression,
+    expectedItems: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+  with UnaryLike[Expression] {
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = SketchExpressions.BloomAggName
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SketchExpressions.requireTypes(prettyName,
+      Seq(child -> Seq(LongType, IntegerType, StringType, BinaryType)))
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems.toLong)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType => buffer.putLong(v.asInstanceOf[Long])
+      case IntegerType => buffer.putLong(v.asInstanceOf[Int].toLong)
+      case StringType => buffer.putString(v.asInstanceOf[UTF8String].toString)
+      case BinaryType => buffer.putBinary(v.asInstanceOf[Array[Byte]])
+      case dt => throw new IllegalStateException(s"unsupported input: $dt")
+    }
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(bos)
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): BloomAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
     copy(child = newChild)
 }
 

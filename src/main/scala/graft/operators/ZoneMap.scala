@@ -117,4 +117,56 @@ object ZoneMap {
       spark.read.parquet(dataDir).filter(lit(false))
     else spark.read.parquet(files: _*)
   }
+
+  /** The POINT-LOOKUP half of data skipping: one scan of `dataDir` →
+    * a per-file Bloom filter over `keyCol` persisted at `bloomDir`
+    * (one row per file: file, n_rows, bloom bytes). Min/max stats
+    * prune RANGES; on a high-cardinality key whose values are spread
+    * across every file (any hash-fragmented ingest), every file's
+    * [min, max] spans the whole domain and zone maps prune nothing —
+    * a bloom answers "could key k be in this file" with no false
+    * negatives, which is exactly what Delta/Iceberg bloom indexes and
+    * parquet bloom pages exist for. `expectedItemsPerFile` sizes each
+    * filter (~3% fp at that cardinality); a filter is KBs, so the
+    * bloom table stays metadata-sized at any file count.
+    */
+  def buildBlooms(spark: SparkSession, dataDir: String, bloomDir: String,
+      keyCol: String, expectedItemsPerFile: Int): Unit =
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.SketchExpressions
+          .bloomAgg(col(keyCol), expectedItemsPerFile).as("bloom"))
+      .write.mode(SaveMode.Overwrite).parquet(bloomDir)
+
+  /** Read only the files whose Bloom filter might contain `key` —
+    * driver-side planning over the #files-row bloom table (the
+    * [[prunedRead]] altitude argument), with the same file-SET
+    * staleness guard. No false negatives: every file actually holding
+    * the key survives; false positives only cost extra opened files at
+    * the filter's fp rate. The caller still applies the row-level
+    * equality predicate on top.
+    */
+  def bloomPrunedRead(spark: SparkSession, dataDir: String, bloomDir: String,
+      key: Long): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rows = spark.read.parquet(bloomDir)
+      .select(col("file"), col("bloom")).collect()
+    val known = rows.map(_.getString(0)).toSet
+    val actual = spark.read.parquet(dataDir).inputFiles.toSet
+    require(actual == known, {
+      val extra = actual -- known
+      val gone = known -- actual
+      s"bloom zone stale for $dataDir — rebuild blooms" +
+        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
+        (if (gone.nonEmpty) s"; blooms for missing files: ${gone.take(3).mkString(", ")}" else "")
+    })
+    val files = rows.filter { r =>
+      BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(key)
+    }.map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

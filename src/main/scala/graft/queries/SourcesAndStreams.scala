@@ -512,9 +512,59 @@ object SourcesAndStreams {
         max(col("event_id")).as("max_eid"))
   }
 
+  /** Bloom-filter data skipping (s14) — the POINT-LOOKUP half of the
+    * s13 story, on the layout where zone maps are provably USELESS: a
+    * hash-fragmented copy of events (every file spans the whole id
+    * range, exactly what a parallel ingest leaves), so any min/max
+    * check keeps every file. Per-file Bloom filters over event_id
+    * ([[graft.operators.ZoneMap.buildBlooms]] — KBs per file) let the
+    * driver plan each lookup down to the one file that holds the key
+    * plus fp-rate noise; no false negatives, so the pruned read misses
+    * nothing (oracle over the original table proves it). The inline
+    * assert requires real skipping — if the blooms degenerate (e.g.
+    * undersized) the query FAILS rather than silently scanning
+    * everything. At 100 TB this is the needle-in-haystack scan path:
+    * ID lookups plan from a metadata-sized bloom table instead of
+    * opening a million files.
+    */
+  def s14BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val frag = stageOnce(s"s14frag:$dir") { () =>
+      val p = scratch("s14frag")
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(16)
+        .write.mode(SaveMode.Overwrite).parquet(p)
+      p
+    }
+    val bloomDir = stageOnce(s"s14bloom:$dir") { () =>
+      val bp = scratch("s14bloom")
+      val n = spark.read.parquet(frag).count()
+      graft.operators.ZoneMap.buildBlooms(
+        spark, frag, bp, "event_id", math.max(64, (n / 16).toInt * 2))
+      bp
+    }
+    val total = spark.read.parquet(frag).inputFiles.length
+    // nine deterministic probe ids spread across the domain
+    val maxId = spark.read.parquet(frag)
+      .agg(max(col("event_id"))).head().getLong(0)
+    val probes = (1L to 9L).map(i => i * maxId / 10).distinct
+    val hits = probes.map { id =>
+      val planned = graft.operators.ZoneMap
+        .bloomPrunedRead(spark, frag, bloomDir, id)
+      require(planned.inputFiles.length * 2 < total,
+        s"bloom pruned nothing for id=$id (${planned.inputFiles.length}/$total files)")
+      planned.filter(col("event_id") === id)
+    }
+    hits.reduce(_ unionByName _)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
+      .orderBy(col("event_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_dpp" -> (s10DynamicPartitionPruning _),
     "s13_zonemap_skip" -> (s13ZonemapSkip _),
+    "s14_bloom_skip" -> (s14BloomSkip _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
     "s5_json_roundtrip" -> (s5JsonRoundtrip _),
     "s6_csv_roundtrip" -> (s6CsvRoundtrip _),
@@ -649,6 +699,16 @@ object SourcesAndStreams {
     // reads it from the original table — equality proves the rewrite
     // content-exact where the query lands.
     "q46_zorder_compact" -> zorderBoxOracleSql,
+    // s14: bloom-planned point lookups must return exactly the direct
+    // lookup's rows (no false negatives by construction)
+    "s14_bloom_skip" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |p AS (SELECT DISTINCT (r.i * m.mx) // 10 AS id
+        |      FROM m, range(1, 10) r(i))
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents
+        |FROM events e JOIN p ON e.event_id = p.id
+        |ORDER BY e.event_id""".stripMargin,
     // c3: the maintained, rewritten, stats-planned lake must land on the
     // SAME box as the original table — shared with q46 so the two gates
     // cannot drift

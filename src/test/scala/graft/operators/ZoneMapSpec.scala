@@ -165,4 +165,56 @@ class ZoneMapSpec extends SparkSpec {
         col("sec").between(1704844800L, 1705017599L)).count()
     assert(got == want && want > 0)
   }
+
+  /** Hash-fragmented layout — every file spans the full key domain, so
+    * min/max pruning keeps everything and only blooms can skip.
+    */
+  private def fragmentedBloomLayout(): (String, String) = {
+    val data = tmpDir("bloomdata") + "/t"
+    // k ≡ i (mod 8) per file: every file's [min, max] spans the whole
+    // domain BY CONSTRUCTION (round-robin repartition can leave
+    // contiguous runs that min/max would still prune)
+    spark.range(800).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, pmod(col("id"), lit(8)))
+      .write.parquet(data)
+    val blooms = tmpDir("bloomstats") + "/s"
+    ZoneMap.buildBlooms(spark, data, blooms, "k", expectedItemsPerFile = 200)
+    (data, blooms)
+  }
+
+  test("bloom: zone maps keep every fragmented file; blooms plan to ~1 per key, no rows lost") {
+    val (data, blooms) = fragmentedBloomLayout()
+    val total = spark.read.parquet(data).inputFiles.length
+    assert(total == 8)
+    // the control: min/max stats on this layout prune NOTHING
+    val stats = tmpDir("bloomminmax") + "/s"
+    ZoneMap.buildStats(spark, data, stats, Seq("k"))
+    // mid-domain probe: every file's span covers it (a probe near the
+    // domain edge can still dodge a residue file's min)
+    assert(ZoneMap.prunedRead(spark, data, stats, Seq(("k", 401L, 401L)))
+      .inputFiles.length == total, "fragmented layout should defeat min/max")
+    // blooms: every probe finds its row, opening far fewer files
+    var opened = 0
+    for (k <- Seq(0L, 5L, 399L, 799L)) {
+      val planned = ZoneMap.bloomPrunedRead(spark, data, blooms, k)
+      opened += planned.inputFiles.length
+      val rows = planned.filter(col("k") === k).collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("v") == k * 3,
+        s"bloom lost key $k") // no false negatives, ever
+    }
+    assert(opened <= 4 * 3, s"blooms opened $opened files over 4 probes")
+    // an absent key may open fp files but yields zero rows
+    assert(ZoneMap.bloomPrunedRead(spark, data, blooms, 100000L)
+      .filter(col("k") === 100000L).count() == 0)
+  }
+
+  test("bloom: a file added after the build fails loudly, never silently skips") {
+    val (data, blooms) = fragmentedBloomLayout()
+    spark.range(900, 910).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("append").parquet(data)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.bloomPrunedRead(spark, data, blooms, 905L)
+    }
+    assert(e.getMessage.contains("rebuild blooms"))
+  }
 }
