@@ -139,6 +139,28 @@ object ZoneMap {
           .bloomAgg(col(keyCol), expectedItemsPerFile).as("bloom"))
       .write.mode(SaveMode.Overwrite).parquet(bloomDir)
 
+  /** Incremental bloom maintenance — [[appendStats]]'s discipline for
+    * the membership zone: scan ONLY the data files the bloom table does
+    * not cover yet and append their rows. Blooms are per-file and never
+    * rewritten, so append-only ingest composes exactly as with min/max
+    * stats; deletes/compactions still force a rebuild (the staleness
+    * guard fails loudly). Returns the number of newly covered files.
+    */
+  def appendBlooms(spark: SparkSession, dataDir: String, bloomDir: String,
+      keyCol: String, expectedItemsPerFile: Int): Long = {
+    val covered = spark.read.parquet(bloomDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataDir).inputFiles.filterNot(covered)
+    if (fresh.isEmpty) return 0L
+    spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.SketchExpressions
+          .bloomAgg(col(keyCol), expectedItemsPerFile).as("bloom"))
+      .write.mode(SaveMode.Append).parquet(bloomDir)
+    fresh.length.toLong
+  }
+
   /** Read only the files whose Bloom filter might contain `key` —
     * driver-side planning over the #files-row bloom table (the
     * [[prunedRead]] altitude argument), with the same file-SET

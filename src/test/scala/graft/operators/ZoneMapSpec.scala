@@ -217,4 +217,19 @@ class ZoneMapSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rebuild blooms"))
   }
+
+  test("appendBlooms covers only the new files; lookups work without a rebuild") {
+    val (data, blooms) = fragmentedBloomLayout()
+    val before = spark.read.parquet(blooms).count()
+    spark.range(900, 910).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("append").parquet(data)
+    assert(ZoneMap.appendBlooms(spark, data, blooms, "k", 200) == 1L)
+    assert(spark.read.parquet(blooms).count() == before + 1)
+    // a key in the appended file: found, opening ~1 file
+    val planned = ZoneMap.bloomPrunedRead(spark, data, blooms, 905L)
+    assert(planned.inputFiles.length <= 3)
+    assert(planned.filter(col("k") === 905L).count() == 1)
+    // idempotent: nothing new -> zero appended
+    assert(ZoneMap.appendBlooms(spark, data, blooms, "k", 200) == 0L)
+  }
 }
