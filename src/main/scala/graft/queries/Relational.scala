@@ -908,9 +908,12 @@ object Relational {
     */
   def q60AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, dir)
+    // persisted: med, dev and mad all reference this frame — without
+    // the persist each subtree re-runs the corpus rollup, and "one
+    // corpus scan" is the operator's whole scale claim (plan-pinned)
+    val daily = graft.core.Caches.persistTracked(Tables.events(spark, dir)
       .groupBy(to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
     val nDays = daily.agg(count(lit(1)).as("n_days"))
     def lowerMedian(df: DataFrame, value: Column, as: String): DataFrame =
       df.withColumn("rn",

@@ -488,6 +488,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max"), p)
   }
 
+  test("q60: ONE corpus scan; medians ride the cached daily frame") {
+    val p = plan("q60_anomaly_days")
+    // med/dev/mad all reference the daily rollup through the cache —
+    // every FileScan in the plan string must sit inside an
+    // InMemoryRelation reprint (each reprint carries one); an UNCACHED
+    // corpus scan would break the equality
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryRelation".r.findAllIn(p).size, p)
+  }
+
+  test("q59: oriented wedge join is shuffled-hash; top-20 is TakeOrderedAndProject") {
+    val p = plan("q59_triangles")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x21: weighted sample is one scan into TakeOrderedAndProject — no global sort, no exchange") {
     val p = plan("x21_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
