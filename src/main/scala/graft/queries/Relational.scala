@@ -933,6 +933,58 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Capped running balance (q61) — the operator class that declarative
+    * SQL genuinely cannot express: a per-user running sum clamped into
+    * [0, cap] at every step (credit limits, inventory floors, token
+    * buckets). Clamping destroys associativity — the fold's value at
+    * row n depends on every intermediate clamp, so there is no
+    * partial-aggregable formulation, no window-function identity, and
+    * no custom Expression (expressions are per-row, the state is
+    * cross-row). This is the brief's documented last resort, done with
+    * the discipline that keeps it distributed and deterministic: ONE
+    * hash exchange on user_id + an in-partition secondary sort
+    * (user, ts, event_id — a total order, so reruns are bit-identical),
+    * then a streaming per-partition fold with O(1) state per user —
+    * the batch twin of st3's mapGroupsWithState. Every user's history
+    * streams through exactly one task; no task ever holds more than
+    * one row of state. The oracle is a DuckDB RECURSIVE CTE walking
+    * row_number chains — the SQL engine needs ITERATION to express
+    * what the fold does in one pass, which is rather the point.
+    */
+  def q61CappedRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 10000L
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        (round($"value" * 100).cast("long") *
+          when($"event_type" === "purchase", -1L).otherwise(1L)).as("c"))
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      .select($"user_id", $"c")
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        // rows arrive clustered by user, time-ordered within each user
+        // (the secondary-sort layout the repartition+sort above built)
+        new Iterator[(Long, Long, Long)] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long) = {
+            val user = buf.head._1
+            var bal = 0L; var clamps = 0L
+            while (buf.hasNext && buf.head._1 == user) {
+              val raw = bal + buf.next()._2
+              if (raw > cap) { bal = cap; clamps += 1 }
+              else if (raw < 0L) { bal = 0L; clamps += 1 }
+              else bal = raw
+            }
+            (user, bal, clamps)
+          }
+        }
+      }
+      .toDF("user_id", "final_balance", "n_clamps")
+      .orderBy($"user_id")
+  }
+
   /** The SCD2 run-collapse seam ([[q51Scd2History]]'s core, also driven
     * per-micro-batch by the streaming zone maintenance in
     * [[graft.streaming.EventStream]]): history rows
@@ -1632,6 +1684,7 @@ object Relational {
     "q58_pagerank" -> (q58PageRank _),
     "q59_triangles" -> (q59Triangles _),
     "q60_anomaly_days" -> (q60AnomalyDays _),
+    "q61_capped_running_sum" -> (q61CappedRunningSum _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1752,6 +1805,28 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q58_pagerank" -> pageRankOracleSql,
+    // q61: the recursive CTE is the SQL engine's only route to the
+    // clamped fold — iteration per row_number step
+    "q61_capped_running_sum" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      * CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END AS c
+        |  FROM events),
+        |m AS (SELECT user_id, max(rn) AS mx FROM ev GROUP BY 1),
+        |rec AS (
+        |  SELECT e.user_id, 1 AS rn, GREATEST(0, LEAST(10000, e.c)) AS bal,
+        |    CASE WHEN e.c > 10000 OR e.c < 0 THEN 1 ELSE 0 END AS clamps
+        |  FROM ev e WHERE e.rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1, GREATEST(0, LEAST(10000, r.bal + e.c)),
+        |    r.clamps + CASE WHEN r.bal + e.c > 10000 OR r.bal + e.c < 0
+        |               THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id, r.bal AS final_balance, CAST(r.clamps AS BIGINT) AS n_clamps
+        |FROM rec r JOIN m ON m.user_id = r.user_id AND r.rn = m.mx
+        |ORDER BY r.user_id""".stripMargin,
     "q60_anomaly_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
         |               FROM events GROUP BY 1),

@@ -489,6 +489,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q60: ONE corpus scan; medians ride the cached daily frame") {
+    // suite-order independence: other specs leave session-level caches
+    // whose InMemoryRelation reprints would skew the counts below
+    spark.catalog.clearCache()
     val p = plan("q60_anomaly_days")
     // med/dev/mad all reference the daily rollup through the cache —
     // every FileScan in the plan string must sit inside an
