@@ -171,6 +171,20 @@ object ZoneMap {
     */
   def bloomPrunedRead(spark: SparkSession, dataDir: String, bloomDir: String,
       key: Long): DataFrame = {
+    val files = bloomPlanFiles(spark, dataDir, bloomDir, Seq(key))(key)
+    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Batch bloom planning: ONE pass over the bloom table answers every
+    * probe key's candidate-file list (the driver deserializes each
+    * filter once and tests all keys against it — a lookup workload of K
+    * keys costs one metadata scan, not K). Same file-set staleness
+    * guard as the single-key read; callers typically union the distinct
+    * surviving files into one scan with an IN filter on top.
+    */
+  def bloomPlanFiles(spark: SparkSession, dataDir: String, bloomDir: String,
+      keys: Seq[Long]): Map[Long, Seq[String]] = {
     import org.apache.spark.util.sketch.BloomFilter
     val rows = spark.read.parquet(bloomDir)
       .select(col("file"), col("bloom")).collect()
@@ -183,12 +197,12 @@ object ZoneMap {
         (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
         (if (gone.nonEmpty) s"; blooms for missing files: ${gone.take(3).mkString(", ")}" else "")
     })
-    val files = rows.filter { r =>
-      BloomFilter.readFrom(
+    val loaded = rows.map { r =>
+      r.getString(0) -> BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        .mightContainLong(key)
-    }.map(_.getString(0))
-    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    }
+    keys.map(k =>
+      k -> loaded.collect { case (f, bf) if bf.mightContainLong(k) => f }
+        .toIndexedSeq).toMap
   }
 }

@@ -545,18 +545,21 @@ object SourcesAndStreams {
       bp
     }
     val total = spark.read.parquet(frag).inputFiles.length
-    // nine deterministic probe ids spread across the domain
+    // nine deterministic probe ids spread across the domain; ONE pass
+    // over the bloom table plans all of them (K lookups = one metadata
+    // scan), then one data scan over the union of surviving files
     val maxId = spark.read.parquet(frag)
       .agg(max(col("event_id"))).head().getLong(0)
     val probes = (1L to 9L).map(i => i * maxId / 10).distinct
-    val hits = probes.map { id =>
-      val planned = graft.operators.ZoneMap
-        .bloomPrunedRead(spark, frag, bloomDir, id)
-      require(planned.inputFiles.length * 2 < total,
-        s"bloom pruned nothing for id=$id (${planned.inputFiles.length}/$total files)")
-      planned.filter(col("event_id") === id)
+    val plan = graft.operators.ZoneMap
+      .bloomPlanFiles(spark, frag, bloomDir, probes)
+    plan.foreach { case (id, files) =>
+      require(files.length * 2 < total,
+        s"bloom pruned nothing for id=$id (${files.length}/$total files)")
     }
-    hits.reduce(_ unionByName _)
+    val files = plan.values.flatten.toSeq.distinct
+    spark.read.parquet(files: _*)
+      .filter(col("event_id").isin(probes: _*))
       .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
       .orderBy(col("event_id"))
   }
