@@ -249,6 +249,15 @@ object SourcesAndStreams {
   def st16StreamCdc(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamCdc(spark, dir)
 
+  /** Streaming bloom-zone maintenance: each micro-batch PK-merges then
+    * builds bloom filters for its delta files only; point lookups plan
+    * from the stored bloom table in one metadata pass, with real file
+    * skipping asserted inline — st15's membership sibling, closing the
+    * streamed-zone family.
+    */
+  def st17StreamBloom(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamBloomZone(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -585,6 +594,7 @@ object SourcesAndStreams {
     "st14_stream_scd2" -> (st14StreamScd2 _),
     "st15_stream_zonemap" -> (st15StreamZonemap _),
     "st16_stream_cdc" -> (st16StreamCdc _),
+    "st17_stream_bloom" -> (st17StreamBloom _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -709,6 +719,16 @@ object SourcesAndStreams {
         |p AS (SELECT DISTINCT (r.i * m.mx) // 10 AS id
         |      FROM m, range(1, 10) r(i))
         |SELECT e.event_id, e.user_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) AS cents
+        |FROM events e JOIN p ON e.event_id = p.id
+        |ORDER BY e.event_id""".stripMargin,
+    // st17: the STREAMED bloom zone answers the same probes over the
+    // merged table (s14's contract through the maintenance loop)
+    "st17_stream_bloom" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |p AS (SELECT DISTINCT (r.i * m.mx) // 10 AS id
+        |      FROM m, range(1, 10) r(i))
+        |SELECT e.event_id, e.event_type,
         |  CAST(round(e.value * 100) AS BIGINT) AS cents
         |FROM events e JOIN p ON e.event_id = p.id
         |ORDER BY e.event_id""".stripMargin,

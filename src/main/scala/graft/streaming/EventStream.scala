@@ -1229,6 +1229,52 @@ object EventStream {
       (d.toString, feed.schema)
     }
 
+  /** st17: streaming MAINTENANCE of the bloom zone — the membership
+    * sibling of st15's min/max stats: each micro-batch PK-merges into
+    * the data dir, then [[graft.operators.ZoneMap.appendBlooms]] builds
+    * filters for the batch's delta files ONLY (never-covered files, the
+    * same only-the-delta discipline; replays append no files and the
+    * zone stays exact under the staleness guard). The read side plans a
+    * batch of point lookups from the STORED bloom table in one metadata
+    * pass ([[graft.operators.ZoneMap.bloomPlanFiles]]) and reads the
+    * union of surviving files once — with the inline assert that the
+    * plan actually skipped files (range-disjoint batch files + per-file
+    * blooms make each id reachable from ~1 file). This closes the zone
+    * family: sketch (st13), SCD2 (st14), min/max stats (st15), CDC
+    * snapshot (st16) and membership (st17) all maintained by the ingest
+    * loop itself.
+    */
+  def streamBloomZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZoneMap
+    val (src, schema) = stagedRangeOverlapSource(spark, dir)
+    val root = scratchDir("st17")
+    val target = root.resolve("data").toString
+    val blooms = root.resolve("blooms").toString
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        val s = batch.sparkSession
+        graft.cardano.IdempotentSink.upsertParquet(
+          s, batch, target, Seq("event_id")): Unit
+        if (graft.core.Fs.exists(s, blooms))
+          ZoneMap.appendBlooms(s, target, blooms, "event_id", 65536): Unit
+        else ZoneMap.buildBlooms(s, target, blooms, "event_id", 65536)
+      }
+      val total = spark.read.parquet(target).inputFiles.length
+      val maxId = spark.read.parquet(target)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val probes = (1L to 9L).map(i => i * maxId / 10).distinct
+      val plan = ZoneMap.bloomPlanFiles(spark, target, blooms, probes)
+      require(plan.values.map(_.size).sum < probes.size * total,
+        s"streamed bloom zone pruned nothing ($total files)")
+      val files = plan.values.flatten.toSeq.distinct
+      spark.read.parquet(files: _*)
+        .filter(col("event_id").isin(probes: _*))
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
   /** c3: the lakehouse MAINTENANCE WEEKEND end-to-end — the composition
     * the round-8 pieces exist for, run as one pipeline: (1) checkpointed
     * ingest with zone-map stats maintained per batch (st6's PK merge +
