@@ -363,6 +363,48 @@ object Relational {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** Top navigation paths (q62) — the funnel's EXPLORATORY sibling:
+    * q45 answers "how many users walked MY path", this answers "which
+    * paths do users actually walk". Sessions are q17's 30-minute-gap
+    * rule on the SAME (ts, event_id) total order (two formulations,
+    * one session definition); each session's first five event types
+    * join into a path string (the cap bounds path cardinality and
+    * output row width — beyond ~5 steps paths are near-unique and the
+    * report is noise), then one path-keyed count and a top-10.
+    *
+    * Scale shape: both windows (lag + running session sum, then the
+    * within-session rank) ride ONE user_id exchange — rank's
+    * (user, session) partition is a refinement of the user partition,
+    * so Catalyst plans no second sort-exchange; the path agg is
+    * partial-aggregable (per-path counts combine map-side) and top-10
+    * is TakeOrderedAndProject. Per-user window state is one timestamp
+    * and a counter.
+    */
+  def q62TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bySession = Window.partitionBy($"user_id", $"session_seq")
+      .orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("step", row_number().over(bySession))
+      .filter($"step" <= 5)
+      .groupBy($"user_id", $"session_seq")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct($"step", $"event_type"))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(10)
+  }
+
   /** As-of join (operator family Spark lacks natively): each purchase
     * event is matched to the same user's most recent preceding click —
     * see [[graft.operators.AsOfJoin]] for why this is a windowed union,
@@ -1685,6 +1727,7 @@ object Relational {
     "q59_triangles" -> (q59Triangles _),
     "q60_anomaly_days" -> (q60AnomalyDays _),
     "q61_capped_running_sum" -> (q61CappedRunningSum _),
+    "q62_top_paths" -> (q62TopPaths _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1827,6 +1870,29 @@ object Relational {
         |SELECT r.user_id, r.bal AS final_balance, CAST(r.clamps AS BIGINT) AS n_clamps
         |FROM rec r JOIN m ON m.user_id = r.user_id AND r.rn = m.mx
         |ORDER BY r.user_id""".stripMargin,
+    "q62_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM e),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id) AS step
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY step) AS path
+        |  FROM r WHERE step <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
     "q60_anomaly_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
         |               FROM events GROUP BY 1),

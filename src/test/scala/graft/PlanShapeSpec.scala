@@ -509,6 +509,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q62: sessionize + rank + path agg ride ONE user exchange; top-10 is TakeOrderedAndProject") {
+    val p = plan("q62_top_paths")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x21: weighted sample is one scan into TakeOrderedAndProject — no global sort, no exchange") {
     val p = plan("x21_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
