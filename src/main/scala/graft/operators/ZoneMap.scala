@@ -184,7 +184,21 @@ object ZoneMap {
     * surviving files into one scan with an IN filter on top.
     */
   def bloomPlanFiles(spark: SparkSession, dataDir: String, bloomDir: String,
-      keys: Seq[Long]): Map[Long, Seq[String]] = {
+      keys: Seq[Long]): Map[Long, Seq[String]] =
+    bloomPlanFilesAny(spark, dataDir, bloomDir, keys)
+      .map { case (k, fs) => k.asInstanceOf[Long] -> fs }
+
+  /** [[bloomPlanFiles]] for any key type the aggregate ingests: Long /
+    * Int probe the long path, String / Array[Byte] their own — the
+    * reference's PKs are hex-hash STRINGS (`cardano_tables.py`), so a
+    * membership zone keyed on them must plan string probes natively,
+    * not through a lossy cast. Probe typing MUST match build typing
+    * (a long built as a long and probed as its decimal string would
+    * miss — the filter hashes raw bytes); mismatched types fail the
+    * probe loudly rather than silently returning no files.
+    */
+  def bloomPlanFilesAny(spark: SparkSession, dataDir: String, bloomDir: String,
+      keys: Seq[Any]): Map[Any, Seq[String]] = {
     import org.apache.spark.util.sketch.BloomFilter
     val rows = spark.read.parquet(bloomDir)
       .select(col("file"), col("bloom")).collect()
@@ -201,8 +215,17 @@ object ZoneMap {
       r.getString(0) -> BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
     }
+    def might(bf: BloomFilter, k: Any): Boolean = k match {
+      case l: Long => bf.mightContainLong(l)
+      case i: Int => bf.mightContainLong(i.toLong)
+      case s: String => bf.mightContainString(s)
+      case b: Array[Byte] => bf.mightContainBinary(b)
+      case other => throw new IllegalArgumentException(
+        s"bloom probe type ${other.getClass.getName} not supported " +
+          "(long/int/string/binary — must match the build column's type)")
+    }
     keys.map(k =>
-      k -> loaded.collect { case (f, bf) if bf.mightContainLong(k) => f }
+      k -> loaded.collect { case (f, bf) if might(bf, k) => f }
         .toIndexedSeq).toMap
   }
 }

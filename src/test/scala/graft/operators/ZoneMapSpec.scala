@@ -218,6 +218,30 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild blooms"))
   }
 
+  test("bloom: string keys plan natively (the reference's hash-string PKs)") {
+    val data = tmpDir("bloomstr") + "/t"
+    spark.range(400)
+      .select(concat(lit("hash_"), col("id")).as("h"), col("id").as("v"))
+      .repartitionByRange(4, pmod(col("id"), lit(4)))
+      .write.parquet(data)
+    val blooms = tmpDir("bloomstrz") + "/s"
+    ZoneMap.buildBlooms(spark, data, blooms, "h", expectedItemsPerFile = 200)
+    val total = spark.read.parquet(data).inputFiles.length
+    val plan = ZoneMap.bloomPlanFilesAny(spark, data, blooms,
+      Seq("hash_7", "hash_250", "absent"))
+    assert(plan("hash_7").nonEmpty && plan("hash_7").size < total)
+    assert(plan("hash_250").nonEmpty && plan("hash_250").size < total)
+    // each present key's holding file must survive
+    for (k <- Seq("hash_7", "hash_250"))
+      assert(spark.read.parquet(plan(k): _*)
+        .filter(col("h") === k).count() == 1, s"lost $k")
+    // unsupported probe type fails loudly, never returns empty silently
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.bloomPlanFilesAny(spark, data, blooms, Seq(3.14))
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("appendBlooms covers only the new files; lookups work without a rebuild") {
     val (data, blooms) = fragmentedBloomLayout()
     val before = spark.read.parquet(blooms).count()
