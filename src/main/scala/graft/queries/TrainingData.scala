@@ -466,6 +466,51 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus n-gram novelty: for each document, the fraction of its
+    * distinct trigram shingles whose FIRST corpus occurrence (min
+    * doc_id, standing in for ingestion order) is that document — the
+    * novelty curve data-curation pipelines use to measure how much new
+    * content each source/batch actually contributes (a crawl snapshot
+    * that re-fetches yesterday's pages scores near zero and gets
+    * dropped before any expensive downstream pass). Same first-seen
+    * attribution as the reference's `ON CONFLICT DO NOTHING` loader
+    * (`src/dao/cardano_block_dao.py:140-148`) — earliest writer owns
+    * the key — applied per shingle instead of per PK.
+    */
+  def x22NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables(spark, dir, "documents"))
+
+  /** Library seam for [[x22NgramNovelty]]: novelty-score a
+    * caller-supplied corpus (`doc_id`, `text`) at shingle width `n`.
+    *
+    * Scale shape: first-occurrence per shingle is a partial-aggregable
+    * MIN, so a boilerplate shingle repeated in millions of documents
+    * collapses map-side BEFORE the exchange (the d17 keeper move at
+    * shingle altitude). The join back is keyed on the shingle against
+    * ONE keeper row per distinct shingle — a df-f shingle contributes f
+    * join rows, linear, so unlike the pairwise d2/d3 family this needs
+    * no stop-shingle cap to stay corpus-scale. `shuffle_hash` because
+    * the firsts table is corpus-sized (one row per distinct shingle),
+    * never broadcastable; two exchanges total (shingle, then doc_id).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // Both the firsts aggregate and the join probe consume the shingle
+    // table; tracked persist — drivers release after materializing.
+    val sh = graft.core.Caches.persistTracked(
+      Dedup.shingles(docs, col("doc_id"), col("text"), n))
+    val firsts = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.hint("shuffle_hash").join(firsts, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses, and phone-shaped
     * digit runs counted then replaced with typed placeholder tokens — the
     * scrub every training corpus needs before anything else sees it.
@@ -1092,6 +1137,7 @@ object TrainingData {
     "x6_deterministic_split" -> (x6DeterministicSplit _),
     "x7_vocab_topk" -> (x7VocabTopk _),
     "x21_weighted_sample" -> (x21WeightedSample _),
+    "x22_ngram_novelty" -> (x22NgramNovelty _),
     "x19_heavy_hitters" -> (x19HeavyHitters _),
     "x15_oov_rate" -> (x15OovRate _),
     "x16_lm_familiarity" -> (x16LmFamiliarity _),
@@ -1527,6 +1573,15 @@ object TrainingData {
         |    '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS DOUBLE) /
         |    len(regexp_extract_all(lower(text), '\w+')) AS bpe_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x22_ngram_novelty" ->
+      s"""WITH $grams3,
+         |firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS novelty_rate
+         |FROM grams g JOIN firsts f USING (shingle)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     "x9_decontaminate" ->
       s"""WITH $grams3,
          |bsh AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),

@@ -523,6 +523,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("x22: first-seen join is a shuffled hash join (firsts table is corpus-sized)") {
+    val p = plan("x22_ngram_novelty")
+    // one keeper row per DISTINCT shingle — corpus-sized, so broadcasting
+    // it would ship the whole shingle universe to every task
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // first-occurrence MIN must combine map-side (partial_min before the
+    // shingle exchange) — a hot boilerplate shingle collapses per task
+    assert(p.contains("partial_min"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
