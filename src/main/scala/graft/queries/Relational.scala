@@ -405,6 +405,67 @@ object Relational {
       .limit(10)
   }
 
+  /** Interval-union time (q63): total wall-clock covered per user by
+    * the union of fixed 60-second activity intervals anchored at each
+    * event — the utilization / uptime aggregation (billable connected
+    * time, device-online time, SLA coverage). Distinct from q17's
+    * sessionize: sessions GROUP events by inactivity gaps; this
+    * MEASURES the union of overlapping intervals, where a plain sum
+    * double-counts overlap and a max−min span bridges gaps, so neither
+    * is correct.
+    *
+    * The merge is the classic islands construction: order each user's
+    * intervals by start, carry the running max of interval ends over
+    * all PRIOR rows, and open a new island exactly when a start clears
+    * everything before it. Covered time = Σ islands (max end − min
+    * start). Equal-start ties are benign: a duplicate start can never
+    * exceed the running max that already contains its own end, so the
+    * flag — and the result — is identical under any tie order.
+    *
+    * Scale shape: ONE user_id exchange carries everything — both
+    * windows sort the same partition once, and both aggregations key
+    * on (user_id, island) / user_id, which the user_id hash
+    * partitioning already satisfies, so Catalyst plans no further
+    * exchange (pinned). Window state is one running max / one running
+    * sum — O(1) per user regardless of event count. Island and
+    * interval counts ship with the covered seconds so a consumer can
+    * tell one long stretch from many slivers at no extra cost.
+    */
+  def q63IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    intervalUnion(Tables.events(spark, dir)
+      .select($"user_id", unix_timestamp($"ts").as("s"),
+        (unix_timestamp($"ts") + 60L).as("e")))
+  }
+
+  /** Library seam for [[q63IntervalUnion]]: merge a caller-supplied
+    * interval table (`user_id`, `s`, `e`) and measure the union per
+    * user. Intervals are half-open [s, e); abutting intervals
+    * (next.s == prev.e... treated via `s > running_max` — a start equal
+    * to the running max continues the island, i.e. [0,60)∪[60,120) is
+    * one 120-second stretch, the reading utilization consumers want).
+    */
+  def intervalUnion(intervals: DataFrame): DataFrame = {
+    import intervals.sparkSession.implicits._
+    val byStart = Window.partitionBy($"user_id").orderBy($"s", $"e")
+    intervals
+      .withColumn("prev_max_end", max($"e").over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max_end".isNull || $"s" > $"prev_max_end", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_iv"), min($"s").as("st"), max($"e").as("en"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum($"en" - $"st").as("covered_sec"))
+      .orderBy($"user_id")
+  }
+
   /** As-of join (operator family Spark lacks natively): each purchase
     * event is matched to the same user's most recent preceding click —
     * see [[graft.operators.AsOfJoin]] for why this is a windowed union,
@@ -1728,6 +1789,7 @@ object Relational {
     "q60_anomaly_days" -> (q60AnomalyDays _),
     "q61_capped_running_sum" -> (q61CappedRunningSum _),
     "q62_top_paths" -> (q62TopPaths _),
+    "q63_interval_union" -> (q63IntervalUnion _),
     "q55_copurchase_pairs" -> (q55CopurchasePairs _),
     "q45_funnel" -> (q45Funnel _),
     "q30_approx_percentile" -> (q30ApproxPercentile _),
@@ -1893,6 +1955,25 @@ object Relational {
         |  FROM r WHERE step <= 5 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+    "q63_interval_union" ->
+      """WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |              CAST(floor(epoch(ts)) AS BIGINT) + 60 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |       FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |          sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM fl),
+        |g AS (SELECT user_id, island, count(*) AS n_iv, min(s) AS st, max(e) AS en
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(en - st) AS BIGINT) AS covered_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q60_anomaly_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
         |               FROM events GROUP BY 1),

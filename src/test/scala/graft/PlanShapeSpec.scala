@@ -516,6 +516,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q63: interval-union windows + both aggregations ride ONE user exchange") {
+    val p = plan("q63_interval_union")
+    // (user_id, island) and user_id clusterings are both satisfied by
+    // the window's user_id hash partitioning — a second hash exchange
+    // here would mean the island aggregation stopped reusing it
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x21: weighted sample is one scan into TakeOrderedAndProject — no global sort, no exchange") {
     val p = plan("x21_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
