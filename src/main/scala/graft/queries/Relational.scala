@@ -440,10 +440,10 @@ object Relational {
 
   /** Library seam for [[q63IntervalUnion]]: merge a caller-supplied
     * interval table (`user_id`, `s`, `e`) and measure the union per
-    * user. Intervals are half-open [s, e); abutting intervals
-    * (next.s == prev.e... treated via `s > running_max` — a start equal
-    * to the running max continues the island, i.e. [0,60)∪[60,120) is
-    * one 120-second stretch, the reading utilization consumers want).
+    * user. Intervals are half-open [s, e); a start EQUAL to the running
+    * max continues the island (the new-island test is strict `>`), so
+    * abutting intervals chain — [0,60)∪[60,120) is one 120-second
+    * stretch, the reading utilization consumers want.
     */
   def intervalUnion(intervals: DataFrame): DataFrame = {
     import intervals.sparkSession.implicits._

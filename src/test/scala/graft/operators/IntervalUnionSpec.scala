@@ -31,6 +31,35 @@ class IntervalUnionSpec extends SparkSpec {
       (3L, 2L, 1L, 60L)))
   }
 
+  test("randomized intervals: intervalUnion equals an in-memory sweep reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(63)
+    for (trial <- 1 to 3) {
+      // dense variable-length intervals so ends arrive out of order
+      // relative to starts — the case the running-max (not last-end)
+      // formulation exists for
+      val rows = (1 to 150).map { _ =>
+        val s = rnd.nextInt(500).toLong
+        (rnd.nextInt(5).toLong, s, s + 1 + rnd.nextInt(80))
+      }
+      val expected = rows.groupBy(_._1).view.mapValues { iv =>
+        val sorted = iv.map(t => (t._2, t._3)).sorted
+        var islands = List.empty[(Long, Long)] // head = current island
+        for ((s, e) <- sorted) islands match {
+          case (st, en) :: tail if s <= en =>
+            islands = (st, math.max(en, e)) :: tail
+          case _ => islands = (s, e) :: islands
+        }
+        (iv.size.toLong, islands.size.toLong,
+          islands.map { case (st, en) => en - st }.sum)
+      }.toMap
+      val got = Relational.intervalUnion(rows.toDF("user_id", "s", "e"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("result is independent of input row order") {
     import spark.implicits._
     val rows = Seq(
