@@ -49,9 +49,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * WholeStageCodegen span around them).
   *
   * Ref: the reference's distinct-count analytics are exact GROUP BYs
-  * (the SQL under src/query/); this family is the scale path the
-  * reference lacks, per the builder brief's "beyond the reference"
-  * mandate.
+  * (the analytics SQL in its README.md:102-122); this family is the
+  * scale path the reference lacks, per the builder brief's "beyond the
+  * reference" mandate.
   */
 object SketchExpressions {
 

@@ -444,11 +444,20 @@ object Relational {
     * max continues the island (the new-island test is strict `>`), so
     * abutting intervals chain — [0,60)∪[60,120) is one 120-second
     * stretch, the reading utilization consumers want.
+    *
+    * Precondition `e >= s`, ENFORCED: inverted intervals are dropped up
+    * front (a narrow codegen'd filter, no extra exchange) rather than
+    * processed — an inverted row that opened a new island would
+    * contribute a NEGATIVE (en − st) term and silently corrupt
+    * covered_sec, the worst failure mode for a metric feeding billing.
+    * Zero-width [s, s) rows survive the filter and contribute nothing,
+    * which is the correct reading of an empty interval.
     */
   def intervalUnion(intervals: DataFrame): DataFrame = {
     import intervals.sparkSession.implicits._
     val byStart = Window.partitionBy($"user_id").orderBy($"s", $"e")
     intervals
+      .filter($"e" >= $"s")
       .withColumn("prev_max_end", max($"e").over(
         byStart.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",

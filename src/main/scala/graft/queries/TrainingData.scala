@@ -492,6 +492,14 @@ object TrainingData {
     * no stop-shingle cap to stay corpus-scale. `shuffle_hash` because
     * the firsts table is corpus-sized (one row per distinct shingle),
     * never broadcastable; two exchanges total (shingle, then doc_id).
+    *
+    * Documents shorter than `n` tokens produce zero shingles and are
+    * OMITTED from the output (no row, rather than a 0/0 novelty_rate) —
+    * the same dropped-rows contract as the d2/d3 shingle family. A
+    * consumer iterating the novelty curve over a corpus with sub-`n`
+    * documents should left-join this result back to the doc table if it
+    * needs those ids present (their novelty is undefined, not zero: a
+    * document with no shingles contributes nothing old OR new).
     */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     // Both the firsts aggregate and the join probe consume the shingle

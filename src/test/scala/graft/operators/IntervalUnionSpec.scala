@@ -60,6 +60,26 @@ class IntervalUnionSpec extends SparkSpec {
     }
   }
 
+  test("inverted intervals are dropped, zero-width intervals contribute nothing") {
+    import spark.implicits._
+    // user 1: a valid hour plus an INVERTED row (e < s) that, if
+    // processed, would open its own island with a negative span
+    // (coverage 60 - 50 = 10 would corrupt to ...); user 2: only
+    // inverted rows — the user must vanish entirely, not appear with
+    // garbage; user 3: a zero-width [s, s) row alongside a real one —
+    // counted as an interval, covering nothing.
+    val iv = Seq(
+      (1L, 0L, 60L), (1L, 500L, 450L),
+      (2L, 90L, 30L),
+      (3L, 0L, 60L), (3L, 200L, 200L))
+      .toDF("user_id", "s", "e")
+    val out = Relational.intervalUnion(iv)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 60L),
+      (3L, 2L, 2L, 60L)))
+  }
+
   test("result is independent of input row order") {
     import spark.implicits._
     val rows = Seq(
