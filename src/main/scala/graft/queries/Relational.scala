@@ -905,10 +905,31 @@ object Relational {
     */
   def q58PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scale = 1000000000000L
-    // NOT persisted: both self-join sides read this subtree, but the
-    // two distincts run as parallel stages — A/B'd at sf0.1, caching it
-    // serialized the build and lost ~1 s
+    // Persisted PRE-PARTITIONED: every iteration's join requires
+    // hashpartitioning(src), so laying the edge table out once means
+    // five rounds reuse it with NO edge re-exchange — only the
+    // vertex-sized ranks side moves per round (the shuffle-per-round
+    // formulation measured 5× the cost). [[q64PageRankBucketed]] is the
+    // same iteration from the DISK-bucketed layout (survives executor
+    // loss; the true 100 TB shape).
+    val edgesDeg = graft.core.Caches.persistTracked(copurchaseEdgesDeg(spark, dir))
+    val (ranks, _) = pageRankRounds(edgesDeg, partVerts(spark, dir), maxIters = 5)
+    ranks.orderBy($"rank".desc, $"part_id")
+  }
+
+  /** The co-purchase edge table with out-degrees — q58/q64's shared
+    * input. Out-degree is a count window over the distinct edges: ONE
+    * src exchange produces the degree column AND leaves the table
+    * hash-partitioned on src (the deg-agg + join-back + repartition
+    * formulation moves the edge table three times for the same result).
+    * Per-partition window state is one counter per src — bounded by max
+    * degree, no skew blowup. The lineitem projection is NOT persisted:
+    * both self-join sides read the subtree, but the two distincts run
+    * as parallel stages — A/B'd at sf0.1, caching it serialized the
+    * build and lost ~1 s.
+    */
+  private def copurchaseEdgesDeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = Tables(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
     val edges = li.select($"l_orderkey", $"l_partkey".as("src"))
@@ -916,35 +937,100 @@ object Relational {
       .join(li.select($"l_orderkey", $"l_partkey".as("dst")), Seq("l_orderkey"))
       .filter($"src" =!= $"dst")
       .select($"src", $"dst").distinct()
-    // out-degree as a count window over the distinct edges: ONE src
-    // exchange produces the degree column AND leaves the table
-    // hashpartitioned(src) — the deg-agg + join-back + repartition
-    // formulation moves the edge table three times for the same result.
-    // Persisted PRE-PARTITIONED: every iteration's join requires
-    // hashpartitioning(src), so laying the edge table out once means
-    // five rounds reuse it with NO edge re-exchange — only the
-    // vertex-sized ranks side moves per round (the local analogue of
-    // bucketing the edge table by src at 100 TB; the shuffle-per-round
-    // formulation measured 5× the cost). Per-partition window state is
-    // one counter per src — bounded by max degree, no skew blowup.
-    val edgesDeg = graft.core.Caches.persistTracked(
-      edges.withColumn("outdeg",
-        count(lit(1)).over(Window.partitionBy($"src"))))
-    val verts = Tables(spark, dir, "part").select($"p_partkey".as("part_id"))
-    var ranks = verts.withColumn("rank", lit(scale))
-    for (_ <- 1 to 5) {
+    edges.withColumn("outdeg", count(lit(1)).over(Window.partitionBy($"src")))
+  }
+
+  private def partVerts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part").select(col("p_partkey").as("part_id"))
+
+  private val prScale = 1000000000000L
+
+  /** The damped integer power-iteration core shared by [[q58PageRank]]
+    * and [[q64PageRankBucketed]]. Each round is one edges⋈ranks join
+    * keyed on src (ranks is VERTEX-sized, so it is the `shuffle_hash`
+    * build side and the edge table streams from whatever src-layout the
+    * caller staged), one dst-keyed partial agg, then a vertex-sized
+    * left join; `localCheckpoint` truncates lineage per round (d9's
+    * fixpoint discipline) so K rounds cost K shallow plans, not one
+    * exponentially-reanalyzed tree.
+    *
+    * `tol` adds the convergence-delta stop (the production-grade
+    * sibling of a fixed K): after each round, one vertex-sized join
+    * computes max |Δrank| over all vertices and iteration stops as soon
+    * as it is ≤ tol — power iteration converges geometrically, so this
+    * bounds the error of stopping without hunting a fixpoint. The delta
+    * check costs one extra vertex-sized join + scalar agg per round and
+    * is skipped entirely when `tol` is None (the oracle-pinned fixed-K
+    * path pays nothing for the knob). Returns (ranks, rounds run).
+    */
+  def pageRankRounds(edgesDeg: DataFrame, verts: DataFrame,
+      maxIters: Int, tol: Option[Long] = None): (DataFrame, Int) = {
+    var ranks = verts.withColumn("rank", lit(prScale))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       val totals = edgesDeg
         .join(ranks.withColumnRenamed("part_id", "src").hint("shuffle_hash"),
           Seq("src"))
-        .select($"dst", expr("rank div outdeg").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("total"))
-      ranks = verts
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("total"))
+      val next = verts
         .join(totals.withColumnRenamed("dst", "part_id"), Seq("part_id"), "left")
-        .select($"part_id",
-          (lit(15L * scale / 100L) +
+        .select(col("part_id"),
+          (lit(15L * prScale / 100L) +
             expr("(85 * coalesce(total, 0)) div 100")).as("rank"))
         .localCheckpoint()
+      tol.foreach { t =>
+        val delta = next
+          .join(ranks.withColumnRenamed("rank", "prev"), Seq("part_id"))
+          .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)))
+          .head().getLong(0)
+        if (delta <= t) converged = true
+      }
+      ranks = next
+      it += 1
     }
+    (ranks, it)
+  }
+
+  /** Session-lifetime staged layouts (the q64 bucketed edge table):
+    * the CREATE TABLE is setup, not the query — a production edge table
+    * already lives bucketed on the lake — so it happens once per JVM.
+    * Tables land in the scratch warehouse and vanish with it.
+    */
+  private val stagedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q58 edge table ON DISK, bucketed by src — staged once per
+    * (session, source dir). Spec seam: PageRankSpec iterates from this
+    * exact table.
+    */
+  private[graft] def pagerankEdgeTable(spark: SparkSession, dir: String): String =
+    stagedLayouts.computeIfAbsent(s"q64edges|$dir", _ => {
+      val t = "q64_edges_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      copurchaseEdgesDeg(spark, dir)
+        .write.format("parquet").bucketBy(8, "src").saveAsTable(t)
+      t
+    })
+
+  /** Integer PageRank from a DISK-bucketed edge table (q64) — q58's
+    * iteration with the edge layout a 100 TB deployment actually needs:
+    * q58's in-memory pre-partitioned persist evaporates on executor
+    * loss (and cannot exceed cluster memory), while a table bucketed by
+    * src IS the persisted hash-partitioning — every iteration's join
+    * consumes the bucketed scan with ZERO Exchange on the edge side
+    * (PageRankSpec pins the plan property) and only the vertex-sized
+    * ranks side moves per round. Same five fixed rounds, same oracle as
+    * q58: the layout change must be invisible in the result. The
+    * convergence-delta stop ([[pageRankRounds]] `tol`) is exercised
+    * from the same bucketed table in PageRankSpec.
+    */
+  def q64PageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = pagerankEdgeTable(spark, dir)
+    val (ranks, _) =
+      pageRankRounds(spark.table(tbl), partVerts(spark, dir), maxIters = 5)
     ranks.orderBy($"rank".desc, $"part_id")
   }
 
@@ -1794,6 +1880,7 @@ object Relational {
     "q56_histogram" -> (q56Histogram _),
     "q57_cdc_apply" -> (q57CdcApply _),
     "q58_pagerank" -> (q58PageRank _),
+    "q64_pagerank_bucketed" -> (q64PageRankBucketed _),
     "q59_triangles" -> (q59Triangles _),
     "q60_anomaly_days" -> (q60AnomalyDays _),
     "q61_capped_running_sum" -> (q61CappedRunningSum _),
@@ -1919,6 +2006,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q58_pagerank" -> pageRankOracleSql,
+    // q64: the disk-bucketed layout must be invisible in the result —
+    // the SAME oracle as q58, shared so the two gates cannot drift
+    "q64_pagerank_bucketed" -> pageRankOracleSql,
     // q61: the recursive CTE is the SQL engine's only route to the
     // clamped fold — iteration per row_number step
     "q61_capped_running_sum" ->
