@@ -37,10 +37,10 @@ object Bench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
     }
-    // c1_* entries are full pipeline runs (rows-only correctness checks),
-    // not queries — excluded from the timed benchmark.
+    // c1_/c4_ entries are full fixture-pipeline runs (constant-oracle
+    // correctness checks), not queries — excluded from the timed benchmark.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("c1_"))
+      .filterNot(n => n._1.startsWith("c1_") || n._1.startsWith("c4_"))
     // Untimed warmup: JIT + whole-stage-codegen compile + page cache.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
