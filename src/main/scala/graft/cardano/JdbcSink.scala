@@ -136,6 +136,52 @@ object JdbcSink {
         s"SELECT DISTINCT ON ($pk) $cols FROM $staging " +
         s"ON CONFLICT ($pk) DO NOTHING"
     }
+
+    /** The full CDC MERGE on the live engine — the reference's
+      * conflict-SKIP loader (`cardano_block_dao.py:140-148`) generalized
+      * to `ON CONFLICT DO UPDATE` with q57/st16's last-writer-wins
+      * guard. The staged batch carries change rows
+      * (`key`, `seq`, `op` ∈ {'U','D'}, `newVal`); the statement:
+      *
+      *   - collapses the batch to its latest change per key with
+      *     `DISTINCT ON` ordered by the FULL (seq, op, newVal) struct
+      *     DESC — the same lexicographic max
+      *     [[graft.streaming.EventStream.cdcApplyBatch]] takes, so
+      *     batch boundaries cannot change the outcome;
+      *   - upserts it, guarded by a ROW comparison
+      *     `(EXCLUDED.seq, op, val) > (t.seq, op, val)` — stale and
+      *     replayed changes apply NOTHING (semantic idempotency, not
+      *     file dedup), and a tombstone's struct keeps winning until a
+      *     genuinely newer change arrives;
+      *   - keeps deletes as tombstone rows (op='D' with its seq) so a
+      *     late stale update cannot resurrect the key; readers filter
+      *     `op <> 'D'`, and [[cdcTombstoneGcSql]] is the age-based GC a
+      *     deployment schedules (run at quiesce in the spec, where it
+      *     makes the warehouse state equal q57's batch apply exactly).
+      *
+      * Text comparison on `op` ('U' > 'D') agrees between Spark's UTF8
+      * binary order and PG's collation here because both operands are
+      * single ASCII uppercase letters.
+      */
+    def cdcUpsertSql(target: String, staging: String,
+        key: String = "key", seq: String = "seq", op: String = "op",
+        newVal: String = "new_cents", valCol: String = "cents"): String = {
+      val (k, s, o, nv, v) = (quote(key), quote(seq), quote(op), quote(newVal), quote(valCol))
+      s"""INSERT INTO $target AS t ($k, $v, $s, $o)
+         |SELECT DISTINCT ON ($k) $k, $nv, $s, $o FROM $staging
+         |ORDER BY $k, $s DESC, $o DESC, $nv DESC
+         |ON CONFLICT ($k) DO UPDATE
+         |SET $v = EXCLUDED.$v, $s = EXCLUDED.$s, $o = EXCLUDED.$o
+         |WHERE (EXCLUDED.$s, EXCLUDED.$o, EXCLUDED.$v) > (t.$s, t.$o, t.$v)""".stripMargin
+    }
+
+    /** Tombstone GC: the real `DELETE` leg of the CDC story. Safe only
+      * once no in-flight change can be older than the tombstones (age-
+      * based in a deployment; end-of-stream in the spec) — deleting a
+      * live tombstone would let a stale late update resurrect the key.
+      */
+    def cdcTombstoneGcSql(target: String, op: String = "op"): String =
+      s"DELETE FROM $target WHERE ${quote(op)} = 'D'"
   }
 
   final case class Staged(table: String, staging: String, columns: Seq[String], keys: Seq[String])

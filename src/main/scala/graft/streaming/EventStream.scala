@@ -1212,7 +1212,7 @@ object EventStream {
     * genuinely new keys) split st6-style — early changes (seq ≤ 3),
     * then ALL changes (a full replay of the first file plus the rest).
     */
-  private def stagedCdcFeedSource(
+  private[streaming] def stagedCdcFeedSource(
       spark: SparkSession, dir: String): (String, StructType) =
     stageSourceOnce(
         s"st16src:$dir", sourceFingerprint(s"$dir/lineitem.parquet")) {
@@ -1274,6 +1274,109 @@ object EventStream {
         .localCheckpoint()
     } finally reap(root)
   }
+
+  /** st18: ONE ingest stream maintaining ALL the zones — st13's theta
+    * sketches, st15's min/max stats, and st17's blooms each run their
+    * own checkpointed stream, which triples the per-micro-batch
+    * machinery cost (trigger, checkpoint commit, source listing) for
+    * zones that could ride the same batch. Here a single `foreachBatch`
+    * loop does the PK merge once and then brings all three zone tables
+    * current from the same batch delta: the stats and bloom appends
+    * scan only the merge's never-covered files (their shared
+    * only-the-delta contract), and the sketch append is structurally
+    * idempotent under the replayed batch (set union). The query answers
+    * all three read shapes from the STORED zones alone — day-over-day
+    * retention from KB-sized sketches, a range aggregate through the
+    * stats-planned pruned read, point lookups through the bloom plan —
+    * with real file skipping asserted inline for both planners.
+    *
+    * The combined entry must reproduce the SAME truth as the three
+    * independent maintainers: its oracle is the UNION of st13's, st15's
+    * and st17's oracle SQL (shared vals — the four gates cannot drift),
+    * so a hash match here ≡ hash-matching each maintainer. At 100 TB
+    * this is the difference between one ingest pipeline and three
+    * parallel ones reading the same source thrice.
+    */
+  def streamAllZones(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{SketchZone, ZoneMap}
+    val (src, schema) = stagedAllZonesSource(spark, dir)
+    val root = scratchDir("st18")
+    val target = root.resolve("data").toString
+    val stats = root.resolve("stats").toString
+    val blooms = root.resolve("blooms").toString
+    val sketch = root.resolve("sketch").toString
+    try {
+      runForeachBatchStream(spark, src, schema) { batch =>
+        val s = batch.sparkSession
+        graft.cardano.IdempotentSink.upsertParquet(
+          s, batch, target, Seq("event_id")): Unit
+        if (graft.core.Fs.exists(s, stats))
+          ZoneMap.appendStats(s, target, stats, Seq("event_id")): Unit
+        else ZoneMap.buildStats(s, target, stats, Seq("event_id"))
+        if (graft.core.Fs.exists(s, blooms))
+          ZoneMap.appendBlooms(s, target, blooms, "event_id", 65536): Unit
+        else ZoneMap.buildBlooms(s, target, blooms, "event_id", 65536)
+        SketchZone.appendThetaBatch(s, batch, "day", "user_id", sketch): Unit
+      }
+      val nul = lit(null).cast("long")
+      // (1) retention/churn from the sketch zone alone (st13's read)
+      val retention = SketchZone.retentionSeries(spark, sketch).select(
+        lit("retention").as("section"),
+        date_format(col("day"), "yyyy-MM-dd").as("k"),
+        col("active").as("a"), col("retained").as("b"), col("churned").as("c"))
+      val all = spark.read.parquet(target).inputFiles.length
+      // (2) the lower-quarter range aggregate through the stats plan
+      // (st15's read), skipping asserted
+      val hi = spark.read.parquet(stats)
+        .agg(max(col("max_event_id"))).head().getLong(0) / 4
+      val pruned = ZoneMap.prunedRead(spark, target, stats,
+        Seq(("event_id", 0L, hi)))
+      require(pruned.inputFiles.length < all,
+        s"combined zone map pruned nothing (${pruned.inputFiles.length}/$all files)")
+      val range = pruned.filter(col("event_id") <= hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("a"), sum(col("cents")).as("b"))
+        .select(lit("range").as("section"), col("event_type").as("k"),
+          col("a"), col("b"), nul.as("c"))
+      // (3) decile point lookups through the bloom plan (st17's read)
+      val maxId = spark.read.parquet(target)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val probes = (1L to 9L).map(i => i * maxId / 10).distinct
+      val plan = ZoneMap.bloomPlanFiles(spark, target, blooms, probes)
+      require(plan.values.map(_.size).sum < probes.size * all,
+        s"combined bloom zone pruned nothing ($all files)")
+      val files = plan.values.flatten.toSeq.distinct
+      val lookup = spark.read.parquet(files: _*)
+        .filter(col("event_id").isin(probes: _*))
+        .select(lit("lookup").as("section"),
+          col("event_id").cast("string").as("k"),
+          col("cents").as("a"), nul.as("b"), nul.as("c"))
+      retention.unionByName(range).unionByName(lookup)
+        .orderBy(col("section"), col("k"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st18's staged source: the union of the columns the three zones
+    * consume (sketch: day/user_id; stats+bloom: event_id; the range
+    * aggregate: event_type/cents), split on the id RANGE like st15's —
+    * time-ordered ingest lands each batch's files range-disjoint, which
+    * is what makes the min/max skipping assertable.
+    */
+  private def stagedAllZonesSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st18src:$dir", sourceFingerprint(s"$dir/events.parquet")) {
+      val events = graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), to_date(col("ts")).as("day"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val half = events.agg(max(col("event_id"))).head().getLong(0) / 2
+      val d = scratchDir("st18src")
+      stageSingleFile(events.filter(col("event_id") < half), d, "a.parquet")
+      stageSingleFile(events, d, "b.parquet")
+      (d.toString, events.schema)
+    }
 
   /** c3: the lakehouse MAINTENANCE WEEKEND end-to-end — the composition
     * the round-8 pieces exist for, run as one pipeline: (1) checkpointed
