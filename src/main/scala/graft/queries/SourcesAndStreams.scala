@@ -258,6 +258,15 @@ object SourcesAndStreams {
   def st17StreamBloom(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamBloomZone(spark, dir)
 
+  /** ONE ingest stream maintaining ALL the zones (sketch + min/max
+    * stats + bloom) at a single micro-batch machinery cost, answering
+    * all three read shapes from the stored zones with real skipping
+    * asserted; the oracle is the UNION of st13/st15/st17's oracle SQL,
+    * so a hash match here ≡ matching each independent maintainer.
+    */
+  def st18StreamAllZones(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamAllZones(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -687,6 +696,7 @@ object SourcesAndStreams {
     "st15_stream_zonemap" -> (st15StreamZonemap _),
     "st16_stream_cdc" -> (st16StreamCdc _),
     "st17_stream_bloom" -> (st17StreamBloom _),
+    "st18_stream_all_zones" -> (st18StreamAllZones _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -703,6 +713,29 @@ object SourcesAndStreams {
     * (the full maintenance pipeline) must reproduce from their rewritten
     * copies.
     */
+  /** st15's oracle — the lower-quarter range aggregate; shared with
+    * st18's `range` section so the two gates cannot drift.
+    */
+  private val zonemapRangeOracleSql: String =
+    """WITH m AS (SELECT max(event_id) // 4 AS hi FROM events)
+      |SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events, m
+      |WHERE event_id >= 0 AND event_id <= m.hi
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** st17's oracle — the decile point lookups; shared with st18's
+    * `lookup` section so the two gates cannot drift.
+    */
+  private val bloomLookupOracleSql: String =
+    """WITH m AS (SELECT max(event_id) AS mx FROM events),
+      |p AS (SELECT DISTINCT (r.i * m.mx) // 10 AS id
+      |      FROM m, range(1, 10) r(i))
+      |SELECT e.event_id, e.event_type,
+      |  CAST(round(e.value * 100) AS BIGINT) AS cents
+      |FROM events e JOIN p ON e.event_id = p.id
+      |ORDER BY e.event_id""".stripMargin
+
   private val zorderBoxOracleSql: String =
     """SELECT count(*) AS n_box,
       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_box,
@@ -825,13 +858,7 @@ object SourcesAndStreams {
         |FROM base b FULL OUTER JOIN last l ON b.key = l.key
         |WHERE l.key IS NULL OR l.op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
-    "st15_stream_zonemap" ->
-      """WITH m AS (SELECT max(event_id) // 4 AS hi FROM events)
-        |SELECT event_type, count(*) AS cnt,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events, m
-        |WHERE event_id >= 0 AND event_id <= m.hi
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st15_stream_zonemap" -> zonemapRangeOracleSql,
     // s13 reads its box through zone-map file pruning over the
     // z-ordered copy; the oracle reads the original table — equality
     // proves the pruned file set misses nothing.
@@ -860,14 +887,23 @@ object SourcesAndStreams {
         |ORDER BY e.event_id""".stripMargin,
     // st17: the STREAMED bloom zone answers the same probes over the
     // merged table (s14's contract through the maintenance loop)
-    "st17_stream_bloom" ->
-      """WITH m AS (SELECT max(event_id) AS mx FROM events),
-        |p AS (SELECT DISTINCT (r.i * m.mx) // 10 AS id
-        |      FROM m, range(1, 10) r(i))
-        |SELECT e.event_id, e.event_type,
-        |  CAST(round(e.value * 100) AS BIGINT) AS cents
-        |FROM events e JOIN p ON e.event_id = p.id
-        |ORDER BY e.event_id""".stripMargin,
+    "st17_stream_bloom" -> bloomLookupOracleSql,
+    // st18: the combined maintainer must reproduce the SAME truth as
+    // the three independent ones — its oracle is the UNION of st13's
+    // (retention), st15's (stats-planned range) and st17's (bloom
+    // lookups) oracle SQL, shared vals so the four gates cannot drift
+    "st18_stream_all_zones" ->
+      s"""SELECT 'retention' AS section, day AS k,
+         |  active_users AS a, retained_users AS b, churned_users AS c
+         |FROM (${Relational.retentionOracleSql})
+         |UNION ALL
+         |SELECT 'range', event_type, cnt, sum_cents, CAST(NULL AS BIGINT)
+         |FROM ($zonemapRangeOracleSql)
+         |UNION ALL
+         |SELECT 'lookup', CAST(event_id AS VARCHAR), cents,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM ($bloomLookupOracleSql)
+         |ORDER BY section, k""".stripMargin,
     // c3: the maintained, rewritten, stats-planned lake must land on the
     // SAME box as the original table — shared with q46 so the two gates
     // cannot drift
