@@ -220,6 +220,35 @@ class MultimodalSpec extends SparkSpec {
     assert(blocked == brute) // exact recall, same machinery as d11/d16
   }
 
+  test("pHash golden fixtures: committed PNGs hash to independently computed constants") {
+    // m5/d16 are `no_oracle` forever (DuckDB cannot decode PNG), so this
+    // is their strongest local pin — the m6 discipline applied to m5:
+    // committed PNG bytes asserted bit-exact against 64-bit hashes that
+    // were computed ONCE by an independent pure-python implementation
+    // (pixel grids regenerated from the fixtures' formulas — never
+    // through the JDK decoder — then the same integer-luma block
+    // average, double DCT-II, and DC-excluded median cut). Both
+    // implementations agreeing on all six values pins the whole path:
+    // PNG encode → decode → downscale → DCT → threshold.
+    val golden = Seq(
+      "grad_32x32_1.png" -> 7798996064741726257L,
+      "grad_40x28_3.png" -> -5909190748943605407L,
+      "grad_47x31_5.png" -> 909365326941612481L,
+      "grad_21x19_123.png" -> 4763351525700250697L,
+      "grad_64x48_77.png" -> 7823828783566004805L,
+      "checker_40x28.png" -> 67176770266901227L)
+    for ((name, expected) <- golden) {
+      val in = getClass.getResourceAsStream(s"/phash-golden/$name")
+      assert(in != null, s"missing committed fixture $name")
+      val bytes = try in.readAllBytes() finally in.close()
+      assert(Multimodal.PHash.hash(bytes).contains(expected), name)
+    }
+    // and the committed gradient bytes still decode to the same pixels
+    // pngBytes generates today (fixture ↔ generator coherence)
+    val regen = Multimodal.pngBytes(40, 28, 3L)
+    assert(Multimodal.PHash.hash(regen).contains(-5909190748943605407L))
+  }
+
   test("phashImages: corrupt payloads flagged, hashes deterministic across runs") {
     val docs = (0L to 20L).map(id => (id, s"document body $id")).toDF("doc_id", "text")
     def run() = Multimodal.phashImages(Multimodal.asMedia(docs))
