@@ -269,4 +269,68 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Deterministic integer k-means (Lloyd) over the embedding column —
+    * the PARTITIONAL clustering the curation stack lacks: d15's
+    * connected components give transitive near-dup groups, k-means
+    * gives a fixed-k semantic partition (topic bucketing for mixture
+    * weights, per-cluster sampling quotas, coverage audits). Float
+    * k-means can never hash-match an oracle (mean order, FP distance
+    * ties), so everything runs in exact integer space:
+    * vectors quantize to longs via `floor((x + 1) * 2^20)` (the +1
+    * shift keeps every value positive, so floor ≡ the truncation both
+    * engines apply and centroid division cannot straddle zero; 2^20 is
+    * a power of two, so the double multiply is IEEE-exact), distances
+    * are exact long sums of squared diffs, centroids recompute as
+    * `sum div count`, and assignment ties break on the lower cluster
+    * id. Initialization is the first k vectors in id order.
+    *
+    * Scale shape: the per-iteration hot path is ONE narrow scan — the
+    * k distance expressions are codegen'd zip_with/aggregate folds
+    * against LITERAL centroid arrays (k·dims longs, rebuilt on the
+    * driver each round exactly like a watermark read), so the corpus
+    * never shuffles for assignment; the centroid recompute is a
+    * posexplode + partial-aggregated groupBy(cid, dim) whose exchange
+    * carries k·dims rows per partition, and the k·dims result rows
+    * come back to the driver (KBs). Empty clusters keep their previous
+    * centroid. `iters` is fixed (Lloyd converges fast and the oracle
+    * CTE chain is generated from the same bound, the q58 discipline).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
+        .as("qv"))
+    var cents: Seq[Array[Long]] = q.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => r.getSeq[Long](1).toArray).toSeq
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+        val lc = array(c.toSeq.map(lit(_)): _*)
+        struct(
+          aggregate(zip_with(col("qv"), lc, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(cid.toLong).as("cid"))
+      }: _*))
+      assigned = q.select(col("vec_id"), col("qv"),
+        best.getField("dist").as("dist"), best.getField("cid").as("cid"))
+      if (it < iters) {
+        val sums = assigned
+          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byC = sums.groupBy(_.getLong(0))
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          byC.get(cid.toLong).fold(old) { rows =>
+            val next = old.clone()
+            rows.foreach(r => next(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            next
+          }
+        }
+      }
+    }
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("ssd"))
+      .orderBy(col("cid"))
+  }
 }

@@ -1103,6 +1103,73 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic integer k-means over the embeddings (d18) — the
+    * partitional-clustering member of the similarity family (d15's
+    * connected components are the transitive near-dup groups; this is
+    * the fixed-k semantic partition for mixture weights and
+    * per-cluster quotas). See [[graft.operators.Similarity.kmeans]]
+    * for the exact-arithmetic design; the oracle replays the same
+    * three Lloyd rounds as a generated CTE chain (the q58 discipline:
+    * one loop bound feeds both engines, so iteration counts cannot
+    * drift).
+    */
+  def d18Kmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeans(Tables(spark, dir, "embeddings"))
+
+  /** Token-budget training-mix builder (c5): the data-mixing step every
+    * pretraining pipeline runs after scoring — per source, keep the
+    * highest-quality documents until that source's token budget is
+    * spent, then report the mix. Composes x3's quality score (same
+    * formula, bit-identical doubles) with x12's token counting and a
+    * per-source greedy budget cut; the budget derives from the corpus
+    * itself (half the mean per-source token mass), so the operator has
+    * no magic numbers to drift from the oracle.
+    *
+    * Scale shape: scoring is a narrow codegen'd projection; the
+    * selection is ONE exchange on source with a per-source
+    * quality-ordered running-sum window (sources partition the corpus,
+    * so the sort parallelizes across them — and a selection much
+    * smaller than a giant source could bound it further with x20's
+    * histogram prune at quality altitude); the budget is a scalar agg
+    * (driver-side watermark-scale read). Greedy-prefix semantics:
+    * a document is kept iff the running total INCLUDING it fits the
+    * budget — deterministic under the (score desc, doc_id) total
+    * order on both engines.
+    */
+  def c5TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val docs = Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        length(t).cast("long").as("n_chars_len"),
+        TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
+        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
+      // x3's exact formula and op order — bit-identical doubles, so the
+      // (score desc, doc_id) sort order agrees across engines
+      .withColumn("quality_score",
+        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
+          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
+          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
+          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    val scalars = docs
+      .agg(sum(col("n_tokens")), countDistinct(col("source"))).head()
+    val budget = scalars.getLong(0) / (2L * scalars.getLong(1))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("mix_tokens"),
+        min(col("quality_score")).as("cut_quality"))
+      .orderBy(col("source"))
+  }
+
   /** Int8 scalar quantization of the embedding column (the memory-side
     * half of IVF-PQ-style ANN): per-dimension corpus min/max, then each
     * value to its 0..255 code. Stats are one partial-aggregated shuffle
@@ -1136,6 +1203,8 @@ object TrainingData {
     "x20_group_sample" -> (x20GroupSample _),
     "c2_training_corpus" -> (c2TrainingCorpus _),
     "x12_sequence_pack" -> (x12SequencePack _),
+    "c5_training_mix" -> (c5TrainingMix _),
+    "d18_kmeans" -> (d18Kmeans _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -1177,6 +1246,40 @@ object TrainingData {
     "x2_lang_id" -> (x2LangId _),
     "x3_quality_score" -> (x3QualityScore _),
     "x4_fingerprint" -> (x4Fingerprint _))
+
+  /** d18's oracle: the same `iters` integer Lloyd rounds as chained
+    * CTEs — assignment (argmin with lower-cid tiebreak), centroid
+    * recompute (`sum // count`, empty clusters keep the previous
+    * centroid), generated from one loop bound so the two engines'
+    * iteration counts cannot drift (the q58 discipline). All values
+    * are positive longs (the +1 quantization shift), so DuckDB's `//`
+    * and Spark's driver-side long division agree.
+    */
+  private val kmeansOracleSql: String = {
+    val iterations = (1 to 3).map { i =>
+      s"""d$i AS (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM q JOIN c${i - 1} c USING (dim) GROUP BY q.vec_id, c.cid),
+         |a$i AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |c$i AS (SELECT c.cid, c.dim, CAST(coalesce(n.s // n.n, c.c) AS BIGINT) AS c
+         |  FROM c${i - 1} c LEFT JOIN (
+         |    SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
+         |    FROM a$i a JOIN q USING (vec_id) GROUP BY a.cid, q.dim) n
+         |  ON n.cid = c.cid AND n.dim = c.dim)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+       |  FROM embeddings),
+       |init AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+       |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY q.vec_id) - 1 AS BIGINT) AS cid,
+       |    q.dim, q.v AS c
+       |  FROM q JOIN init USING (vec_id)),
+       |$iterations
+       |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS ssd
+       |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   private val grams3 =
     """tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
@@ -1833,6 +1936,39 @@ object TrainingData {
         |    WHEN hits_fr >= hits_zh THEN 'fr'
         |    ELSE 'zh' END AS predicted_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // d18: the same three integer Lloyd rounds as a generated CTE chain
+    // — one loop bound feeds both engines (the q58 discipline)
+    "d18_kmeans" -> kmeansOracleSql,
+    // c5: x3's score formula + per-source greedy budget cut; the budget
+    // derives from the corpus (half the mean per-source token mass)
+    "c5_training_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars_len,
+        |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS stop_cnt
+        |  FROM documents),
+        |s AS (SELECT q.*,
+        |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+        |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+        |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+        |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+        |      AS quality_score
+        |  FROM q),
+        |b AS (SELECT CAST(sum(n_tokens) // (2 * count(DISTINCT source)) AS BIGINT)
+        |        AS budget FROM s),
+        |r AS (SELECT source, doc_id, n_tokens, quality_score,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY quality_score DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS mix_tokens,
+        |  min(quality_score) AS cut_quality
+        |FROM r, b WHERE r.cum <= b.budget
+        |GROUP BY source ORDER BY source""".stripMargin,
     "x3_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars_len,
         |  CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantics of [[Similarity.kmeans]] beyond the oracle hash: cluster
+  * sizes partition the corpus, Lloyd's objective is (rounding-slack)
+  * monotone across rounds, results are deterministic across runs, and
+  * the assignment hot path never joins or shuffles the corpus.
+  */
+class KmeansSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("cluster sizes partition the corpus; ssd monotone; deterministic") {
+    val n = emb.count()
+    def run(iters: Int) = Similarity.kmeans(emb, 8, iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val r3 = run(3)
+    assert(r3.map(_._2).sum == n, "members must partition the corpus")
+    assert(r3.map(_._1).distinct.size == r3.size)
+    // Lloyd monotonicity with integer-centroid slack: each round's
+    // floored mean is within 1 of the true minimizer per dimension, so
+    // the objective can exceed exact-Lloyd's by at most ~n·dims
+    val ssd = (1 to 3).map(i => run(i).map(_._3).sum)
+    val slack = n * 64
+    assert(ssd(1) <= ssd(0) + slack, s"round 2 ssd ${ssd(1)} > ${ssd(0)} + $slack")
+    assert(ssd(2) <= ssd(1) + slack, s"round 3 ssd ${ssd(2)} > ${ssd(1)} + $slack")
+    assert(run(3) == r3, "re-run must reproduce identical clusters")
+  }
+
+  test("assignment path has no Join and no corpus-sized Exchange") {
+    val p = Similarity.kmeans(emb, 8, 3).queryExecution.executedPlan.toString
+    // distances are literal-centroid folds over a narrow scan: the
+    // corpus is never joined; the only exchanges are the k-row final
+    // aggregate and the k-row output sort
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of [[TrainingData.c5TrainingMix]] beyond the oracle hash:
+  * the selection is exactly the maximal greedy prefix of each source's
+  * quality-ordered document list under the corpus-derived token budget —
+  * pinned against an in-memory reference built from x3's scores.
+  */
+class TrainingMixSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("c5 equals the in-memory greedy prefix per source") {
+    val mix = TrainingData.c5TrainingMix(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // independent reference: x3's scored docs + the documents table's
+    // source column, greedily folded in memory
+    val scored = TrainingData.x3QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bySource = scored.groupBy(_._1)
+    val budget = scored.map(_._3).sum / (2L * bySource.size)
+    val expected = bySource.map { case (src, docs) =>
+      val ordered = docs.sortBy(d => (-d._4, d._2))
+      var cum = 0L
+      val kept = ordered.takeWhile { d => cum += d._3; cum <= budget }
+      src -> kept
+    }
+    for ((src, kept) <- expected) {
+      val (nDocs, tokens, cutQ) = mix(src)
+      assert(nDocs == kept.length, s"$src: n_docs $nDocs != ${kept.length}")
+      assert(tokens == kept.map(_._3).sum, s"$src: token mismatch")
+      assert(cutQ == kept.map(_._4).min, s"$src: cut_quality mismatch")
+      assert(tokens <= budget, s"$src: budget exceeded")
+      // maximality: the best unselected doc cannot fit
+      val nextBest = bySource(src).sortBy(d => (-d._4, d._2)).drop(kept.length).headOption
+      nextBest.foreach(d =>
+        assert(tokens + d._3 > budget, s"$src: greedy prefix not maximal"))
+    }
+    assert(mix.keySet == expected.keySet)
+  }
+}
