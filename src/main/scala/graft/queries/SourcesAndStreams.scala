@@ -354,7 +354,9 @@ object SourcesAndStreams {
     *      layout streaming ingest produces for free;
     *   2. zone-map stats on `cardano_transactions.block_height` and a
     *      bloom zone on `cardano_tx_utxo_input.hash` (the reference's
-    *      PKs are hex-hash STRINGS — the string-probe bloom path);
+    *      PKs are hex-hash STRINGS — the string-probe bloom path),
+    *      MAINTAINED incrementally: each backfill slice is followed by
+    *      delta-only zone appends, with the append path asserted taken;
     *   3. the query: a height window (31-60) planned from the STATS
     *      table (early batches' files provably skipped, asserted), its
     *      tx hashes fanned out against the input table through the
@@ -382,14 +384,29 @@ object SourcesAndStreams {
         new Watermarks(spark, s"$root/status"),
         new BlockfrostSource.FixtureBackend,
         batchSize = 15)
-      pipelines.runFull(1, 60)
-      // zones AFTER the load completes: the stats snapshot the final
-      // file set (the single-writer discipline ZoneMap's staleness
-      // guard enforces; st15/st17 are the per-batch streaming twins)
-      ZoneMap.buildStats(spark, s"$root/warehouse/cardano_transactions",
-        s"$root/tx_stats", Seq("block_height"))
-      ZoneMap.buildBlooms(spark, s"$root/warehouse/cardano_tx_utxo_input",
-        s"$root/in_bloom", "hash", 1024)
+      // zones MAINTAINED per ingest slice, not built once at the end:
+      // after each backfill slice lands its delta files, the stats and
+      // bloom appends cover exactly the never-covered files (st15/st17's
+      // only-the-delta discipline on the batch path — the backfill's
+      // upserts are append-only, so the zones stay exact under the
+      // staleness guard); later slices MUST take the append path, and
+      // that is asserted, not assumed
+      val txDir = s"$root/warehouse/cardano_transactions"
+      val inDir = s"$root/warehouse/cardano_tx_utxo_input"
+      Seq((1L, 15L), (16L, 30L), (31L, 45L), (46L, 60L)).foreach { case (a, b) =>
+        pipelines.runFull(a, b)
+        if (graft.core.Fs.exists(spark, s"$root/tx_stats")) {
+          val fresh = ZoneMap.appendStats(spark, txDir, s"$root/tx_stats",
+            Seq("block_height"))
+          require(fresh > 0, s"slice $a-$b appended no tx stats files")
+          val freshB = ZoneMap.appendBlooms(spark, inDir, s"$root/in_bloom",
+            "hash", 1024)
+          require(freshB > 0, s"slice $a-$b appended no bloom files")
+        } else {
+          ZoneMap.buildStats(spark, txDir, s"$root/tx_stats", Seq("block_height"))
+          ZoneMap.buildBlooms(spark, inDir, s"$root/in_bloom", "hash", 1024)
+        }
+      }
       root
     }
     val txDir = s"$wh/warehouse/cardano_transactions"

@@ -543,6 +543,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("c5: mix selection rides ONE source exchange — score, window, cut, and rollup") {
+    val p = plan("c5_training_mix")
+    // the quality-ordered running sum, the budget filter, and the
+    // per-source rollup all key on source — the window's hash exchange
+    // must serve every one of them
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
