@@ -29,6 +29,46 @@ class KmeansSpec extends SparkSpec {
     assert(run(3) == r3, "re-run must reproduce identical clusters")
   }
 
+  test("clusters equal an in-memory Lloyd reference (quantize, assign, recompute)") {
+    // triple pin: the Spark result, the DuckDB oracle, and this
+    // in-memory fold must all agree — replicate the operator's exact
+    // contract (positive-shift quantization, long squared distances,
+    // lower-cid tiebreak, sum-div-count centroids, empty keeps old)
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor((x.toDouble + 1.0) * 1048576.0).toLong)
+    }
+    var cents = q.take(8).map(_._2.clone())
+    var assign: Map[Long, (Int, Long)] = Map.empty
+    for (it <- 1 to 3) {
+      assign = q.map { case (id, v) =>
+        val byDist = cents.zipWithIndex.map { case (c, cid) =>
+          (v.zip(c).map { case (a, b) => val d = a - b; d * d }.sum, cid)
+        }
+        val (d, cid) = byDist.min
+        id -> (cid, d)
+      }.toMap
+      if (it < 3) {
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          val members = q.filter { case (id, _) => assign(id)._1 == cid }
+          if (members.isEmpty) old
+          else {
+            val n = members.length
+            Array.tabulate(64)(d => members.map(_._2(d)).sum / n)
+          }
+        }
+      }
+    }
+    val expected = assign.values.groupBy(_._1).map { case (cid, m) =>
+      cid.toLong -> (m.size.toLong, m.map(_._2).sum)
+    }
+    val got = Similarity.kmeans(emb, 8, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("assignment path has no Join and no corpus-sized Exchange") {
     val p = Similarity.kmeans(emb, 8, 3).queryExecution.executedPlan.toString
     // distances are literal-centroid folds over a narrow scan: the
