@@ -109,6 +109,55 @@ object TrainingData {
     Similarity.batchTopK(Tables(spark, dir, "embeddings"), k = 3)
       .orderBy(col("vec_id"), col("nn_rank"))
 
+  /** Hybrid retrieval (c6): the RAG read path composed end-to-end —
+    * dense candidate generation then lexical passage re-rank, the
+    * two-stage shape every retrieval deployment runs:
+    *
+    *   1. vector leg: SRP-LSH top-20 candidates for the vec_id=0 query
+    *      ([[graft.operators.Similarity.lshTopK]] — d6's operator, k
+    *      widened for recall; candidate generation is the cheap,
+    *      high-recall stage);
+    *   2. lexical leg: the query TERMS are doc 0's top-3 non-stopword
+    *      tokens (count desc, token asc — derived from the data, no
+    *      magic strings; a 3-row driver read);
+    *   3. only the ~k candidate documents are chunked (x18's tiling
+    *      behind a broadcast semi-join — the corpus is never chunked
+    *      for a query) and each passage scores
+    *      `Σ_t occurrences(t, chunk)` — exact integer hits, the
+    *      deterministic stand-in for BM25's tf term (idf needs
+    *      transcendentals that cannot hash-match across engines);
+    *   4. hybrid rank: (hits desc, cos_sim desc, doc, chunk) top-10 —
+    *      TakeOrderedAndProject, never a global sort.
+    *
+    * Scale shape: the candidate set is k rows (broadcast); chunking
+    * and scoring are codegen'd projections over k documents; the only
+    * corpus-sized work is the LSH leg, whose bucket-probe plan is
+    * d6's. At 100 TB the retrieval cost is the candidate scan, not the
+    * corpus.
+    */
+  def c6HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val docs = Tables(spark, dir, "documents")
+    val cand = Similarity.lshTopK(emb, queryVec(spark, dir), 20)
+    val stopWords = TextOps.langMarkers.head._2
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(!col("w").isInCollection(stopWords))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(3)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+    val candDocs = docs.join(
+      broadcast(cand.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    val hits = terms.map(t =>
+      size(filter(split(col("chunk"), " "), x => x === lit(t))).cast("long"))
+      .reduce(_ + _)
+    chunkTiles(candDocs, 32, 24)
+      .join(broadcast(cand.withColumnRenamed("vec_id", "doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), hits.as("hits"), col("cos_sim"))
+      .orderBy(col("hits").desc, col("cos_sim").desc, col("doc_id"), col("chunk_idx"))
+      .limit(10)
+  }
+
   /** Near-dup cluster resolution: connected components over the verified
     * LSH pairs (d8's output), yielding one canonical keeper per cluster —
     * the step that turns pair lists into actual row drops. See
@@ -1241,11 +1290,43 @@ object TrainingData {
     "d11_simhash_pairs" -> (d11SimhashPairs _),
     "d5_cosine_topk" -> (d5CosineTopk _),
     "d6_ann_lsh" -> (d6AnnLsh _),
+    "c6_hybrid_retrieval" -> (c6HybridRetrieval _),
     "d13_batch_ann" -> (d13BatchAnn _),
     "x1_token_stats" -> (x1TokenStats _),
     "x2_lang_id" -> (x2LangId _),
     "x3_quality_score" -> (x3QualityScore _),
     "x4_fingerprint" -> (x4Fingerprint _))
+
+  /** d6's oracle, k-parameterized: the SRP-LSH bucket/probe derivation
+    * with the plane count re-derived from the corpus size, top-k by
+    * (cos_sim desc, vec_id). Shared by d6 (k=10) and c6's candidate
+    * stage (k=20) so the two gates cannot drift.
+    */
+  private def lshTopKOracleSql(k: Int): String =
+    s"""WITH np AS (
+       |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
+       |  WHERE p >= 4 AND (CAST(32 AS BIGINT) << p) >= (SELECT count(*) FROM embeddings)),
+       |planes AS (
+       |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
+       |                 ORDER BY i) AS w
+       |  FROM range(24) rp(p), range(64) ri(i), np WHERE p < np.np GROUP BY p),
+       |bucketed AS (
+       |  SELECT vec_id, embedding,
+       |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
+       |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+       |          FROM planes pl) AS bucket
+       |  FROM embeddings e),
+       |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT q.qvec, CASE WHEN r.p = np.np THEN q.qbucket
+       |                      ELSE xor(q.qbucket, CAST(1 AS BIGINT) << r.p) END AS pb
+       |  FROM q, np, range(25) r(p) WHERE r.p <= np.np)
+       |SELECT b.vec_id,
+       |  list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])) /
+       |  (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) *
+       |   sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])))) AS cos_sim
+       |FROM bucketed b JOIN probes pr ON b.bucket = pr.pb
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
 
   /** d18's oracle: the same `iters` integer Lloyd rounds as chained
     * CTEs — assignment (argmin with lower-cid tiebreak), centroid
@@ -1858,31 +1939,34 @@ object TrainingData {
         |   sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cos_sim
         |FROM embeddings e, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
-    "d6_ann_lsh" ->
-      s"""WITH np AS (
-         |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
-         |  WHERE p >= 4 AND (CAST(32 AS BIGINT) << p) >= (SELECT count(*) FROM embeddings)),
-         |planes AS (
-         |  SELECT p, list((${h60sql.format("'plane' || p || ':' || i")} % 2001 - 1000) / 1000.0
-         |                 ORDER BY i) AS w
-         |  FROM range(24) rp(p), range(64) ri(i), np WHERE p < np.np GROUP BY p),
-         |bucketed AS (
-         |  SELECT vec_id, embedding,
-         |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
-         |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
-         |          FROM planes pl) AS bucket
-         |  FROM embeddings e),
-         |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
-         |probes AS (
-         |  SELECT q.qvec, CASE WHEN r.p = np.np THEN q.qbucket
-         |                      ELSE xor(q.qbucket, CAST(1 AS BIGINT) << r.p) END AS pb
-         |  FROM q, np, range(25) r(p) WHERE r.p <= np.np)
-         |SELECT b.vec_id,
-         |  list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])) /
-         |  (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) *
-         |   sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]), CAST(pr.qvec AS DOUBLE[])))) AS cos_sim
-         |FROM bucketed b JOIN probes pr ON b.bucket = pr.pb
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "d6_ann_lsh" -> lshTopKOracleSql(10),
+    // c6: d6's candidate derivation (k widened to 20) + x18's chunk
+    // tiling over the candidates only + exact integer term hits — the
+    // hybrid rank reproduces the engine's two-stage retrieval
+    "c6_hybrid_retrieval" ->
+      ("WITH cand AS (SELECT * FROM (" + lshTopKOracleSql(20) + ")),\n" +
+        """qt AS (
+          |  SELECT w FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+          |    FROM documents WHERE doc_id = 0)
+          |  WHERE w NOT IN ('the','and','of','to','in','is')
+          |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 3),
+          |tok AS (SELECT d.doc_id, regexp_extract_all(lower(d.text), '\w+') AS toks
+          |        FROM documents d JOIN cand ON cand.vec_id = d.doc_id),
+          |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          |st AS (SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 24)) AS strt
+          |       FROM s),
+          |ch AS (SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_idx,
+          |         toks[strt + 1 : least(strt + 32, n)] AS chunk_toks
+          |       FROM st),
+          |sc AS (SELECT ch.doc_id, ch.chunk_idx,
+          |         CAST((SELECT coalesce(sum(len(list_filter(ch.chunk_toks, x -> x = qt.w))), 0)
+          |               FROM qt) AS BIGINT) AS hits,
+          |         cand.cos_sim
+          |       FROM ch JOIN cand ON cand.vec_id = ch.doc_id)
+          |SELECT doc_id, chunk_idx, hits, cos_sim
+          |FROM sc ORDER BY hits DESC, cos_sim DESC, doc_id, chunk_idx
+          |LIMIT 10""".stripMargin),
     "d13_batch_ann" ->
       s"""WITH np AS (
          |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
