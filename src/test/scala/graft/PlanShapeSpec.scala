@@ -552,6 +552,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("c6: candidates broadcast; corpus chunks only behind the semi-join; top-10 is TakeOrderedAndProject") {
+    val p = plan("c6_hybrid_retrieval")
+    // the k-row candidate set must broadcast into BOTH the chunking
+    // semi-join and the score join — the corpus never shuffles to meet
+    // a 20-row retrieval set
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
