@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector dot product.
   *
@@ -61,6 +61,61 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the integer squared Euclidean
+  * distance between two `array<bigint>` vectors — [[DotProduct]]'s
+  * sibling for the EXACT-arithmetic k-means path
+  * ([[graft.operators.Similarity.kmeans]]): the higher-order
+  * `aggregate(zip_with(...))` formulation interprets the lambda per
+  * element and breaks whole-stage codegen, which matters when the
+  * expression runs k times per row per Lloyd round. Accumulation is
+  * sequential in array order; all arithmetic is exact long math (the
+  * caller's quantization bounds rule out overflow), so the result is
+  * bit-identical to the fold and to the oracle's SQL sum — pinned in
+  * KmeansSpec.
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must already be array<bigint>; [[VectorExpressions.sqdist]]
+  // inserts the casts.
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `SparkSessionExtensions` entry point: lets deployments wire the graft
   * functions at session build time
   * (`.withExtensions(new GraftExtensions)` or
@@ -76,6 +131,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier(VectorExpressions.DotName),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, VectorExpressions.DotName),
       { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
+    e.injectFunction((
+      FunctionIdentifier(VectorExpressions.SqDistName),
+      new ExpressionInfo(classOf[LongSqDist].getCanonicalName, VectorExpressions.SqDistName),
+      { exprs: Seq[Expression] => LongSqDist(exprs(0), exprs(1)) }))
     e.injectFunction((
       FunctionIdentifier(TextExpressions.TokensName),
       new ExpressionInfo(classOf[WordTokens].getCanonicalName, TextExpressions.TokensName),
@@ -103,17 +162,29 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object VectorExpressions {
 
   val DotName = "graft_dot"
+  val SqDistName = "graft_sqdist"
 
   /** Idempotent per-session registration (temp function registry). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SqDistName,
+      { exprs: Seq[Expression] => LongSqDist(exprs(0), exprs(1)) },
+      "built-in")
+  }
 
   /** Codegen'd dot product; caller must have called [[register]] on the
     * session owning these columns.
     */
   def dotp(a: Column, b: Column): Column =
     call_function(DotName, a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Codegen'd integer squared distance (see [[LongSqDist]]); caller
+    * must have called [[register]] on the session owning these columns.
+    */
+  def sqdist(a: Column, b: Column): Column =
+    call_function(SqDistName, a.cast("array<bigint>"), b.cast("array<bigint>"))
 }

@@ -286,9 +286,13 @@ object Similarity {
     * id. Initialization is the first k vectors in id order.
     *
     * Scale shape: the per-iteration hot path is ONE narrow scan — the
-    * k distance expressions are codegen'd zip_with/aggregate folds
-    * against LITERAL centroid arrays (k·dims longs, rebuilt on the
-    * driver each round exactly like a watermark read), so the corpus
+    * k distance expressions are [[graft.functions.LongSqDist]] native
+    * codegen'd primitive loops (NOT interpreted zip_with/aggregate
+    * folds — a higher-order function breaks whole-stage codegen, which
+    * compounds at k expressions per row per round; bit-equality with
+    * the fold is pinned in KmeansSpec) against LITERAL centroid arrays
+    * (k·dims longs, rebuilt on the driver each round exactly like a
+    * watermark read), so the corpus
     * never shuffles for assignment; the centroid recompute is a
     * posexplode + partial-aggregated groupBy(cid, dim) whose exchange
     * carries k·dims rows per partition, and the k·dims result rows
@@ -297,6 +301,7 @@ object Similarity {
     * CTE chain is generated from the same bound, the q58 discipline).
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    ensure(embeddings.sparkSession)
     val q = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
         .as("qv"))
@@ -307,8 +312,7 @@ object Similarity {
       val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
         val lc = array(c.toSeq.map(lit(_)): _*)
         struct(
-          aggregate(zip_with(col("qv"), lc, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
+          VectorExpressions.sqdist(col("qv"), lc).as("dist"),
           lit(cid.toLong).as("cid"))
       }: _*))
       assigned = q.select(col("vec_id"), col("qv"),

@@ -69,6 +69,21 @@ class KmeansSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("LongSqDist equals the interpreted fold bit-for-bit on every corpus vector") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val q = emb.selectExpr("vec_id",
+      "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D)) AS qv")
+    val c = q.orderBy(col("vec_id")).limit(1).collect()(0).getSeq[Long](1)
+    val lc = array(c.map(lit(_)): _*)
+    val mismatch = q.select(
+      graft.functions.VectorExpressions.sqdist(col("qv"), lc).as("native"),
+      aggregate(zip_with(col("qv"), lc, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(mismatch == 0)
+  }
+
   test("assignment path has no Join and no corpus-sized Exchange") {
     val p = Similarity.kmeans(emb, 8, 3).queryExecution.executedPlan.toString
     // distances are literal-centroid folds over a narrow scan: the
