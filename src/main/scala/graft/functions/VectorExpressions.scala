@@ -72,6 +72,13 @@ case class DotProduct(left: Expression, right: Expression)
   * caller's quantization bounds rule out overflow), so the result is
   * bit-identical to the fold and to the oracle's SQL sum — pinned in
   * KmeansSpec.
+  *
+  * Contract (matches the fold): mismatched array lengths return NULL
+  * (zip_with pads the shorter side with nulls, which nulls the fold's
+  * sum — a silently truncated partial distance would be worse than no
+  * answer). Element values must be non-null — the k-means quantization
+  * can't produce null elements, and unsafe array data has no cheap
+  * per-element null answer a tight loop should pay for.
   */
 case class LongSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -80,10 +87,13 @@ case class LongSqDist(left: Expression, right: Expression)
   // inserts the casts.
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -101,13 +111,17 @@ case class LongSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -301,6 +301,8 @@ object Similarity {
     * CTE chain is generated from the same bound, the q58 discipline).
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k > 0, s"kmeans needs k > 0 clusters (got $k)")
+    require(iters > 0, s"kmeans needs iters > 0 rounds (got $iters)")
     ensure(embeddings.sparkSession)
     val q = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")

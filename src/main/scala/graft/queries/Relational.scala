@@ -993,26 +993,21 @@ object Relational {
     (ranks, it)
   }
 
-  /** Session-lifetime staged layouts (the q64 bucketed edge table):
-    * the CREATE TABLE is setup, not the query — a production edge table
-    * already lives bucketed on the lake — so it happens once per JVM.
-    * Tables land in the scratch warehouse and vanish with it.
-    */
-  private val stagedLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The q58 edge table ON DISK, bucketed by src — staged once per
-    * (session, source dir). Spec seam: PageRankSpec iterates from this
-    * exact table.
+    * (session, source dir) via [[graft.core.StagedLayouts]] (the CREATE
+    * TABLE is setup, not the query — a production edge table already
+    * lives bucketed on the lake; session-keyed because the table lives
+    * in the session's scratch warehouse). Spec seam: PageRankSpec
+    * iterates from this exact table.
     */
   private[graft] def pagerankEdgeTable(spark: SparkSession, dir: String): String =
-    stagedLayouts.computeIfAbsent(s"q64edges|$dir", _ => {
+    graft.core.StagedLayouts.once(spark, s"q64edges|$dir") { () =>
       val t = "q64_edges_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(10)
       copurchaseEdgesDeg(spark, dir)
         .write.format("parquet").bucketBy(8, "src").saveAsTable(t)
       t
-    })
+    }
 
   /** Integer PageRank from a DISK-bucketed edge table (q64) — q58's
     * iteration with the edge layout a 100 TB deployment actually needs:

@@ -20,20 +20,13 @@ object SourcesAndStreams {
   private def scratch(prefix: String): String =
     graft.core.Scratch.dir(prefix) + "/data"
 
-  /** Session-lifetime staged layouts (partitioned copies, bucketed
-    * tables) keyed by (query, source dir): the layout write is SETUP —
-    * the production analogue is a table that already lives partitioned/
-    * bucketed on the lake — so it must happen once per JVM, not inside
-    * every (timed) query run. Values are scratch paths or table tags;
-    * scratch dirs are reaped at JVM exit, bucketed tables live in the
-    * scratch warehouse (Bench/Verify/specs all point
-    * spark.sql.warehouse.dir at scratch).
+  /** Session-lifetime staged layouts — see [[graft.core.StagedLayouts]]
+    * (shared with Relational's q64 edge table; session-identity-keyed
+    * so a fresh session re-stages its own catalog tables).
     */
-  private val stagedLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def stageOnce(key: String)(build: () => String): String =
-    stagedLayouts.computeIfAbsent(key, _ => build())
+  private def stageOnce(spark: SparkSession, key: String)(
+      build: () => String): String =
+    graft.core.StagedLayouts.once(spark, key)(build)
 
   /** S5: raw-zone JSON with explicit schema (multiLine-less JSON lines,
     * schema-on-read — no inference in prod paths). The JSON copy is a
@@ -44,7 +37,7 @@ object SourcesAndStreams {
   def s5JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
-    val path = stageOnce(s"s5json:$dir") { () =>
+    val path = stageOnce(spark, s"s5json:$dir") { () =>
       val p = scratch("s5json")
       src.write.mode(SaveMode.Overwrite).json(p)
       p
@@ -66,7 +59,7 @@ object SourcesAndStreams {
     val src = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
     // staged once per session — see s5JsonRoundtrip
-    val path = stageOnce(s"s6csv:$dir") { () =>
+    val path = stageOnce(spark, s"s6csv:$dir") { () =>
       val p = scratch("s6csv")
       src.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
       p
@@ -88,7 +81,7 @@ object SourcesAndStreams {
     val src = Tables(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
     // staged once per session — see s5JsonRoundtrip
-    val path = stageOnce(s"s9orc:$dir") { () =>
+    val path = stageOnce(spark, s"s9orc:$dir") { () =>
       val p = scratch("s9orc")
       src.write.mode(SaveMode.Overwrite).orc(p)
       p
@@ -113,7 +106,7 @@ object SourcesAndStreams {
     val src = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"))
     // staged once per session — see s5JsonRoundtrip
-    val path = stageOnce(s"s12xml:$dir") { () =>
+    val path = stageOnce(spark, s"s12xml:$dir") { () =>
       val p = scratch("s12xml")
       src.write.mode(SaveMode.Overwrite).option("rowTag", "customer").xml(p)
       p
@@ -375,7 +368,7 @@ object SourcesAndStreams {
   def c4CardanoSkipping(spark: SparkSession, dir: String): DataFrame = {
     import graft.cardano._
     import graft.operators.ZoneMap
-    val wh = stageOnce("c4wh") { () =>
+    val wh = stageOnce(spark, "c4wh") { () =>
       val root = scratch("c4")
       val pipelines = new Pipelines(
         spark,
@@ -457,7 +450,7 @@ object SourcesAndStreams {
     */
   def s10DynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = stageOnce(s"s10dpp|$dir") { () =>
+    val path = stageOnce(spark, s"s10dpp|$dir") { () =>
       val p = scratch("s10dpp")
       Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -469,7 +462,7 @@ object SourcesAndStreams {
     // filter on a non-key attribute — DPP keys off a selective predicate
     // in the build side's plan; an inline LocalRelation folds the filter
     // away and no pruning subquery is planned.
-    val dimPath = stageOnce(s"s10dim|$dir") { () =>
+    val dimPath = stageOnce(spark, s"s10dim|$dir") { () =>
       val p = scratch("s10dim")
       Tables.eventCategories.toDF("event_type", "category")
         .write.mode(SaveMode.Overwrite).parquet(p)
@@ -496,7 +489,7 @@ object SourcesAndStreams {
     * warehouse and vanish with the JVM.
     */
   def s11BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = stageOnce(s"s11|$dir") { () =>
+    val tag = stageOnce(spark, s"s11|$dir") { () =>
       val t = UUID.randomUUID().toString.replace("-", "").take(10)
       Tables(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
         .write.format("parquet").bucketBy(8, "o_custkey").saveAsTable(s"s11_orders_$t")
@@ -536,7 +529,7 @@ object SourcesAndStreams {
     * queries.
     */
   private def zorderedEventsCopy(spark: SparkSession, dir: String): String =
-    stageOnce(s"q46z:$dir") { () =>
+    stageOnce(spark, s"q46z:$dir") { () =>
       val p = scratch("q46z")
       val events = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
@@ -577,7 +570,7 @@ object SourcesAndStreams {
     * "top-spenders in a window" shape a 100 TB events table serves.
     */
   def q47Zorder3Compact(spark: SparkSession, dir: String): DataFrame = {
-    val path = stageOnce(s"q47z:$dir") { () =>
+    val path = stageOnce(spark, s"q47z:$dir") { () =>
       val p = scratch("q47z")
       val events = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
@@ -618,7 +611,7 @@ object SourcesAndStreams {
     */
   def s13ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
     val path = zorderedEventsCopy(spark, dir)
-    val statsDir = stageOnce(s"s13stats:$dir") { () =>
+    val statsDir = stageOnce(spark, s"s13stats:$dir") { () =>
       val sp = scratch("s13stats")
       graft.operators.ZoneMap.buildStats(spark, path, sp, Seq("user_id", "sec"))
       sp
@@ -655,7 +648,7 @@ object SourcesAndStreams {
     * opening a million files.
     */
   def s14BloomSkip(spark: SparkSession, dir: String): DataFrame = {
-    val frag = stageOnce(s"s14frag:$dir") { () =>
+    val frag = stageOnce(spark, s"s14frag:$dir") { () =>
       val p = scratch("s14frag")
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -664,7 +657,7 @@ object SourcesAndStreams {
         .write.mode(SaveMode.Overwrite).parquet(p)
       p
     }
-    val bloomDir = stageOnce(s"s14bloom:$dir") { () =>
+    val bloomDir = stageOnce(spark, s"s14bloom:$dir") { () =>
       val bp = scratch("s14bloom")
       val n = spark.read.parquet(frag).count()
       graft.operators.ZoneMap.buildBlooms(

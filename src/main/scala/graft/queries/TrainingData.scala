@@ -148,9 +148,13 @@ object TrainingData {
       .select(col("w")).collect().map(_.getString(0)).toSeq
     val candDocs = docs.join(
       broadcast(cand.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    // reduceOption: a query document that is missing, empty, or all
+    // stopwords yields zero terms — every passage then scores 0 hits
+    // (the oracle's coalesce(sum(...), 0) over an empty term set), it
+    // must not crash the plan build
     val hits = terms.map(t =>
       size(filter(split(col("chunk"), " "), x => x === lit(t))).cast("long"))
-      .reduce(_ + _)
+      .reduceOption(_ + _).getOrElse(lit(0L))
     chunkTiles(candDocs, 32, 24)
       .join(broadcast(cand.withColumnRenamed("vec_id", "doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("chunk_idx"), hits.as("hits"), col("cos_sim"))

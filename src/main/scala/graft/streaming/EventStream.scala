@@ -1325,10 +1325,13 @@ object EventStream {
         date_format(col("day"), "yyyy-MM-dd").as("k"),
         col("active").as("a"), col("retained").as("b"), col("churned").as("c"))
       val all = spark.read.parquet(target).inputFiles.length
+      // one metadata read anchors BOTH derived query parameters: the
+      // range bound (st15's read) and the lookup probes below
+      val maxFromStats = spark.read.parquet(stats)
+        .agg(max(col("max_event_id"))).head().getLong(0)
       // (2) the lower-quarter range aggregate through the stats plan
       // (st15's read), skipping asserted
-      val hi = spark.read.parquet(stats)
-        .agg(max(col("max_event_id"))).head().getLong(0) / 4
+      val hi = maxFromStats / 4
       val pruned = ZoneMap.prunedRead(spark, target, stats,
         Seq(("event_id", 0L, hi)))
       require(pruned.inputFiles.length < all,
@@ -1338,10 +1341,13 @@ object EventStream {
         .agg(count(lit(1)).as("a"), sum(col("cents")).as("b"))
         .select(lit("range").as("section"), col("event_type").as("k"),
           col("a"), col("b"), nul.as("c"))
-      // (3) decile point lookups through the bloom plan (st17's read)
-      val maxId = spark.read.parquet(target)
-        .agg(max(col("event_id"))).head().getLong(0)
-      val probes = (1L to 9L).map(i => i * maxId / 10).distinct
+      // (3) decile point lookups through the bloom plan (st17's read) —
+      // the probe anchor comes from the STATS ZONE, not a table scan:
+      // max(max_event_id) over #files rows equals the table max (the
+      // staleness guard proves the stats cover every file), and "from
+      // the stored zones alone" must include the metadata the probes
+      // derive from
+      val probes = (1L to 9L).map(i => i * maxFromStats / 10).distinct
       val plan = ZoneMap.bloomPlanFiles(spark, target, blooms, probes)
       require(plan.values.map(_.size).sum < probes.size * all,
         s"combined bloom zone pruned nothing ($all files)")

@@ -53,18 +53,29 @@ class PageRankSpec extends SparkSpec {
         tol = Some(tol))
     assert(rounds < 50, s"did not converge in 50 rounds")
     assert(rounds >= 2, s"suspiciously instant convergence ($rounds)")
-    // independent re-check of the stop condition: one more round from
-    // the returned ranks must move no vertex by more than tol
-    val (next, _) = Relational.pageRankRounds(spark.table(tbl), verts,
-      maxIters = rounds + 1, tol = None)
-    val (prev, _) = Relational.pageRankRounds(spark.table(tbl), verts,
+    // independent re-check of the EXACT delta the stop fired on: the
+    // condition is |rank_rounds − rank_{rounds−1}| ≤ tol (not the pair
+    // one round later — integer rounding does not guarantee monotone
+    // deltas), so rebuild both sides with fixed-K runs and re-measure
+    val (cur, _) = Relational.pageRankRounds(spark.table(tbl), verts,
       maxIters = rounds, tol = None)
-    val delta = next.join(prev.withColumnRenamed("rank", "prev"), Seq("part_id"))
+    val (prev, _) = Relational.pageRankRounds(spark.table(tbl), verts,
+      maxIters = rounds - 1, tol = None)
+    val delta = cur.join(prev.withColumnRenamed("rank", "prev"), Seq("part_id"))
       .agg(max(abs(col("rank") - col("prev")))).head().getLong(0)
     assert(delta <= tol, s"stop condition violated: delta $delta > tol $tol")
+    // the stop must also be TIGHT: one round earlier the delta exceeded
+    // tol, or the loop stopped later than it had to
+    if (rounds > 2) {
+      val (prev2, _) = Relational.pageRankRounds(spark.table(tbl), verts,
+        maxIters = rounds - 2, tol = None)
+      val before = prev.join(prev2.withColumnRenamed("rank", "prev"), Seq("part_id"))
+        .agg(max(abs(col("rank") - col("prev")))).head().getLong(0)
+      assert(before > tol, s"loop overshot: delta $before already <= tol $tol")
+    }
     // and the tol-run's ranks equal the fixed-K run at the same K
     val a = ranks.orderBy(col("part_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val b = prev.orderBy(col("part_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = cur.orderBy(col("part_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
 }
