@@ -37,10 +37,13 @@ object Bench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
     }
-    // c1_/c4_ entries are full fixture-pipeline runs (constant-oracle
-    // correctness checks), not queries — excluded from the timed benchmark.
+    // c1_ is a full fixture-pipeline run (constant-oracle correctness
+    // check), not a query — excluded from the timed benchmark. c4_ IS
+    // timed since round 10: its warehouse stages once per session
+    // (setup), so the timed run measures the metadata planning + pruned
+    // reads — the data-skipping cost a deployment pays per query.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(n => n._1.startsWith("c1_") || n._1.startsWith("c4_"))
+      .filterNot(n => n._1.startsWith("c1_"))
     // Untimed warmup: JIT + whole-stage-codegen compile + page cache.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -162,16 +162,34 @@ object JdbcSink {
       * Text comparison on `op` ('U' > 'D') agrees between Spark's UTF8
       * binary order and PG's collation here because both operands are
       * single ASCII uppercase letters.
+      *
+      * NON-NULL CONTRACT: `seq`, `op`, and `newVal` must be NOT NULL in
+      * every staged change row. A NULL in any compared column makes the
+      * PG row-comparison guard evaluate to NULL (the update silently
+      * skips), and `DISTINCT ON ... DESC` orders NULL first (largest)
+      * while [[graft.streaming.EventStream.cdcApplyBatch]]'s
+      * `max(struct(...))` treats null as smallest — the two engines
+      * would pick DIFFERENT winners for the same batch. The generated
+      * staging DDL cannot enforce this (it clones the target's shape),
+      * so callers with nullable change feeds must coalesce before
+      * staging.
       */
     def cdcUpsertSql(target: String, staging: String,
         key: String = "key", seq: String = "seq", op: String = "op",
-        newVal: String = "new_cents", valCol: String = "cents"): String = {
+        newVal: String = "new_cents", valCol: String = "cents",
+        carry: Seq[String] = Nil): String = {
       val (k, s, o, nv, v) = (quote(key), quote(seq), quote(op), quote(newVal), quote(valCol))
-      s"""INSERT INTO $target AS t ($k, $v, $s, $o)
-         |SELECT DISTINCT ON ($k) $k, $nv, $s, $o FROM $staging
+      // carry: payload columns beyond the compared value (FK references,
+      // attributes) — copied from the per-key WINNING change row on
+      // insert and update; never part of the last-writer-wins guard
+      val cq = carry.map(quote)
+      val cIns = cq.map(c => s", $c").mkString
+      val cSet = cq.map(c => s", $c = EXCLUDED.$c").mkString
+      s"""INSERT INTO $target AS t ($k, $v, $s, $o$cIns)
+         |SELECT DISTINCT ON ($k) $k, $nv, $s, $o$cIns FROM $staging
          |ORDER BY $k, $s DESC, $o DESC, $nv DESC
          |ON CONFLICT ($k) DO UPDATE
-         |SET $v = EXCLUDED.$v, $s = EXCLUDED.$s, $o = EXCLUDED.$o
+         |SET $v = EXCLUDED.$v, $s = EXCLUDED.$s, $o = EXCLUDED.$o$cSet
          |WHERE (EXCLUDED.$s, EXCLUDED.$o, EXCLUDED.$v) > (t.$s, t.$o, t.$v)""".stripMargin
     }
 

@@ -20,10 +20,22 @@ import org.apache.spark.sql.SparkSession
   */
 object StagedLayouts {
 
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Weak identity keying on the session OBJECT, not
+  // System.identityHashCode: identity hashes are not unique (a
+  // collision, or hash reuse after an old session is GC'd, would hand
+  // a fresh session another session's staged table/path — exactly the
+  // stale-table bug this keying exists to prevent), and a string cache
+  // would retain dead sessions' entries forever. The weak outer map
+  // drops a session's entries when the session itself is collected.
+  // Collections.synchronizedMap's computeIfAbsent is synchronized
+  // (overridden since Java 8), so the two-level lookup stays atomic.
+  private val staged = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   def once(spark: SparkSession, key: String)(build: () => String): String =
-    staged.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$key", _ => build())
+    staged
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(key, _ => build())
 }

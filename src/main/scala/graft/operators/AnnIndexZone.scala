@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SRP-LSH ANN index — the STORAGE side of the similarity
+  * family ([[Similarity.lshTopK]] derives planes and buckets per
+  * session; at 100 TB the index must live on disk and be maintained
+  * incrementally, like the sketch/stats/bloom zones). Zone layout:
+  *
+  *   - `zoneDir/meta`:  one row `(n_planes, dims)` — the plane count is
+  *     a PROPERTY of the zone, fixed at creation (query-side probes and
+  *     index-side buckets must hash with the same planes forever; a
+  *     re-derivation per corpus growth step would orphan every stored
+  *     bucket). Capacity planning picks it: planes derive from the
+  *     EXPECTED corpus size via [[Similarity.derivePlanes]], exactly
+  *     how a deployment sizes an IVF/LSH index ahead of backfill. The
+  *     hyperplanes themselves need no storage — they are md5-derived
+  *     constants ([[Similarity.planeWeights]]), so `n_planes` alone
+  *     reconstructs them on any engine.
+  *   - `zoneDir/index`: `(vec_id, bucket)` rows, append-only.
+  *
+  * Maintenance is DELTA-ONLY: each ingest batch appends its own
+  * vectors' assignments (one narrow codegen'd projection — nothing
+  * rescans). Replay idempotency is STRUCTURAL, the sketch zone's set
+  * semantics: the read side consumes the index through a semi-join, so
+  * a replayed batch's duplicate `(vec_id, bucket)` rows cannot change
+  * any query result (pinned with the maintenance path in
+  * SimilaritySpec; `EventStream.streamAnnIndex` maintains the zone from
+  * a checkpointed stream with an overlap-replay source).
+  *
+  * Scale shape of [[topK]]: the index scan is metadata-light (two longs
+  * per vector); the probe list is query-side and broadcast; the
+  * candidate ids (expected (planes+1)·bucketSize rows) broadcast into a
+  * semi-join, so the corpus scan stays narrow and never shuffles — the
+  * per-query cost is the index scan + k-ish candidate rows, not the
+  * corpus. At deployment scale the index table would itself be
+  * bucketed/z-ordered by `bucket` so the probe reads a file subset
+  * (the ZoneMap composition); the query shape here already only ever
+  * JOINS on bucket, so that layout drops in without a plan change.
+  */
+object AnnIndexZone {
+
+  /** Create an empty zone sized for `expectedCount` vectors. Returns
+    * the plane count. Idempotent overwrite: re-creating with the same
+    * capacity rewrites identical meta.
+    */
+  def create(spark: SparkSession, zoneDir: String, expectedCount: Long,
+      dims: Int = 64, targetBucketSize: Long = 32,
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    val planes = Similarity.derivePlanes(
+      expectedCount, targetBucketSize, minPlanes, maxPlanes)
+    import spark.implicits._
+    Seq((planes, dims)).toDF("n_planes", "dims")
+      .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
+    planes
+  }
+
+  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  def meta(spark: SparkSession, zoneDir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$zoneDir/meta")
+      .select(col("n_planes"), col("dims")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Append one delta's bucket assignments under the zone's fixed plane
+    * count — one narrow codegen'd projection over the delta, nothing
+    * rescanned. `delta` must expose `vec_id` and `embedding`.
+    */
+  def appendIndex(delta: DataFrame, zoneDir: String): Unit = {
+    val spark = delta.sparkSession
+    Similarity.ensure(spark)
+    val (planes, dims) = meta(spark, zoneDir)
+    delta.select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), planes, dims).as("bucket"))
+      .write.mode(SaveMode.Append).parquet(s"$zoneDir/index")
+  }
+
+  /** Create + index an existing corpus in one call (the batch-backfill
+    * path; the capacity is the corpus itself unless given).
+    */
+  def build(spark: SparkSession, emb: DataFrame, zoneDir: String,
+      dims: Int = 64, targetBucketSize: Long = 32,
+      minPlanes: Int = 4, maxPlanes: Int = 24,
+      knownCount: Option[Long] = None): Int = {
+    val planes = create(spark, zoneDir, knownCount.getOrElse(emb.count()),
+      dims, targetBucketSize, minPlanes, maxPlanes)
+    appendIndex(emb, zoneDir)
+    planes
+  }
+
+  /** Multi-probe ANN top-k served FROM THE STORED ZONE — result-
+    * identical to [[Similarity.lshTopK]]'s in-session derivation (same
+    * plane constants, same Hamming-1 probe set, same exact cosine
+    * re-rank; each vector lives in exactly one stored bucket, so the
+    * semi-join also absorbs any replayed duplicate index rows).
+    */
+  def topK(corpus: DataFrame, query: DataFrame, zoneDir: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    Similarity.ensure(spark)
+    val (planes, dims) = meta(spark, zoneDir)
+    val probes = query
+      .withColumn("qbucket", Similarity.srpBucket(col("qvec"), planes, dims))
+      .select(col("qvec"), explode(array(
+        (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
+          col("qbucket"): _*)).as("pb"))
+    val cand = spark.read.parquet(s"$zoneDir/index")
+      .join(broadcast(probes.select(col("pb"))), col("bucket") === col("pb"))
+      .select(col("vec_id"))
+    corpus.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(query.select(col("qvec"))))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -250,6 +250,35 @@ object Dedup {
     // re-shuffles edges either way, so materializing them buys nothing).
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    ccResolve(vertices, edges, maxIter, hintBuild = false)
+  }
+
+  /** [[connectedComponents]] iterating from a DISK-bucketed symmetric
+    * edge table `(src, dst)` bucketed by `dst` — q64's layout
+    * discipline applied to the CC fixpoint. The in-memory variant's
+    * `localCheckpoint`ed edge blocks evaporate on executor loss and
+    * cannot exceed cluster memory; a table bucketed by dst IS the
+    * persisted hash-partitioning, so every round's dst-keyed join
+    * consumes the bucketed scan with ZERO Exchange on the edge side
+    * (DedupClusterSpec pins the plan property) and only the
+    * vertex-sized label table moves per round — the `shuffle_hash`
+    * hint makes labels the build side so the edge scan streams.
+    * The layout change must be invisible in the result: d20 shares
+    * d9's oracle hash.
+    */
+  def connectedComponentsBucketed(vertices: DataFrame, edgeTable: String,
+      maxIter: Int = 25): DataFrame =
+    ccResolve(vertices, vertices.sparkSession.table(edgeTable), maxIter,
+      hintBuild = true)
+
+  /** The min-label fixpoint + keeper/size tail shared by the in-memory
+    * and disk-bucketed variants. `hintBuild` marks the label side as
+    * the `shuffle_hash` build so a bucketed edge scan streams unmoved.
+    */
+  private def ccResolve(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+      hintBuild: Boolean): DataFrame = {
+    def hinted(labels: DataFrame): DataFrame =
+      if (hintBuild) labels.hint("shuffle_hash") else labels
     // Only vertices touched by an edge can ever change label — iterate
     // over that (usually tiny) subgraph and union the untouched
     // singletons back at the end. At corpus scale this is the difference
@@ -266,7 +295,7 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIter) {
       val nmin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("component").as("ncomp")), "dst")
+        .join(hinted(labels.select(col("doc_id").as("dst"), col("component").as("ncomp"))), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("ncomp")).as("nmin"))
       val next = labels

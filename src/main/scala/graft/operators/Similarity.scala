@@ -283,7 +283,25 @@ object Similarity {
     * a power of two, so the double multiply is IEEE-exact), distances
     * are exact long sums of squared diffs, centroids recompute as
     * `sum div count`, and assignment ties break on the lower cluster
-    * id. Initialization is the first k vectors in id order.
+    * id. The `x >= -1` quantization precondition is CHECKED (one
+    * `min(array_min(...))` agg folded into the seeding pass): an
+    * out-of-range value would yield negative quantized longs, where
+    * Scala's truncating centroid division diverges from a SQL oracle's
+    * floor `//` — a silent cross-engine drift; it must fail loudly.
+    *
+    * Initialization is deterministic distance-weighted sampling (the
+    * k-means‖ idea with hash randomness, so any engine replays it):
+    * seed 0 maximizes a per-vector uniform `u_0 in (0,1]` derived from
+    * md5(vec_id); each next seed maximizes
+    * `sqdist_to_nearest_chosen · u_i` — far vectors are favored
+    * (k-means++'s D² weighting) but a hashed draw keeps a single
+    * extreme outlier from always winning. Each seeding pass is one
+    * narrow corpus scan ending in a TakeOrdered(1) — no shuffle, no
+    * join; k passes total. Ties break on the lower vec_id; a corpus
+    * with fewer distinct vectors than k degenerates to repeated picks,
+    * which COLLAPSE (distinct-by-vec_id) so both engines land on the
+    * same <=k centroid set. Cluster ids are the seeds' vec_id rank —
+    * the oracle's dense_rank ordering.
     *
     * Scale shape: the per-iteration hot path is ONE narrow scan — the
     * k distance expressions are [[graft.functions.LongSqDist]] native
@@ -300,15 +318,60 @@ object Similarity {
     * centroid. `iters` is fixed (Lloyd converges fast and the oracle
     * CTE chain is generated from the same bound, the q58 discipline).
     */
-  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssign(embeddings, k, iters)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("ssd"))
+      .orderBy(col("cid"))
+
+  /** Per-vector uniform draw in (0,1] from md5 — bit-identical to the
+    * oracle's `(h60('seed<i>:' || vec_id) % 2^20 + 1) / 2^20.0`.
+    */
+  private def seedDraw(i: Int): Column =
+    ((graft.operators.TextOps.h60(
+      concat(lit(s"seed$i:"), col("vec_id").cast("string"))) % 1048576L + 1L)
+      .cast("double") / 1048576.0)
+
+  /** [[kmeans]]'s per-vector assignment: (vec_id, dist, cid) after
+    * `iters` Lloyd rounds — the seam pipelines consume for per-cluster
+    * quotas (c7) while [[kmeans]] itself reports the cluster summary.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     require(k > 0, s"kmeans needs k > 0 clusters (got $k)")
     require(iters > 0, s"kmeans needs iters > 0 rounds (got $iters)")
     ensure(embeddings.sparkSession)
     val q = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
         .as("qv"))
-    var cents: Seq[Array[Long]] = q.orderBy(col("vec_id")).limit(k).collect()
-      .map(r => r.getSeq[Long](1).toArray).toSeq
+    // --- seeding: k narrow scans, each a TakeOrdered(1) / 1-row agg ---
+    val first = q
+      .agg(
+        min(array_min(col("qv"))).as("gmn"),
+        max_by(struct(col("vec_id"), col("qv")),
+          struct(seedDraw(0).as("score"), (col("vec_id") * -1L).as("tie"))).as("s"))
+      .head()
+    require(first.getLong(0) >= 0L,
+      s"kmeans quantization precondition violated: embedding value < -1 " +
+        s"(min quantized = ${first.getLong(0)}) — truncating centroid division " +
+        "would silently diverge from the oracle's floor division")
+    val s0 = first.getStruct(1)
+    var chosen: Seq[(Long, Array[Long])] =
+      Seq(s0.getLong(0) -> s0.getSeq[Long](1).toArray)
+    for (i <- 1 until k) {
+      val dists = chosen.map { case (_, c) =>
+        VectorExpressions.sqdist(col("qv"), array(c.toSeq.map(lit(_)): _*))
+      }
+      // least() rejects a single argument — step 1 has one centroid
+      val nd = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = q
+        .select(col("vec_id"), col("qv"),
+          (nd.cast("double") * seedDraw(i)).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).head()
+      chosen = chosen :+ (next.getLong(0) -> next.getSeq[Long](1).toArray)
+    }
+    // collapse degenerate repeats, assign cids by seed vec_id rank
+    var cents: Seq[Array[Long]] = chosen.toMap.toSeq.sortBy(_._1).map(_._2)
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
       val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
@@ -335,8 +398,6 @@ object Similarity {
         }
       }
     }
-    assigned.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("ssd"))
-      .orderBy(col("cid"))
+    assigned.select(col("vec_id"), col("dist"), col("cid"))
   }
 }

@@ -260,6 +260,14 @@ object SourcesAndStreams {
   def st18StreamAllZones(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamAllZones(spark, dir)
 
+  /** The persisted ANN index zone maintained from a checkpointed
+    * ingest stream (overlap-replay source, delta-only bucket appends,
+    * structural replay idempotency), then d6's multi-probe top-10
+    * answered from the STORED zone alone — hash-matching d6's oracle.
+    */
+  def st19StreamAnnIndex(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamAnnIndex(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -363,12 +371,39 @@ object SourcesAndStreams {
     * At 100 TB this is the difference between a 1000-key fan-out
     * opening every warehouse file and opening ~the files that hold
     * those keys: planning runs over #files-row metadata tables, never
-    * data. Excluded from Bench timing like c1 (pipeline, not query).
+    * data. The pruned ≡ unpruned row-compare lives in ZoneMapSpec (the
+    * [[c4Fanout]] seam), NOT in the query body: an inline full-scan
+    * compare would bill the full scan to every execution — at a 100 TB
+    * deployment that compare would itself be the bug — so c4 executes
+    * (and Bench times) only the pruned plan. The fixture backfill is
+    * staged once per session; what Bench measures per run is the
+    * metadata planning + the pruned reads, the cost a deployment pays.
     */
   def c4CardanoSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cardano.Analytics
+    val inRows = c4Fanout(spark, pruned = true)
+    val lookup = inRows.select(
+      lit("lookup").as("section"), col("hash").as("k"),
+      col("output_index").cast("long").as("v"))
+    val q6 = Analytics.topProtocolsByTxCount(inRows).select(
+      lit("q6_topk").as("section"), col("reference_script_hash").as("k"),
+      col("tx_count").as("v"))
+    lookup.unionByName(q6).orderBy(col("section"), col("k"))
+  }
+
+  /** c4's staged warehouse: fixture backfill (heights 1-60, batch 15)
+    * with stats/bloom zones MAINTAINED per ingest slice, not built once
+    * at the end — after each backfill slice lands its delta files, the
+    * stats and bloom appends cover exactly the never-covered files
+    * (st15/st17's only-the-delta discipline on the batch path; the
+    * backfill's upserts are append-only, so the zones stay exact under
+    * the staleness guard). Later slices MUST take the append path, and
+    * that is asserted, not assumed.
+    */
+  private def c4Warehouse(spark: SparkSession): String = {
     import graft.cardano._
     import graft.operators.ZoneMap
-    val wh = stageOnce(spark, "c4wh") { () =>
+    stageOnce(spark, "c4wh") { () =>
       val root = scratch("c4")
       val pipelines = new Pipelines(
         spark,
@@ -377,13 +412,6 @@ object SourcesAndStreams {
         new Watermarks(spark, s"$root/status"),
         new BlockfrostSource.FixtureBackend,
         batchSize = 15)
-      // zones MAINTAINED per ingest slice, not built once at the end:
-      // after each backfill slice lands its delta files, the stats and
-      // bloom appends cover exactly the never-covered files (st15/st17's
-      // only-the-delta discipline on the batch path — the backfill's
-      // upserts are append-only, so the zones stay exact under the
-      // staleness guard); later slices MUST take the append path, and
-      // that is asserted, not assumed
       val txDir = s"$root/warehouse/cardano_transactions"
       val inDir = s"$root/warehouse/cardano_tx_utxo_input"
       Seq((1L, 15L), (16L, 30L), (31L, 45L), (46L, 60L)).foreach { case (a, b) =>
@@ -402,41 +430,48 @@ object SourcesAndStreams {
       }
       root
     }
+  }
+
+  /** The reference's by-hash fan-out over the c4 warehouse, both ways:
+    * `pruned = true` is the production path — the height window planned
+    * from the stats table alone, the probe hashes' input files planned
+    * in ONE metadata pass over the bloom table, with file skipping
+    * ASSERTED on both layers; `pruned = false` answers the same fan-out
+    * from full scans (probes included — a stats-layer bug that lost tx
+    * rows shows up as a differing probe set, not just differing input
+    * rows). ZoneMapSpec row-compares the two; the c4 query executes
+    * only the pruned path.
+    */
+  private[graft] def c4Fanout(spark: SparkSession, pruned: Boolean): DataFrame = {
+    import graft.operators.ZoneMap
+    val wh = c4Warehouse(spark)
     val txDir = s"$wh/warehouse/cardano_transactions"
     val inDir = s"$wh/warehouse/cardano_tx_utxo_input"
-    // height window planned from the stats table alone
-    val txTotal = spark.read.parquet(txDir).inputFiles.length
-    val prunedTx = ZoneMap.prunedRead(spark, txDir, s"$wh/tx_stats",
-      Seq(("block_height", 31L, 60L)))
-    require(prunedTx.inputFiles.length < txTotal,
-      s"tx zone map pruned nothing (${prunedTx.inputFiles.length}/$txTotal files)")
-    val probes: Seq[Any] = prunedTx
-      .filter(col("block_height").between(31L, 60L))
-      .select(col("hash")).collect().map(_.getString(0)).toSeq
-    // the reference's fan-out: input-table files planned per probe hash
-    // in ONE metadata pass over the bloom table
-    val plan = ZoneMap.bloomPlanFilesAny(spark, inDir, s"$wh/in_bloom", probes)
-    val hit = plan.values.flatten.toSeq.distinct
-    val inTotal = spark.read.parquet(inDir).inputFiles.length
-    require(hit.length < inTotal,
-      s"input bloom zone pruned nothing (${hit.length}/$inTotal files)")
-    val inRows = spark.read.parquet(hit: _*)
-      .filter(col("hash").isInCollection(probes))
-    // file skipping must lose NOTHING: row-compare the pruned fan-out
-    // against the full-scan read of the same keys
-    val key = (df: DataFrame) => df
-      .select(col("hash"), col("output_index").cast("long").as("oi"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val full = spark.read.parquet(inDir).filter(col("hash").isInCollection(probes))
-    require(key(inRows) == key(full),
-      "bloom-planned fan-out diverged from the unpruned read")
-    val lookup = inRows.select(
-      lit("lookup").as("section"), col("hash").as("k"),
-      col("output_index").cast("long").as("v"))
-    val q6 = Analytics.topProtocolsByTxCount(inRows).select(
-      lit("q6_topk").as("section"), col("reference_script_hash").as("k"),
-      col("tx_count").as("v"))
-    lookup.unionByName(q6).orderBy(col("section"), col("k"))
+    if (pruned) {
+      // height window planned from the stats table alone
+      val txTotal = spark.read.parquet(txDir).inputFiles.length
+      val prunedTx = ZoneMap.prunedRead(spark, txDir, s"$wh/tx_stats",
+        Seq(("block_height", 31L, 60L)))
+      require(prunedTx.inputFiles.length < txTotal,
+        s"tx zone map pruned nothing (${prunedTx.inputFiles.length}/$txTotal files)")
+      // the fan-out key set IS a driver-side list by nature (the
+      // reference feeds fetched keys into per-key requests) — bounded
+      // by the height window, same altitude as the zone planners
+      val probes: Seq[Any] = prunedTx
+        .filter(col("block_height").between(31L, 60L))
+        .select(col("hash")).collect().map(_.getString(0)).toSeq
+      val plan = ZoneMap.bloomPlanFilesAny(spark, inDir, s"$wh/in_bloom", probes)
+      val hit = plan.values.flatten.toSeq.distinct
+      val inTotal = spark.read.parquet(inDir).inputFiles.length
+      require(hit.length < inTotal,
+        s"input bloom zone pruned nothing (${hit.length}/$inTotal files)")
+      spark.read.parquet(hit: _*).filter(col("hash").isInCollection(probes))
+    } else {
+      val probes: Seq[Any] = spark.read.parquet(txDir)
+        .filter(col("block_height").between(31L, 60L))
+        .select(col("hash")).collect().map(_.getString(0)).toSeq
+      spark.read.parquet(inDir).filter(col("hash").isInCollection(probes))
+    }
   }
 
   /** Dynamic partition pruning: the fact table lands partitioned on the
@@ -707,6 +742,7 @@ object SourcesAndStreams {
     "st16_stream_cdc" -> (st16StreamCdc _),
     "st17_stream_bloom" -> (st17StreamBloom _),
     "st18_stream_all_zones" -> (st18StreamAllZones _),
+    "st19_stream_ann_index" -> (st19StreamAnnIndex _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -846,6 +882,9 @@ object SourcesAndStreams {
     // arithmetic (exact-mode sketches; replays absorbed by set union) —
     // the SAME oracle as q48, shared so the two gates cannot drift
     "st13_stream_sketch_zone" -> Relational.retentionOracleSql,
+    // st19: the stream-maintained index must answer the probe exactly
+    // like d6's in-session derivation (and d19's batch-built zone).
+    "st19_stream_ann_index" -> TrainingData.oracles("d6_ann_lsh"),
     "st14_stream_scd2" -> Relational.scd2OracleSql,
     // st16: the maintained CDC snapshot must equal q57's one-shot batch
     // apply over the same base + feed (same derivation, minus the

@@ -1513,6 +1513,58 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st19: the persisted ANN index zone
+    * ([[graft.operators.AnnIndexZone]]) maintained FROM THE INGEST
+    * STREAM — d19 builds the same zone as a batch backfill; here a
+    * checkpointed `foreachBatch` loop appends each micro-batch's bucket
+    * assignments (one narrow codegen'd projection per batch, nothing
+    * rescanned — st13's delta-only discipline). The zone is CREATED
+    * before the stream with its plane count derived from the expected
+    * corpus size (capacity planning: the plane count is a property of
+    * the zone, not of any batch — a per-batch re-derivation would
+    * orphan every previously stored bucket). The source replays its
+    * first slice inside the second (the overlap shape every streamed
+    * maintainer here proves itself against); index replay idempotency
+    * is STRUCTURAL — the read side semi-joins candidates, so duplicate
+    * `(vec_id, bucket)` rows change nothing. The query then answers
+    * d6's multi-probe top-10 from the STORED zone alone, hash-matching
+    * d6's oracle end-to-end.
+    */
+  def streamAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexZone
+    val (src, schema, total) = stagedEmbeddingSource(spark, dir)
+    val root = scratchDir("st19")
+    val zone = root.resolve("annzone").toString
+    try {
+      AnnIndexZone.create(spark, zone, expectedCount = total): Unit
+      runForeachBatchStream(spark, src, schema) { batch =>
+        AnnIndexZone.appendIndex(batch, zone)
+      }
+      val emb = graft.core.Tables(spark, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      AnnIndexZone.topK(emb, query, zone, 10).localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st19's staged source: the embeddings table in the overlap-replay
+    * shape (lower-id half, then ALL rows — every first-slice vector
+    * replays). Also returns the corpus size for the zone's capacity
+    * plan.
+    */
+  private def stagedEmbeddingSource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st19src:$dir", sourceFingerprint(s"$dir/embeddings.parquet")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val d = scratchDir("st19src")
+      stageSingleFile(emb.filter(col("vec_id") < half), d, "a.parquet")
+      stageSingleFile(emb, d, "b.parquet")
+      (d.toString, emb.schema, java.lang.Long.valueOf(emb.count()))
+    }
+
   /** st15's staged source: the overlap-replay shape (first file, then
     * ALL rows) split on the id RANGE instead of parity — time-ordered
     * ingest, where each batch's merged delta lands range-disjoint files

@@ -92,4 +92,31 @@ class DedupClusterSpec extends SparkSpec {
     assert(byDoc(6L) == (6L, 5L, 2L, false))
     assert(byDoc(7L) == (7L, 7L, 1L, true))
   }
+
+  test("d20 bucketed iteration equals d9's in-memory resolution exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.SparkEntry.queries("d9_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val b = graft.SparkEntry.queries("d20_cc_bucketed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("d20 per-round join reads the bucketed edge scan with no edge-side Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val tbl = graft.queries.TrainingData.ccEdgeTable(spark, dir)
+    val edges = spark.table(tbl)
+    val labels = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("dst"), col("doc_id").as("ncomp"))
+    // one fixpoint round's neighbor-min aggregate, exactly as ccResolve
+    // builds it: labels is the shuffle_hash build side, the edge scan
+    // must stream from its buckets unmoved
+    val nmin = edges.join(labels.hint("shuffle_hash"), "dst")
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("ncomp")).as("nmin"))
+    val p = nmin.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    assert("Exchange hashpartitioning\\(dst".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }

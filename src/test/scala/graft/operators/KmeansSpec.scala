@@ -32,15 +32,31 @@ class KmeansSpec extends SparkSpec {
   test("clusters equal an in-memory Lloyd reference (quantize, assign, recompute)") {
     // triple pin: the Spark result, the DuckDB oracle, and this
     // in-memory fold must all agree — replicate the operator's exact
-    // contract (positive-shift quantization, long squared distances,
-    // lower-cid tiebreak, sum-div-count centroids, empty keeps old)
+    // contract (positive-shift quantization, distance-weighted hashed
+    // seeding, long squared distances, lower-cid tiebreak,
+    // sum-div-count centroids, empty keeps old)
     val raw = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     val q = raw.map { case (id, v) =>
       id -> v.map(x => math.floor((x.toDouble + 1.0) * 1048576.0).toLong)
     }
-    var cents = q.take(8).map(_._2.clone())
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def draw(i: Int, id: Long): Double =
+      (h60(s"seed$i:$id") % 1048576L + 1L).toDouble / 1048576.0
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    var chosen = Seq(q.maxBy { case (id, _) => (draw(0, id), -id) })
+    for (i <- 1 until 8) {
+      chosen = chosen :+ q.maxBy { case (id, v) =>
+        (chosen.map(c => sqd(v, c._2)).min.toDouble * draw(i, id), -id)
+      }
+    }
+    var cents = chosen.toMap.toSeq.sortBy(_._1).map(_._2.clone()).toArray
     var assign: Map[Long, (Int, Long)] = Map.empty
     for (it <- 1 to 3) {
       assign = q.map { case (id, v) =>

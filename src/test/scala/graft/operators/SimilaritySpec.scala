@@ -108,4 +108,28 @@ class SimilaritySpec extends SparkSpec {
     val ps = Seq(10L, 100L, 10000L, 100000000L).map(derivePlanes(_))
     assert(ps == ps.sorted)
   }
+
+  test("AnnIndexZone: zone-served topK ≡ in-session lshTopK; delta append + replay are invisible") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val zone = tmpDir("annzone") + "/z"
+    val n = emb.count()
+    // batch-built zone ≡ the in-session derivation
+    AnnIndexZone.build(spark, emb, zone, knownCount = Some(n))
+    def got(z: String) = AnnIndexZone.topK(emb, query, z, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = Similarity.lshTopK(emb, query, 10, knownCount = Some(n))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(expected.nonEmpty && got(zone) == expected)
+    // incrementally-built zone (create ahead at full capacity, append
+    // two deltas with an overlapping replay) answers identically:
+    // structural idempotency — the semi-join absorbs duplicate rows
+    val zone2 = tmpDir("annzone2") + "/z"
+    AnnIndexZone.create(spark, zone2, expectedCount = n)
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    AnnIndexZone.appendIndex(emb.filter(col("vec_id") < half), zone2)
+    AnnIndexZone.appendIndex(emb, zone2) // full replay of the first delta
+    assert(got(zone2) == expected)
+  }
 }

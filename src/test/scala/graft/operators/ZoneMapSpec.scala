@@ -256,4 +256,19 @@ class ZoneMapSpec extends SparkSpec {
     // idempotent: nothing new -> zero appended
     assert(ZoneMap.appendBlooms(spark, data, blooms, "k", 200) == 0L)
   }
+
+  test("c4 fan-out: the bloom/stats-planned read equals the unpruned read") {
+    // relocated from the c4 query body (round-10): the query executes —
+    // and Bench times — only the pruned plan; the lossless-skipping
+    // proof lives here, where a full-scan compare belongs. The unpruned
+    // twin re-derives its probe set from a full tx scan, so a stats
+    // bug that lost tx rows diverges the sets too.
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("hash"), col("output_index").cast("long").as("oi"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pruned = key(graft.queries.SourcesAndStreams.c4Fanout(spark, pruned = true))
+    val full = key(graft.queries.SourcesAndStreams.c4Fanout(spark, pruned = false))
+    assert(pruned.nonEmpty, "fan-out returned no rows")
+    assert(pruned == full, "bloom-planned fan-out diverged from the unpruned read")
+  }
 }
