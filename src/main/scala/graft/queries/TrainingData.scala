@@ -1333,9 +1333,12 @@ object TrainingData {
     * broadcast); the CC fixpoint touching only edge-touched vertices;
     * assignment with literal centroids (no join, no corpus exchange);
     * ONE cid-keyed exchange for the budget window; packing's two-level
-    * √N-bounded windows. Stage boundaries hand off by doc_id semi-join
-    * — broadcast-sized once dedup has collapsed the corpus, AQE picks
-    * the build side.
+    * √N-bounded windows. Stage boundaries hand off by doc_id-keyed
+    * semi-join — keeper sets scale WITH the corpus, so the handoffs
+    * are hash joins on the primary key (AQE upgrades them to broadcast
+    * when a run's survivor set is small); each stage's output is
+    * persistTracked so no stage recomputes per consumer. PlanShapeSpec
+    * pins the exchange-key set to exactly {md5, doc_id, cid, bkt}.
     */
   def c7CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -1355,30 +1358,42 @@ object TrainingData {
           - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
           + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
       .filter(col("quality_score") > 0.0)
-    val exact = scored
+    // stage boundaries are persistTracked: each stage's output feeds
+    // 2-3 downstream consumers (semi-joins, eager scalar aggs, the
+    // final join-back), and without the persist Catalyst re-derives the
+    // whole upstream pipeline — the md5 window re-ran FOUR times in the
+    // unpersisted plan. The cached frames are the collapsed survivor
+    // sets (small fractions of the corpus); release() reclaims them.
+    val exact = graft.core.Caches.persistTracked(scored
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(t))))
-      .filter(col("doc_id") === col("keeper")).drop("keeper")
+      .filter(col("doc_id") === col("keeper")).drop("keeper"))
     val emb = Tables(spark, dir, "embeddings")
     val survEmb = emb.join(
       exact.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val pairs = neardupPairsOf(survEmb)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val comp = Dedup.connectedComponents(exact.select(col("doc_id")), pairs)
-    val kept = exact.join(
-      comp.filter(col("is_keeper")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // the keeper id set is vertex-sized and feeds the rest of the
+    // pipeline — localCheckpoint it (the fixpoint's own lineage
+    // discipline) so the CC resolution tail computes once, not once
+    // per downstream consumer
+    val keepers = comp.filter(col("is_keeper"))
+      .select(col("doc_id")).localCheckpoint()
+    val kept = exact.join(keepers, Seq("doc_id"), "left_semi")
     val keptEmb = emb.join(
       kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val cids = Similarity.kmeansAssign(keptEmb)
       .select(col("vec_id").as("doc_id"), col("cid"))
-    val clustered = kept.join(cids, "doc_id")
+    val clustered = graft.core.Caches.persistTracked(kept.join(cids, "doc_id"))
     val scalars = clustered
       .agg(sum(col("n_tokens")), countDistinct(col("cid"))).head()
     val budget = scalars.getLong(0) / (2L * scalars.getLong(1))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mixed = clustered.withColumn("cum", sum(col("n_tokens")).over(w))
-      .filter(col("cum") <= budget)
+    val mixed = graft.core.Caches.persistTracked(
+      clustered.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= budget))
     sequencePack(mixed.select(col("doc_id"), col("text")))
       .join(mixed.select(col("doc_id"), col("cid"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("cid"), col("quality_score"), col("n_tokens"),

@@ -562,6 +562,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("c7: one exchange KIND per stage boundary — md5 dedup, cid mix window, bucketed packing") {
+    val p = plan("c7_curation_pipeline")
+    // The returned plan nests each persisted stage's cached plan (and
+    // the printer replicates subtrees), so occurrence COUNTS are
+    // meaningless — the robust invariant is the SET of hash-exchange
+    // keys: one content-hash key (the exact-dedup window's projected
+    // md5 attr), `doc_id` (the stage-handoff semi-joins — keeper sets
+    // scale WITH the corpus, so a key-partitioned hash join, not a
+    // broadcast, is the only shape that survives 100 TB; AQE upgrades
+    // them to broadcast when a run's survivor set happens to be small),
+    // `cid` (the cluster-quota mix window), and `bkt` (x12's packing
+    // buckets). Any other key would mean a stage shuffles the corpus on
+    // something its boundary doesn't require. Pair mining, CC, and
+    // k-means run as their own eagerly-materialized jobs with their own
+    // pinned shapes (d7/d15's, DedupClusterSpec's, KmeansSpec's).
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.size == 4 && keys("cid") && keys("bkt") && keys("doc_id") &&
+      keys.exists(_.startsWith("_w")), s"exchange keys: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
