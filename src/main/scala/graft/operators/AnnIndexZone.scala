@@ -89,23 +89,69 @@ object AnnIndexZone {
     planes
   }
 
+  /** OPTIMIZE the index zone: rewrite the append-only index
+    * bucket-clustered ([[ShardedWriter.compactParquet]]'s balanced
+    * range shards + crash-safe rename publish — each file then covers a
+    * tight, disjoint bucket span) and persist per-file bucket min/max
+    * stats. After this, [[topK]] plans its probe's file subset from the
+    * #files-row stats table and opens ~1 file per probe instead of
+    * scanning the index — the maintenance pass a deployment schedules
+    * exactly like c3's lake OPTIMIZE. Later [[appendIndex]] deltas must
+    * be re-covered with `ZoneMap.appendStats` (the staleness guard
+    * fails the probe loudly otherwise — never a silent partial read).
+    * Returns (filesBefore, filesAfter).
+    */
+  def optimize(spark: SparkSession, zoneDir: String,
+      targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
+    val res = ShardedWriter.compactParquet(
+      spark, s"$zoneDir/index", col("bucket"), targetRowsPerFile)
+    ZoneMap.buildStats(spark, s"$zoneDir/index", s"$zoneDir/stats", Seq("bucket"))
+    res
+  }
+
   /** Multi-probe ANN top-k served FROM THE STORED ZONE — result-
     * identical to [[Similarity.lshTopK]]'s in-session derivation (same
     * plane constants, same Hamming-1 probe set, same exact cosine
     * re-rank; each vector lives in exactly one stored bucket, so the
     * semi-join also absorbs any replayed duplicate index rows).
+    * `query` is ONE row `(qvec)` — the single-query contract d5/d6
+    * share (the final cross join and the stats-planned path's 1-row
+    * probe derivation both assume it); a query BATCH goes through
+    * [[Similarity.batchTopKWithPlanes]]'s formulation instead.
+    *
+    * On an [[optimize]]d zone (a `stats` table exists) the index read
+    * is STATS-PLANNED: the query's probe buckets are derived with one
+    * 1-row driver read (the watermark altitude) and only the files
+    * whose bucket range can hold a probe are opened
+    * ([[ZoneMap.statsPlanFilesAnyOf]] — OR-of-points planning over
+    * file metadata). An un-optimized zone scans the index table; both
+    * paths return identical rows (SimilaritySpec pins it, plus the
+    * file skipping).
     */
   def topK(corpus: DataFrame, query: DataFrame, zoneDir: String,
       k: Int): DataFrame = {
     val spark = corpus.sparkSession
     Similarity.ensure(spark)
     val (planes, dims) = meta(spark, zoneDir)
+    val indexDir = s"$zoneDir/index"
+    val statsDir = s"$zoneDir/stats"
+    val index =
+      if (graft.core.Fs.exists(spark, statsDir)) {
+        val qb = query
+          .select(Similarity.srpBucket(col("qvec"), planes, dims).as("qb"))
+          .head().getLong(0)
+        val pbs = (0 until planes).map(p => qb ^ (1L << p)) :+ qb
+        val files = ZoneMap.statsPlanFilesAnyOf(spark, indexDir, statsDir,
+          "bucket", pbs)
+        if (files.isEmpty) spark.read.parquet(indexDir).filter(lit(false))
+        else spark.read.parquet(files: _*)
+      } else spark.read.parquet(indexDir)
     val probes = query
       .withColumn("qbucket", Similarity.srpBucket(col("qvec"), planes, dims))
       .select(col("qvec"), explode(array(
         (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
           col("qbucket"): _*)).as("pb"))
-    val cand = spark.read.parquet(s"$zoneDir/index")
+    val cand = index
       .join(broadcast(probes.select(col("pb"))), col("bucket") === col("pb"))
       .select(col("vec_id"))
     corpus.join(broadcast(cand), Seq("vec_id"), "left_semi")

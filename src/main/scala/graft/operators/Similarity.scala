@@ -340,9 +340,14 @@ object Similarity {
     require(k > 0, s"kmeans needs k > 0 clusters (got $k)")
     require(iters > 0, s"kmeans needs iters > 0 rounds (got $iters)")
     ensure(embeddings.sparkSession)
-    val q = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
-        .as("qv"))
+    // persistTracked: the quantized projection feeds k seeding scans +
+    // iters assignment scans + (iters-1) centroid recomputes — without
+    // the cache the transform() quantization re-runs on every one of
+    // those ~k+2·iters jobs (the cached frame is vec_id + dims longs)
+    val q = graft.core.Caches.persistTracked(
+      embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
+          .as("qv")))
     // --- seeding: k narrow scans, each a TakeOrdered(1) / 1-row agg ---
     val first = q
       .agg(

@@ -118,6 +118,37 @@ object ZoneMap {
     else spark.read.parquet(files: _*)
   }
 
+  /** Stats-planned POINT-SET file planning: the files whose `[min_c,
+    * max_c]` range contains ANY of the probe points — the disjunctive
+    * sibling of [[prunedRead]]'s conjunctive box (a multi-probe lookup
+    * keyed on a CLUSTERED column wants OR-of-points, which a range box
+    * cannot express). Driver-side over the #files-row stats table with
+    * the same file-set staleness guard; null-stats files are kept (null
+    * proves nothing). Returns the surviving file list — empty means no
+    * file can hold any probe.
+    */
+  def statsPlanFilesAnyOf(spark: SparkSession, dataDir: String,
+      statsDir: String, column: String, points: Seq[Long]): Seq[String] = {
+    val rows = spark.read.parquet(statsDir)
+      .select(col("file"), col(s"min_$column").cast("long").as("mn"),
+        col(s"max_$column").cast("long").as("mx"))
+      .collect()
+    val known = rows.map(_.getString(0)).toSet
+    val actual = spark.read.parquet(dataDir).inputFiles.toSet
+    require(actual == known, {
+      val extra = actual -- known
+      val gone = known -- actual
+      s"zone map stale for $dataDir — rebuild stats" +
+        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
+        (if (gone.nonEmpty) s"; stats for missing files: ${gone.take(3).mkString(", ")}" else "")
+    })
+    rows.collect {
+      case r if r.isNullAt(1) || r.isNullAt(2) => r.getString(0)
+      case r if points.exists(p => r.getLong(1) <= p && p <= r.getLong(2)) =>
+        r.getString(0)
+    }.toIndexedSeq
+  }
+
   /** The POINT-LOOKUP half of data skipping: one scan of `dataDir` →
     * a per-file Bloom filter over `keyCol` persisted at `bloomDir`
     * (one row per file: file, n_rows, bloom bytes). Min/max stats

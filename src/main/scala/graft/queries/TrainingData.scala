@@ -137,6 +137,33 @@ object TrainingData {
       Tables(spark, dir, "embeddings"), queryVec(spark, dir),
       annIndexZone(spark, dir), 10)
 
+  /** A separately staged OPTIMIZEd index zone for d21 (its own copy so
+    * d19 keeps measuring the un-optimized scan path): bucket-clustered
+    * rewrite + per-file bucket stats, sized to ~8 files so skipping is
+    * real at test scale.
+    */
+  private[graft] def annIndexZoneOptimized(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d21zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d21zone")
+      val emb = Tables(spark, dir, "embeddings")
+      val n = emb.count()
+      graft.operators.AnnIndexZone.build(spark, emb, z, knownCount = Some(n)): Unit
+      graft.operators.AnnIndexZone.optimize(spark, z, math.max(1L, n / 8)): Unit
+      z
+    }
+
+  /** ANN from the OPTIMIZEd index zone (d21): d19's query after the
+    * index maintenance pass — the probe's file subset is planned from
+    * the #files-row bucket stats, so the index read opens ~the files
+    * whose bucket range can hold a probe instead of the table
+    * (SimilaritySpec asserts the skipping and path-equality; same d6
+    * oracle — three storage postures, one result).
+    */
+  def d21AnnIndexOptimized(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AnnIndexZone.topK(
+      Tables(spark, dir, "embeddings"), queryVec(spark, dir),
+      annIndexZoneOptimized(spark, dir), 10)
+
   /** Hybrid retrieval (c6): the RAG read path composed end-to-end —
     * dense candidate generation then lexical passage re-rank, the
     * two-stage shape every retrieval deployment runs:
@@ -1439,6 +1466,7 @@ object TrainingData {
     "c7_curation_pipeline" -> (c7CurationPipeline _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
+    "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -2179,6 +2207,8 @@ object TrainingData {
     // d19 serves the SAME query from the persisted index zone — the
     // storage change must be invisible in the result.
     "d19_ann_index_zone" -> lshTopKOracleSql(10),
+    // d21: the OPTIMIZEd zone must also be invisible in the result.
+    "d21_ann_index_optimized" -> lshTopKOracleSql(10),
     // c6: d6's candidate derivation (k widened to 20) + x18's chunk
     // tiling over the candidates only + exact integer term hits — the
     // hybrid rank reproduces the engine's two-stage retrieval

@@ -131,5 +131,28 @@ class SimilaritySpec extends SparkSpec {
     AnnIndexZone.appendIndex(emb.filter(col("vec_id") < half), zone2)
     AnnIndexZone.appendIndex(emb, zone2) // full replay of the first delta
     assert(got(zone2) == expected)
+
+    // OPTIMIZE: bucket-clustered rewrite + stats — results unchanged,
+    // and the probe now opens a strict subset of the index files
+    AnnIndexZone.optimize(spark, zone2, targetRowsPerFile = math.max(1L, n / 8))
+    assert(got(zone2) == expected, "optimize changed the probe result")
+    val total = spark.read.parquet(s"$zone2/index").inputFiles.length
+    val (planes, dims) = AnnIndexZone.meta(spark, zone2)
+    val qb = query.select(Similarity.srpBucket(col("qvec"), planes, dims).as("qb"))
+      .head().getLong(0)
+    val planned = graft.operators.ZoneMap.statsPlanFilesAnyOf(spark,
+      s"$zone2/index", s"$zone2/stats", "bucket",
+      (0 until planes).map(p => qb ^ (1L << p)) :+ qb)
+    assert(total > 1 && planned.size < total,
+      s"optimized probe pruned nothing (${planned.size}/$total files)")
+
+    // a delta appended AFTER optimize: the stale stats must fail the
+    // probe loudly; re-covering the delta with appendStats restores it
+    AnnIndexZone.appendIndex(emb.limit(1), zone2)
+    val e = intercept[IllegalArgumentException] { got(zone2) }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    assert(graft.operators.ZoneMap.appendStats(spark,
+      s"$zone2/index", s"$zone2/stats", Seq("bucket")) >= 1L)
+    assert(got(zone2) == expected, "post-append probe diverged")
   }
 }
