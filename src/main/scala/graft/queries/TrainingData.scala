@@ -193,12 +193,14 @@ object TrainingData {
   def c6HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val docs = Tables(spark, dir, "documents")
-    // round-10: the candidate leg is served from the PERSISTED index
-    // zone (result-identical to the in-session lshTopK derivation —
-    // SimilaritySpec pins the equality), so the per-query cost drops
-    // the corpus count() and full-corpus bucket assignment
+    // round-10: the candidate leg is served from the OPTIMIZED
+    // persisted index zone (result-identical to the in-session lshTopK
+    // derivation — SimilaritySpec pins both equalities), so the
+    // per-query cost drops the corpus count() and full-corpus bucket
+    // assignment AND the probe opens only the stats-planned file
+    // subset of the index — the full production read posture
     val cand = graft.operators.AnnIndexZone.topK(
-      emb, queryVec(spark, dir), annIndexZone(spark, dir), 20)
+      emb, queryVec(spark, dir), annIndexZoneOptimized(spark, dir), 20)
     val stopWords = TextOps.langMarkers.head._2
     val terms = docs.filter(col("doc_id") === 0)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
