@@ -185,9 +185,14 @@ object JdbcSink {
       val cq = carry.map(quote)
       val cIns = cq.map(c => s", $c").mkString
       val cSet = cq.map(c => s", $c = EXCLUDED.$c").mkString
+      // carry columns join the DISTINCT ON ordering (after the compared
+      // triple) so two staged rows tying on (seq, op, newVal) with
+      // different carry values pick a DETERMINISTIC winner instead of
+      // whichever row the scan happened to visit first
+      val cOrd = cq.map(c => s", $c DESC").mkString
       s"""INSERT INTO $target AS t ($k, $v, $s, $o$cIns)
          |SELECT DISTINCT ON ($k) $k, $nv, $s, $o$cIns FROM $staging
-         |ORDER BY $k, $s DESC, $o DESC, $nv DESC
+         |ORDER BY $k, $s DESC, $o DESC, $nv DESC$cOrd
          |ON CONFLICT ($k) DO UPDATE
          |SET $v = EXCLUDED.$v, $s = EXCLUDED.$s, $o = EXCLUDED.$o$cSet
          |WHERE (EXCLUDED.$s, EXCLUDED.$o, EXCLUDED.$v) > (t.$s, t.$o, t.$v)""".stripMargin

@@ -42,14 +42,28 @@ import org.apache.spark.sql.functions._
 object AnnIndexZone {
 
   /** Create an empty zone sized for `expectedCount` vectors. Returns
-    * the plane count. Idempotent overwrite: re-creating with the same
-    * capacity rewrites identical meta.
+    * the plane count. Idempotent overwrite for an EMPTY or
+    * same-geometry zone; refuses to change the plane count or dims of
+    * a zone that already holds index rows — rewriting meta under a
+    * populated index would orphan every stored bucket (probes would
+    * hash with new planes against rows hashed with the old ones) and
+    * return silently WRONG top-k results. A capacity change on a
+    * populated zone is a rebuild: drop the zone and re-index.
     */
   def create(spark: SparkSession, zoneDir: String, expectedCount: Long,
       dims: Int = 64, targetBucketSize: Long = 32,
       minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
     val planes = Similarity.derivePlanes(
       expectedCount, targetBucketSize, minPlanes, maxPlanes)
+    if (graft.core.Fs.exists(spark, s"$zoneDir/meta") &&
+        graft.core.Fs.exists(spark, s"$zoneDir/index")) {
+      val (oldPlanes, oldDims) = meta(spark, zoneDir)
+      require(oldPlanes == planes && oldDims == dims,
+        s"AnnIndexZone $zoneDir already holds index rows under " +
+          s"planes=$oldPlanes dims=$oldDims; re-creating with " +
+          s"planes=$planes dims=$dims would orphan every stored bucket " +
+          "— drop the zone and re-index to change its geometry")
+    }
     import spark.implicits._
     Seq((planes, dims)).toDF("n_planes", "dims")
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
@@ -103,6 +117,10 @@ object AnnIndexZone {
     */
   def optimize(spark: SparkSession, zoneDir: String,
       targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
+    // a created-but-never-appended zone has no index dir yet —
+    // compactParquet tolerates that as a (0,0) no-op, and buildStats
+    // must not then crash on the missing path
+    if (!graft.core.Fs.exists(spark, s"$zoneDir/index")) return (0, 0)
     val res = ShardedWriter.compactParquet(
       spark, s"$zoneDir/index", col("bucket"), targetRowsPerFile)
     ZoneMap.buildStats(spark, s"$zoneDir/index", s"$zoneDir/stats", Seq("bucket"))
@@ -135,9 +153,16 @@ object AnnIndexZone {
     val (planes, dims) = meta(spark, zoneDir)
     val indexDir = s"$zoneDir/index"
     val statsDir = s"$zoneDir/stats"
+    // materialize the one query row ONCE: the caller's frame is often a
+    // corpus filter, and referencing it from the probe derivation, the
+    // stats planner, and the final cross join would re-scan it three
+    // times per query — a LocalRelation costs one tiny job total
+    import spark.implicits._
+    val qv: Seq[Float] = query.select(col("qvec")).head().getSeq[Float](0)
+    val q1 = Seq(Tuple1(qv)).toDF("qvec")
     val index =
       if (graft.core.Fs.exists(spark, statsDir)) {
-        val qb = query
+        val qb = q1
           .select(Similarity.srpBucket(col("qvec"), planes, dims).as("qb"))
           .head().getLong(0)
         val pbs = (0 until planes).map(p => qb ^ (1L << p)) :+ qb
@@ -146,7 +171,7 @@ object AnnIndexZone {
         if (files.isEmpty) spark.read.parquet(indexDir).filter(lit(false))
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(indexDir)
-    val probes = query
+    val probes = q1
       .withColumn("qbucket", Similarity.srpBucket(col("qvec"), planes, dims))
       .select(col("qvec"), explode(array(
         (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))) :+
@@ -155,7 +180,7 @@ object AnnIndexZone {
       .join(broadcast(probes.select(col("pb"))), col("bucket") === col("pb"))
       .select(col("vec_id"))
     corpus.join(broadcast(cand), Seq("vec_id"), "left_semi")
-      .crossJoin(broadcast(query.select(col("qvec"))))
+      .crossJoin(broadcast(q1))
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -355,6 +355,11 @@ object Similarity {
         max_by(struct(col("vec_id"), col("qv")),
           struct(seedDraw(0).as("score"), (col("vec_id") * -1L).as("tie"))).as("s"))
       .head()
+    // an empty corpus yields one all-null agg row — fail readably
+    // before getLong would throw an opaque NPE (callers like c7 reach
+    // here when an upstream filter leaves zero surviving embeddings)
+    require(!first.isNullAt(0),
+      "kmeans needs a non-empty embeddings frame (the input produced zero rows)")
     require(first.getLong(0) >= 0L,
       s"kmeans quantization precondition violated: embedding value < -1 " +
         s"(min quantized = ${first.getLong(0)}) — truncating centroid division " +

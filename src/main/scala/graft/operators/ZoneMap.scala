@@ -30,6 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** The shared staleness gate every planner runs before trusting its
+    * metadata: the data dir's CURRENT file set must equal the set the
+    * metadata table covers. A FILE-SET comparison, not a count —
+    * same-count churn (compaction replacing one file with another) must
+    * fail as loudly as an append, or an uncovered file silently never
+    * reads.
+    */
+  private def requireFresh(spark: SparkSession, dataDir: String,
+      known: Set[String], what: String, rebuild: String): Unit = {
+    val actual = spark.read.parquet(dataDir).inputFiles.toSet
+    require(actual == known, {
+      val extra = actual -- known
+      val gone = known -- actual
+      s"$what stale for $dataDir — rebuild $rebuild" +
+        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
+        (if (gone.nonEmpty) s"; $rebuild for missing files: ${gone.take(3).mkString(", ")}" else "")
+    })
+  }
+
   /** One scan of `dataDir` → stats parquet at `statsDir`: one row per
     * data file with `(file, n_rows, min_<c>, max_<c>, ...)` for each
     * requested column, in the column's NATIVE type — numeric, string
@@ -100,18 +119,9 @@ object ZoneMap {
     }
     // driver-side: one short string per SURVIVING file
     val files = keep.select(col("file")).collect().map(_.getString(0))
-    // staleness is a FILE-SET comparison, not a count: same-count churn
-    // (compaction replacing one file with another) must fail just as
-    // loudly as an append, or an uncovered file silently never reads
-    val known = stats.select(col("file")).collect().map(_.getString(0)).toSet
-    val actual = spark.read.parquet(dataDir).inputFiles.toSet
-    require(actual == known, {
-      val extra = actual -- known
-      val gone = known -- actual
-      s"zone map stale for $dataDir — rebuild stats" +
-        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
-        (if (gone.nonEmpty) s"; stats for missing files: ${gone.take(3).mkString(", ")}" else "")
-    })
+    requireFresh(spark, dataDir,
+      stats.select(col("file")).collect().map(_.getString(0)).toSet,
+      "zone map", "stats")
     if (files.isEmpty)
       // no file can match: empty frame, schema preserved from the dir
       spark.read.parquet(dataDir).filter(lit(false))
@@ -133,15 +143,8 @@ object ZoneMap {
       .select(col("file"), col(s"min_$column").cast("long").as("mn"),
         col(s"max_$column").cast("long").as("mx"))
       .collect()
-    val known = rows.map(_.getString(0)).toSet
-    val actual = spark.read.parquet(dataDir).inputFiles.toSet
-    require(actual == known, {
-      val extra = actual -- known
-      val gone = known -- actual
-      s"zone map stale for $dataDir — rebuild stats" +
-        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
-        (if (gone.nonEmpty) s"; stats for missing files: ${gone.take(3).mkString(", ")}" else "")
-    })
+    requireFresh(spark, dataDir, rows.map(_.getString(0)).toSet,
+      "zone map", "stats")
     rows.collect {
       case r if r.isNullAt(1) || r.isNullAt(2) => r.getString(0)
       case r if points.exists(p => r.getLong(1) <= p && p <= r.getLong(2)) =>
@@ -233,15 +236,8 @@ object ZoneMap {
     import org.apache.spark.util.sketch.BloomFilter
     val rows = spark.read.parquet(bloomDir)
       .select(col("file"), col("bloom")).collect()
-    val known = rows.map(_.getString(0)).toSet
-    val actual = spark.read.parquet(dataDir).inputFiles.toSet
-    require(actual == known, {
-      val extra = actual -- known
-      val gone = known -- actual
-      s"bloom zone stale for $dataDir — rebuild blooms" +
-        (if (extra.nonEmpty) s"; uncovered files: ${extra.take(3).mkString(", ")}" else "") +
-        (if (gone.nonEmpty) s"; blooms for missing files: ${gone.take(3).mkString(", ")}" else "")
-    })
+    requireFresh(spark, dataDir, rows.map(_.getString(0)).toSet,
+      "bloom zone", "blooms")
     val loaded = rows.map { r =>
       r.getString(0) -> BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))

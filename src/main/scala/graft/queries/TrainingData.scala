@@ -1316,7 +1316,12 @@ object TrainingData {
           + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
     val scalars = docs
       .agg(sum(col("n_tokens")), countDistinct(col("source"))).head()
-    val budget = scalars.getLong(0) / (2L * scalars.getLong(1))
+    // empty documents table: sum() is null — the mix is legitimately
+    // empty (the oracle's r-cross-b is empty too), so take a budget no
+    // non-negative running sum can satisfy instead of NPE'ing
+    val budget =
+      if (scalars.isNullAt(0)) -1L
+      else scalars.getLong(0) / (2L * scalars.getLong(1))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1416,7 +1421,14 @@ object TrainingData {
     val clustered = graft.core.Caches.persistTracked(kept.join(cids, "doc_id"))
     val scalars = clustered
       .agg(sum(col("n_tokens")), countDistinct(col("cid"))).head()
-    val budget = scalars.getLong(0) / (2L * scalars.getLong(1))
+    // a corpus where no document passes the quality gate fails earlier
+    // with kmeans' readable empty-input error (c7 requires >= 1
+    // surviving document by contract); clustered can therefore not be
+    // empty here, but guard the null anyway so a future contract change
+    // degrades to an empty mix instead of an NPE
+    val budget =
+      if (scalars.isNullAt(0)) -1L
+      else scalars.getLong(0) / (2L * scalars.getLong(1))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1562,6 +1574,11 @@ object TrainingData {
     * dist); `kq` is the quantized exploded corpus.
     */
   private[queries] def kmeansCtes(src: String, k: Int = 8, iters: Int = 3): String = {
+    // the Spark twin accepts any k >= 1; the generated chain must too —
+    // k = 1 has an EMPTY seeding segment (ch0 is the full chosen set),
+    // which the assembly below handles by dropping that block entirely
+    // rather than emitting a dangling comma
+    require(k >= 1 && iters >= 1, s"kmeansCtes needs k >= 1, iters >= 1 (got $k, $iters)")
     val draw = (i: Int) =>
       s"(CAST((${h60sql.format(s"'seed$i:' || CAST(vec_id AS VARCHAR)")} % 1048576 + 1) AS DOUBLE) / 1048576.0)"
     val seeding = (1 until k).map { i =>
@@ -1593,13 +1610,13 @@ object TrainingData {
          |    FROM a$i a JOIN kq q USING (vec_id) GROUP BY a.cid, q.dim) n
          |  ON n.cid = c.cid AND n.dim = c.dim)""".stripMargin
     }.mkString(",\n")
+    val seedingBlock = if (k > 1) seeding + ",\n" else ""
     s"""kq AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
        |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
        |  FROM $src),
        |ch0 AS MATERIALIZED (SELECT vec_id FROM $src
        |  ORDER BY ${draw(0)} DESC, vec_id LIMIT 1),
-       |$seeding,
-       |init AS MATERIALIZED (SELECT DISTINCT vec_id FROM ch${k - 1}),
+       |${seedingBlock}init AS MATERIALIZED (SELECT DISTINCT vec_id FROM ch${k - 1}),
        |c0 AS MATERIALIZED (SELECT CAST(dense_rank() OVER (ORDER BY q.vec_id) - 1 AS BIGINT) AS cid,
        |    q.dim, q.v AS c
        |  FROM kq q JOIN init USING (vec_id)),
