@@ -1442,6 +1442,48 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality calibration (x23): x3's raw score rank-
+    * normalized WITHIN each source to a [0,1] percent_rank — the
+    * cross-source comparability signal every mixed-corpus curation
+    * step needs (raw score scales differ by source: a boilerplate-
+    * heavy crawl and a curated wiki dump occupy different score
+    * bands, so any global threshold or cross-source ranking on raw
+    * scores systematically over-selects the generous-scale source;
+    * c5 sidesteps this with per-source budgets, c7's clusters mix
+    * sources — calibration is the principled fix). Rank-based on
+    * purpose: a z-score needs mean/variance whose float summation
+    * order differs across engines, while percent_rank is exact
+    * integer rank arithmetic over the same (score, doc_id) total
+    * order both engines share — hash-matchable.
+    *
+    * Scale shape: ONE exchange on source (the per-source ranking
+    * window; sources partition the corpus, so the sort parallelizes
+    * across them), scoring itself a narrow codegen'd projection.
+    */
+  def x23QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val docs = Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        length(t).cast("long").as("n_chars_len"),
+        TextOps.tokenCount(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
+        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
+      // x3's exact formula and op order — bit-identical doubles
+      .withColumn("quality_score",
+        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
+          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
+          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
+          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    docs
+      .withColumn("calibrated", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("calibrated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Int8 scalar quantization of the embedding column (the memory-side
     * half of IVF-PQ-style ANN): per-dimension corpus min/max, then each
     * value to its 0..255 code. Stats are one partial-aggregated shuffle
@@ -1481,6 +1523,7 @@ object TrainingData {
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
+    "x23_quality_calibration" -> (x23QualityCalibration _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -2228,6 +2271,26 @@ object TrainingData {
     "d19_ann_index_zone" -> lshTopKOracleSql(10),
     // d21: the OPTIMIZEd zone must also be invisible in the result.
     "d21_ann_index_optimized" -> lshTopKOracleSql(10),
+    "x23_quality_calibration" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars_len,
+        |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS stop_cnt
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+        |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+        |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+        |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+        |      AS quality_score
+        |  FROM q)
+        |SELECT doc_id, source, quality_score,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY quality_score, doc_id) AS calibrated
+        |FROM s ORDER BY doc_id""".stripMargin,
     // c6: d6's candidate derivation (k widened to 20) + x18's chunk
     // tiling over the candidates only + exact integer term hits — the
     // hybrid rank reproduces the engine's two-stage retrieval
