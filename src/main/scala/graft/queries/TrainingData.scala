@@ -1356,6 +1356,15 @@ object TrainingData {
     *   6. sequence packing of the selection ([[sequencePack]], x12's
     *      two-level prefix sum) into 2048-token training rows.
     *
+    * Passage-level boilerplate removal (d17) is deliberately NOT
+    * inlined: it REWRITES text rather than dropping rows, so its
+    * natural position is a normalization pass over the INPUT corpus
+    * (swap `Tables(...documents)` for `passageDedup(docs)` rebuilt to
+    * text — the operator composes at the frame seam, proven standalone
+    * by d17's own oracle); inlining it here would re-verify d17's
+    * chunk-tiling oracle inside every downstream stage for no new
+    * compositional claim.
+    *
     * Output is PER-DOCUMENT (doc_id, cid, quality_score, n_tokens,
     * start_off, seq_start, seq_end) — the strongest hashable contract:
     * the DuckDB oracle replays every stage (closure, seeding, Lloyd,
