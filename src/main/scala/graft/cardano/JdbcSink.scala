@@ -188,7 +188,11 @@ object JdbcSink {
       // carry columns join the DISTINCT ON ordering (after the compared
       // triple) so two staged rows tying on (seq, op, newVal) with
       // different carry values pick a DETERMINISTIC winner instead of
-      // whichever row the scan happened to visit first
+      // whichever row the scan happened to visit first. This makes
+      // ORDERABILITY part of the carry contract: every carry column's
+      // PG type must have an ordering operator (varchar/numeric/bool/
+      // timestamp etc. — a raw `json` column would need a ::jsonb or
+      // ::text cast staging-side before it can ride along)
       val cOrd = cq.map(c => s", $c DESC").mkString
       s"""INSERT INTO $target AS t ($k, $v, $s, $o$cIns)
          |SELECT DISTINCT ON ($k) $k, $nv, $s, $o$cIns FROM $staging

@@ -55,8 +55,16 @@ object AnnIndexZone {
       minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
     val planes = Similarity.derivePlanes(
       expectedCount, targetBucketSize, minPlanes, maxPlanes)
-    if (graft.core.Fs.exists(spark, s"$zoneDir/meta") &&
-        graft.core.Fs.exists(spark, s"$zoneDir/index")) {
+    if (graft.core.Fs.exists(spark, s"$zoneDir/index")) {
+      // index rows with NO meta is a corrupt zone (e.g. a crash inside
+      // meta's delete-then-write overwrite): creating over it would
+      // stamp a fresh plane count onto rows hashed with an unknown one
+      // — the silent-wrong-results path this guard exists to close, so
+      // it must fail just as loudly as a geometry change
+      require(graft.core.Fs.exists(spark, s"$zoneDir/meta"),
+        s"AnnIndexZone $zoneDir holds index rows but no meta (corrupt " +
+          "zone — likely an interrupted meta write); drop the zone and " +
+          "re-index rather than re-creating over rows of unknown geometry")
       val (oldPlanes, oldDims) = meta(spark, zoneDir)
       require(oldPlanes == planes && oldDims == dims,
         s"AnnIndexZone $zoneDir already holds index rows under " +
@@ -158,7 +166,11 @@ object AnnIndexZone {
     // stats planner, and the final cross join would re-scan it three
     // times per query — a LocalRelation costs one tiny job total
     import spark.implicits._
-    val qv: Seq[Float] = query.select(col("qvec")).head().getSeq[Float](0)
+    val qrow = query.select(col("qvec")).limit(1).collect()
+    require(qrow.nonEmpty,
+      "AnnIndexZone.topK needs exactly one query row; the query frame " +
+        "produced zero rows (e.g. a corpus filter that matched nothing)")
+    val qv: Seq[Float] = qrow(0).getSeq[Float](0)
     val q1 = Seq(Tuple1(qv)).toDF("qvec")
     val index =
       if (graft.core.Fs.exists(spark, statsDir)) {

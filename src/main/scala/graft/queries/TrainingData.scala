@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -751,24 +751,38 @@ object TrainingData {
   /** Quality scoring: length/punct/digit/stopword ratios + linear score
     * (no transcendental functions — cross-engine exact).
     */
-  def x3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** THE canonical x3 scoring projection — feature counts + the
+    * weighted quality formula, shared by x3 / c5 / c7 / x23 so the
+    * bit-identical-doubles guarantee that makes their cross-engine
+    * sort orders agree is STRUCTURAL, not enforced by four synchronized
+    * comments. `keep` columns pass through alongside doc_id (c5/x23
+    * carry source, c7 carries text).
+    */
+  private def qualityScored(docs: DataFrame, keep: Column*): DataFrame = {
     val t = col("text")
-    Tables(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        length(t).cast("long").as("n_chars_len"),
-        TextOps.tokenCount(t).cast("long").as("n_tokens"),
-        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
-        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
-        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
+    docs.select(
+        (col("doc_id") +: keep) ++ Seq(
+          length(t).cast("long").as("n_chars_len"),
+          TextOps.tokenCount(t).cast("long").as("n_tokens"),
+          size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+          size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
+          TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt")): _*)
+      // term order preserved exactly — the float arithmetic must match
+      // the oracle bit-for-bit (ratio-column formulations are the same
+      // expression tree after inlining)
+      .withColumn("quality_score",
+        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
+          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
+          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
+          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+  }
+
+  def x3QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables(spark, dir, "documents"))
       .withColumn("punct_ratio", col("punct_cnt").cast("double") / col("n_chars_len"))
       .withColumn("digit_ratio", col("digit_cnt").cast("double") / col("n_chars_len"))
       .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens"))
-      .withColumn("quality_score",
-        col("stop_ratio") * 5.0 - col("punct_ratio") * 3.0 - col("digit_ratio") * 2.0 +
-          when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprints: normalized sha256 + position-weighted rolling
     * hash.
@@ -1298,29 +1312,15 @@ object TrainingData {
     */
   def c5TrainingMix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = col("text")
-    val docs = Tables(spark, dir, "documents")
-      .select(
-        col("doc_id"), col("source"),
-        length(t).cast("long").as("n_chars_len"),
-        TextOps.tokenCount(t).cast("long").as("n_tokens"),
-        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
-        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
-        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
-      // x3's exact formula and op order — bit-identical doubles, so the
-      // (score desc, doc_id) sort order agrees across engines
-      .withColumn("quality_score",
-        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
-          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
-          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
-          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    val docs = qualityScored(Tables(spark, dir, "documents"), col("source"))
     val scalars = docs
       .agg(sum(col("n_tokens")), countDistinct(col("source"))).head()
-    // empty documents table: sum() is null — the mix is legitimately
-    // empty (the oracle's r-cross-b is empty too), so take a budget no
-    // non-negative running sum can satisfy instead of NPE'ing
+    // degenerate inputs make the mix legitimately empty rather than
+    // crashing: an empty documents table nulls the sum (NPE at getLong)
+    // and an all-NULL source column zeroes the distinct count (divide
+    // by zero) — both take a budget no non-negative running sum meets
     val budget =
-      if (scalars.isNullAt(0)) -1L
+      if (scalars.isNullAt(0) || scalars.getLong(1) == 0L) -1L
       else scalars.getLong(0) / (2L * scalars.getLong(1))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -1385,21 +1385,7 @@ object TrainingData {
     */
   def c7CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val docs = Tables(spark, dir, "documents")
-    val scored = docs
-      .select(
-        col("doc_id"), col("text"),
-        length(t).cast("long").as("n_chars_len"),
-        TextOps.tokenCount(t).cast("long").as("n_tokens"),
-        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
-        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
-        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
-      // x3's exact formula and op order — bit-identical doubles
-      .withColumn("quality_score",
-        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
-          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
-          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
-          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    val scored = qualityScored(Tables(spark, dir, "documents"), col("text"))
       .filter(col("quality_score") > 0.0)
     // stage boundaries are persistTracked: each stage's output feeds
     // 2-3 downstream consumers (semi-joins, eager scalar aggs, the
@@ -1470,24 +1456,14 @@ object TrainingData {
     * across them), scoring itself a narrow codegen'd projection.
     */
   def x23QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val docs = Tables(spark, dir, "documents")
-      .select(
-        col("doc_id"), col("source"),
-        length(t).cast("long").as("n_chars_len"),
-        TextOps.tokenCount(t).cast("long").as("n_tokens"),
-        size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
-        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digit_cnt"),
-        TextOps.langHits(t, TextOps.langMarkers.head._2).cast("long").as("stop_cnt"))
-      // x3's exact formula and op order — bit-identical doubles
-      .withColumn("quality_score",
-        col("stop_cnt").cast("double") / col("n_tokens") * 5.0
-          - col("punct_cnt").cast("double") / col("n_chars_len") * 3.0
-          - col("digit_cnt").cast("double") / col("n_chars_len") * 2.0
-          + when(col("n_chars_len").between(100, 400), 0.5).otherwise(0.0))
+    // asc_nulls_last, NOT plain asc: a zero-token or zero-char document
+    // scores NULL, and Spark's ASC default is NULLS FIRST while
+    // DuckDB's is NULLS LAST — an un-pinned ordering would shift every
+    // rank in that source and hash-mismatch the oracle the moment the
+    // data contains one such row (the oracle SQL pins NULLS LAST too)
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score"), col("doc_id"))
-    docs
+      .orderBy(col("quality_score").asc_nulls_last, col("doc_id"))
+    qualityScored(Tables(spark, dir, "documents"), col("source"))
       .withColumn("calibrated", percent_rank().over(w))
       .select(col("doc_id"), col("source"), col("quality_score"), col("calibrated"))
       .orderBy(col("doc_id"))
@@ -2298,7 +2274,7 @@ object TrainingData {
         |  FROM q)
         |SELECT doc_id, source, quality_score,
         |  percent_rank() OVER (PARTITION BY source
-        |    ORDER BY quality_score, doc_id) AS calibrated
+        |    ORDER BY quality_score ASC NULLS LAST, doc_id) AS calibrated
         |FROM s ORDER BY doc_id""".stripMargin,
     // c6: d6's candidate derivation (k widened to 20) + x18's chunk
     // tiling over the candidates only + exact integer term hits — the
