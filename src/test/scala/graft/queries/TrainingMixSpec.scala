@@ -53,4 +53,22 @@ class TrainingMixSpec extends SparkSpec {
     }
     assert(mix.keySet == expected.filter(_._2.nonEmpty).keySet)
   }
+
+  test("x23 calibration is the exact per-source (rank-1)/(n-1) grid") {
+    // independent of the oracle hash: within each source, the calibrated
+    // values must be exactly the percent_rank grid positions under the
+    // (score, doc_id) total order — 0 for the worst, 1 for the best,
+    // uniform steps between (no ties exist: doc_id breaks them)
+    val rows = TrainingData.x23QualityCalibration(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val n = docs.length
+      docs.sortBy(d => (d._3, d._2)).zipWithIndex.foreach {
+        case ((_, id, _, calib), i) =>
+          val expect = if (n == 1) 0.0 else i.toDouble / (n - 1)
+          assert(calib == expect, s"$src doc $id: calibrated $calib != $expect")
+      }
+    }
+  }
 }
