@@ -163,11 +163,12 @@ object JdbcSink {
       * binary order and PG's collation here because both operands are
       * single ASCII uppercase letters.
       *
-      * NON-NULL CONTRACT: `seq`, `op`, and `newVal` must be NOT NULL in
-      * every staged change row. A NULL in any compared column makes the
-      * PG row-comparison guard evaluate to NULL (the update silently
-      * skips), and `DISTINCT ON ... DESC` orders NULL first (largest)
-      * while [[graft.streaming.EventStream.cdcApplyBatch]]'s
+      * NON-NULL CONTRACT: `seq`, `op`, `newVal` AND every `carry`
+      * column must be NOT NULL in every staged change row. A NULL in
+      * any compared column makes the PG row-comparison guard evaluate
+      * to NULL (the update silently skips), and `DISTINCT ON ... DESC`
+      * orders NULL first (largest) while
+      * [[graft.streaming.EventStream.cdcApplyBatch]]'s
       * `max(struct(...))` treats null as smallest — the two engines
       * would pick DIFFERENT winners for the same batch. The generated
       * staging DDL cannot enforce this (it clones the target's shape),
@@ -181,25 +182,30 @@ object JdbcSink {
       val (k, s, o, nv, v) = (quote(key), quote(seq), quote(op), quote(newVal), quote(valCol))
       // carry: payload columns beyond the compared value (FK references,
       // attributes) — copied from the per-key WINNING change row on
-      // insert and update; never part of the last-writer-wins guard
+      // insert and update
       val cq = carry.map(quote)
       val cIns = cq.map(c => s", $c").mkString
       val cSet = cq.map(c => s", $c = EXCLUDED.$c").mkString
       // carry columns join the DISTINCT ON ordering (after the compared
-      // triple) so two staged rows tying on (seq, op, newVal) with
-      // different carry values pick a DETERMINISTIC winner instead of
-      // whichever row the scan happened to visit first. This makes
-      // ORDERABILITY part of the carry contract: every carry column's
-      // PG type must have an ordering operator (varchar/numeric/bool/
-      // timestamp etc. — a raw `json` column would need a ::jsonb or
-      // ::text cast staging-side before it can ride along)
+      // triple) AND the cross-batch row-comparison guard, so two staged
+      // rows tying on (seq, op, newVal) with different carry values pick
+      // the same deterministic winner (lexicographic max over the full
+      // tuple) no matter how the feed is split into batches — without
+      // the guard leg, the first-arrived carry would stick cross-batch
+      // while the max carry wins within a batch. This makes ORDERABILITY
+      // part of the carry contract: every carry column's PG type must
+      // have an ordering operator (varchar/numeric/bool/timestamp etc. —
+      // a raw `json` column would need a ::jsonb or ::text cast
+      // staging-side before it can ride along)
       val cOrd = cq.map(c => s", $c DESC").mkString
+      val cExc = cq.map(c => s", EXCLUDED.$c").mkString
+      val cTgt = cq.map(c => s", t.$c").mkString
       s"""INSERT INTO $target AS t ($k, $v, $s, $o$cIns)
          |SELECT DISTINCT ON ($k) $k, $nv, $s, $o$cIns FROM $staging
          |ORDER BY $k, $s DESC, $o DESC, $nv DESC$cOrd
          |ON CONFLICT ($k) DO UPDATE
          |SET $v = EXCLUDED.$v, $s = EXCLUDED.$s, $o = EXCLUDED.$o$cSet
-         |WHERE (EXCLUDED.$s, EXCLUDED.$o, EXCLUDED.$v) > (t.$s, t.$o, t.$v)""".stripMargin
+         |WHERE (EXCLUDED.$s, EXCLUDED.$o, EXCLUDED.$v$cExc) > (t.$s, t.$o, t.$v$cTgt)""".stripMargin
     }
 
     /** Tombstone GC: the real `DELETE` leg of the CDC story. Safe only

@@ -105,6 +105,15 @@ object AnnIndexZone {
       dims: Int = 64, targetBucketSize: Long = 32,
       minPlanes: Int = 4, maxPlanes: Int = 24,
       knownCount: Option[Long] = None): Int = {
+    // create() is idempotent on a same-geometry zone but appendIndex is
+    // not — a repeated build() would silently re-append the whole corpus
+    // (results stay correct through the read side's semi-join, but the
+    // index doubles on every call). Full-rebuild callers drop the zone
+    // first; delta callers use appendIndex.
+    require(!graft.core.Fs.exists(spark, s"$zoneDir/index"),
+      s"AnnIndexZone $zoneDir already holds index rows; build() would " +
+        "re-append the entire corpus on top of them — use appendIndex " +
+        "for deltas, or drop the zone first for a full rebuild")
     val planes = create(spark, zoneDir, knownCount.getOrElse(emb.count()),
       dims, targetBucketSize, minPlanes, maxPlanes)
     appendIndex(emb, zoneDir)
@@ -172,6 +181,15 @@ object AnnIndexZone {
         "produced zero rows (e.g. a corpus filter that matched nothing)")
     val qv: Seq[Float] = qrow(0).getSeq[Float](0)
     val q1 = Seq(Tuple1(qv)).toDF("qvec")
+    // a created-but-never-appended zone has no index dir yet: an empty
+    // index legitimately yields zero candidates, so return an empty
+    // frame with the output shape (same projection, zero-row corpus)
+    // instead of the opaque path-not-found AnalysisException a raw
+    // parquet read of the missing dir would throw
+    if (!graft.core.Fs.exists(spark, indexDir))
+      return corpus.limit(0).crossJoin(broadcast(q1))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
     val index =
       if (graft.core.Fs.exists(spark, statsDir)) {
         val qb = q1

@@ -154,5 +154,21 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.ZoneMap.appendStats(spark,
       s"$zone2/index", s"$zone2/stats", Seq("bucket")) >= 1L)
     assert(got(zone2) == expected, "post-append probe diverged")
+
+    // build() on a zone that already holds index rows must REFUSE —
+    // create is idempotent but appendIndex is not, so a repeated build
+    // would silently double the index on every call
+    val eb = intercept[IllegalArgumentException] {
+      AnnIndexZone.build(spark, emb, zone, knownCount = Some(n)) }
+    assert(eb.getMessage.contains("appendIndex"), eb.getMessage)
+
+    // topK on a created-but-never-appended zone: an empty index yields
+    // zero candidates — an empty frame with the output schema, not a
+    // path-not-found AnalysisException on the missing index dir
+    val zone3 = tmpDir("annzone3") + "/z"
+    AnnIndexZone.create(spark, zone3, expectedCount = n)
+    val empty = AnnIndexZone.topK(emb, query, zone3, 10)
+    assert(empty.columns.toSeq == Seq("vec_id", "cos_sim"))
+    assert(empty.count() == 0L)
   }
 }

@@ -150,5 +150,23 @@ class PostgresCdc5Spec extends ScratchPostgres {
     for ((t, _, _) <- family.reverse) sql(d.cdcTombstoneGcSql(t))
     for ((t, key, _) <- family)
       assert(state(t, key) == expected(t), s"$t moved under full-feed replay")
+
+    // carry tie-break is BATCH-SPLIT INDEPENDENT: two changes tying on
+    // the full (seq, op, newVal) triple but differing in carry must
+    // settle on the max carry whether they arrive in one batch or split
+    // across batches in either order — the carry columns ride both the
+    // within-batch DISTINCT ON ordering and the cross-batch guard tuple.
+    // i8 sees the larger carry FIRST (the later smaller one must skip),
+    // i9 sees it LAST (the later larger one must win); both refs are
+    // live parents so the FK is satisfied.
+    applyBatch(Seq(Chg("cdc_input", "i8", 9, "U", 80, "u2")), "t1")
+    applyBatch(Seq(Chg("cdc_input", "i8", 9, "U", 80, "u1"),
+                   Chg("cdc_input", "i9", 9, "U", 90, "u1")), "t2")
+    applyBatch(Seq(Chg("cdc_input", "i9", 9, "U", 90, "u2")), "t3")
+    val refs = copyOut(
+      """SELECT "id", "ref" FROM cdc_input WHERE "id" IN ('i8','i9') ORDER BY "id"""")
+      .linesIterator.map(_.split(",")(1)).toSeq
+    assert(refs == Seq("u2", "u2"),
+      s"carry tie-break depends on batch split: $refs")
   }
 }
