@@ -137,23 +137,31 @@ object Dedup {
     withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over a minhash signature: band hash = md5 of the band's
-    * minhashes; docs sharing any band hash are candidates. Pair
-    * generation is a self-join per band key — bounded by bucket sizes,
-    * never all-pairs.
+  /** LSH band rows over a minhash signature: one `(doc_id, band, bh)`
+    * row per band, band hash = md5 of the band's minhashes. The
+    * representation every banding consumer shares — [[lshCandidatePairs]]
+    * self-joins it in-session; [[SignatureZone]] persists it as the
+    * incremental-dedup index.
     */
-  def lshCandidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bh"))
     }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+  }
+
+  /** LSH banding over a minhash signature: docs sharing any band hash
+    * are candidates. Pair generation is a self-join per band key —
+    * bounded by bucket sizes, never all-pairs.
+    */
+  def lshCandidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     // Both self-join sides read the banded table; persist (tracked) so
     // signature computation (the minhash aggregation upstream) runs once.
-    val banded = graft.core.Caches.persistTracked(
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bnd"))
-        .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.bh").as("bh")))
+    val banded = graft.core.Caches.persistTracked(bandRows(sig, k, bands))
     val a = banded.as("a")
     val b = banded.as("b")
     // Same-size self-join: shuffled hash, not broadcast (see jaccardPairs).

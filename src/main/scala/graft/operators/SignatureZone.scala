@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band-signature zone — the STORAGE side of the
+  * near-dup dedup family, completing the zone ladder (sketch / stats /
+  * bloom / ANN index) for text dedup. [[Dedup.lshVerifiedPairs]] derives
+  * signatures per session, which at 100 TB means re-shingling the ENTIRE
+  * corpus every time a new crawl slice arrives; a deployment instead
+  * keeps the band rows on disk and dedups each DELTA against all of
+  * history by probing the stored bands (Broder's MinHash and the
+  * banding construction are published algorithms — Broder 1997;
+  * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3).
+  *
+  * Zone layout:
+  *
+  *   - `zoneDir/meta`: one row `(shingle_n, k, bands)` — the signature
+  *     geometry is a PROPERTY of the zone, fixed at creation (delta
+  *     probes and stored bands must hash identically forever; the
+  *     [[AnnIndexZone]] plane-count reasoning verbatim). The hash family
+  *     itself is constant ([[Dedup.minhash]]'s universal family over
+  *     md5), so the three integers alone reconstruct it on any engine.
+  *   - `zoneDir/bands`: `(doc_id, band, bh)` rows, append-only — k/bands
+  *     rows per document (brief strings), metadata-sized next to text.
+  *
+  * Maintenance is DELTA-ONLY: each ingest batch appends its own band
+  * rows (shingle → minhash → band over the batch — nothing rescans;
+  * `EventStream.streamSignatureZone` maintains the zone from a
+  * checkpointed stream). Replay idempotency is STRUCTURAL: the read
+  * side ([[incrementalPairs]]) generates candidates through a
+  * DISTINCT-ed pair join, so duplicate band rows from a replayed batch
+  * cannot change any result.
+  *
+  * Scale shape of [[incrementalPairs]]: band derivation touches only
+  * the delta; the zone probe is one band-keyed shuffled hash join
+  * (delta bands vs stored bands — the small side is the delta, but both
+  * scale with data, so `shuffle_hash`, never a corpus broadcast);
+  * verification re-reads text for CANDIDATE documents only (a doc_id
+  * semi-join against the corpus — point lookups once the documents
+  * table carries zone-map stats), so the history cost is proportional
+  * to band-bucket collisions, never to history size. At deployment
+  * scale the bands table would additionally be bucketed by `bh` so the
+  * probe join co-locates without an exchange (the q64/d20 layout move —
+  * the join already keys on (band, bh), so that layout drops in without
+  * a plan change).
+  */
+object SignatureZone {
+
+  /** Create an empty zone with fixed signature geometry. Idempotent
+    * overwrite for an EMPTY or same-geometry zone; refuses to change
+    * the geometry of a zone that already holds band rows — re-stamping
+    * `(shingle_n, k, bands)` under stored rows would make every future
+    * probe hash differently from the stored bands and silently miss
+    * near-dups. A geometry change on a populated zone is a rebuild:
+    * drop the zone and re-index.
+    */
+  def create(spark: SparkSession, zoneDir: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+    require(k % bands == 0, "k must divide into equal bands")
+    if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
+      // band rows with NO meta is a corrupt zone (a crash inside meta's
+      // delete-then-write overwrite): stamping fresh geometry onto rows
+      // hashed with an unknown one is the silent-miss path this guard
+      // closes — fail as loudly as a geometry change
+      require(graft.core.Fs.exists(spark, s"$zoneDir/meta"),
+        s"SignatureZone $zoneDir holds band rows but no meta (corrupt " +
+          "zone — likely an interrupted meta write); drop the zone and " +
+          "re-index rather than re-creating over rows of unknown geometry")
+      val (on, ok, ob) = meta(spark, zoneDir)
+      require(on == shingleN && ok == k && ob == bands,
+        s"SignatureZone $zoneDir already holds band rows under " +
+          s"shingle_n=$on k=$ok bands=$ob; re-creating with " +
+          s"shingle_n=$shingleN k=$k bands=$bands would orphan every " +
+          "stored band — drop the zone and re-index to change its geometry")
+    }
+    import spark.implicits._
+    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+      .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
+  }
+
+  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  def meta(spark: SparkSession, zoneDir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$zoneDir/meta")
+      .select(col("shingle_n"), col("k"), col("bands")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** One delta's band rows under the zone's fixed geometry: shingle →
+    * minhash → band, touching only the delta. `delta` must expose
+    * `doc_id` and `text`.
+    */
+  private def deltaBandRows(delta: DataFrame, shingleN: Int, k: Int,
+      bands: Int): DataFrame =
+    Dedup.bandRows(
+      Dedup.minhash(
+        Dedup.shingles(delta, col("doc_id"), col("text"), shingleN), k),
+      k, bands)
+
+  /** Append one delta's band rows — the per-batch maintenance step. */
+  def append(delta: DataFrame, zoneDir: String): Unit = {
+    val spark = delta.sparkSession
+    val (n, k, b) = meta(spark, zoneDir)
+    deltaBandRows(delta, n, k, b)
+      .write.mode(SaveMode.Append).parquet(s"$zoneDir/bands")
+  }
+
+  /** Create + index an existing corpus in one call (the batch-backfill
+    * path). Refuses a zone that already holds band rows — create is
+    * idempotent but append is not, so a repeated build would double the
+    * band table (the [[AnnIndexZone.build]] contract).
+    */
+  def build(spark: SparkSession, docs: DataFrame, zoneDir: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+    require(!graft.core.Fs.exists(spark, s"$zoneDir/bands"),
+      s"SignatureZone $zoneDir already holds band rows; build() would " +
+        "re-append the entire corpus on top of them — use append for " +
+        "deltas, or drop the zone first for a full rebuild")
+    create(spark, zoneDir, shingleN, k, bands)
+    append(docs, zoneDir)
+  }
+
+  /** Verified near-dup pairs of a DELTA against the stored zone AND
+    * within itself — the incremental posture of
+    * [[Dedup.lshVerifiedPairs]]: history is never re-shingled; its band
+    * rows come from the zone, and its text is touched only for
+    * candidate documents.
+    *
+    *   1. delta band rows (delta-only work, the zone's geometry);
+    *   2. candidates = (stored bands ⋈ delta bands on (band, bh)) ∪
+    *      (delta self-join), pairs oriented (least, greatest) and
+    *      DISTINCT-ed — which also absorbs replayed duplicate band rows
+    *      (structural idempotency) and makes the result identical
+    *      whether the zone holds history only or already includes the
+    *      delta (both cross-leg shapes produce the same pair set, so a
+    *      maintainer that appended the delta before querying gets the
+    *      same answer);
+    *   3. exact-Jaccard verification over the candidate documents'
+    *      shingles only (`corpus` supplies text by doc_id semi-join —
+    *      candidate-sized, not history-sized).
+    *
+    * Signatures here are UNCAPPED (the d3 discipline): the stop-shingle
+    * df cap needs corpus-wide document frequencies, which an
+    * incremental step must not recompute — a deployment maintains the
+    * df table as its own streamed zone and caps delta shingles against
+    * it; band-bucket sizes already bound the candidate join. An empty
+    * zone (created, never appended) degrades to delta-internal pairs
+    * only — the read side tolerates the missing bands dir.
+    *
+    * Output: (doc_a, doc_b, n_common, jaccard) for verified pairs with
+    * at least one delta member, `jaccard >= minJaccard`.
+    */
+  def incrementalPairs(corpus: DataFrame, delta: DataFrame, zoneDir: String,
+      minJaccard: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val (n, k, b) = meta(spark, zoneDir)
+    // the delta bands feed the zone probe AND the internal self-join's
+    // two sides; tracked persist so shingle+minhash derivation runs once
+    val db = graft.core.Caches.persistTracked(deltaBandRows(delta, n, k, b))
+    val internal = db.as("a")
+      .hint("shuffle_hash")
+      .join(db.as("b"), col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = (if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
+      val zb = spark.read.parquet(s"$zoneDir/bands")
+      // both sides scale with data (the zone with history, the delta
+      // with the batch): shuffled hash join, never a broadcast
+      val cross = zb.as("z")
+        .hint("shuffle_hash")
+        .join(db.as("d"), col("z.band") === col("d.band") &&
+          col("z.bh") === col("d.bh") && col("z.doc_id") =!= col("d.doc_id"))
+        .select(least(col("z.doc_id"), col("d.doc_id")).as("doc_a"),
+          greatest(col("z.doc_id"), col("d.doc_id")).as("doc_b"))
+      cross.union(internal)
+    } else internal).distinct()
+    // verification reads text for candidate documents ONLY — the pair
+    // ids are the access pattern, never the history table
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = graft.core.Caches.persistTracked(
+      Dedup.shingles(
+        corpus.join(candIds, Seq("doc_id"), "left_semi"),
+        col("doc_id"), col("text"), n))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .hint("shuffle_hash")
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .hint("shuffle_hash")
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+}

@@ -164,6 +164,51 @@ object TrainingData {
       Tables(spark, dir, "embeddings"), queryVec(spark, dir),
       annIndexZoneOptimized(spark, dir), 10)
 
+  /** The history/delta boundary every incremental query shares: the
+    * first 4/5 of the corpus (by id) is HISTORY, the last 1/5 the
+    * arriving DELTA — exact integer arithmetic both engines replay
+    * (`count * 4 // 5`), never a float fraction whose rounding could
+    * drift.
+    */
+  private def incrementalCut(docs: DataFrame): Long = docs.count() * 4L / 5L
+
+  /** The persisted MinHash band-signature zone over the HISTORY slice —
+    * built once per (session, dir) via [[graft.core.StagedLayouts]]
+    * (index construction is setup: a deployment backfills its signature
+    * zone ahead of the incremental loop; `EventStream
+    * .streamSignatureZone` is the streamed maintainer of the same
+    * zone). Spec seam for SignatureZoneSpec.
+    */
+  private[graft] def signatureZone(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d22zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d22zone")
+      val docs = Tables(spark, dir, "documents")
+      graft.operators.SignatureZone.build(spark,
+        docs.filter(col("doc_id") < incrementalCut(docs))
+          .select(col("doc_id"), col("text")), z)
+      z
+    }
+
+  /** Incremental near-dup dedup from the persisted signature zone
+    * (d22): the arriving delta (last 1/5 of the corpus) is deduped
+    * against ALL of history without re-shingling it — delta band rows
+    * probe the stored zone for cross candidates, a delta self-join
+    * yields internal candidates, and exact Jaccard verifies both over
+    * candidate documents only ([[graft.operators.SignatureZone
+    * .incrementalPairs]]). At 100 TB this is the posture that replaces
+    * d8's full-corpus recompute with per-batch work: band derivation
+    * scales with the delta, the zone probe with band collisions, and
+    * history text is read per-candidate, never per-document.
+    */
+  def d22IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+      .select(col("doc_id"), col("text"))
+    graft.operators.SignatureZone.incrementalPairs(
+        docs, delta, signatureZone(spark, dir), jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Hybrid retrieval (c6): the RAG read path composed end-to-end —
     * dense candidate generation then lexical passage re-rank, the
     * two-stage shape every retrieval deployment runs:
@@ -1437,6 +1482,110 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental curation (c8): c7's ADMISSION layer in the posture a
+    * 100 TB deployment actually runs it — per-delta, against persisted
+    * zones, never re-reading history. c7 proves the decision stages
+    * compose as a batch rebuild; c8 proves the dedup gates run
+    * incrementally: an arriving delta (the last 1/5 of the corpus) is
+    * admitted or rejected per document using ONLY the delta plus two
+    * history zones, with an auditable fate for every row:
+    *
+    *   1. quality gate — x3's formula verbatim, score>0 (c7's gate);
+    *      failures are `low_quality`;
+    *   2. exact dedup against the persisted md5 zone (d1's
+    *      `(text_md5, keeper_id)` output stored as a table — history's
+    *      content hashes at metadata size) AND within the gated delta
+    *      (min-id window): a document whose md5 is already claimed by a
+    *      smaller id is `exact_dup`, `dup_of` = that id;
+    *   3. near-dup dedup against the persisted signature zone
+    *      ([[graft.operators.SignatureZone.incrementalPairs]] — d22's
+    *      operator, scoped to the exact-survivors): verified pairs
+    *      resolve to connected components (c7's discipline; history
+    *      endpoints ride along and, having smaller ids than every delta
+    *      doc, dominate component minima), non-keepers are `near_dup`
+    *      with `dup_of` = the component minimum;
+    *   4. the rest are `kept`.
+    *
+    * Clustering / budget mix / packing are deliberately NOT re-run per
+    * delta: they are corpus-level REFRESH decisions (quotas move when
+    * the whole mix moves), not per-document admission — the boundary
+    * every incremental curation deployment draws. The zones a real loop
+    * would then append (survivor md5s + band rows) are maintained by
+    * the streamed twins (st20, d1's exact zone via the st13 discipline)
+    * rather than inside the query, which must stay re-runnable.
+    *
+    * Scale shape: scoring is a narrow codegen'd projection over the
+    * DELTA; the md5 probe is one zone-keyed hash join (zone rows =
+    * distinct history contents); the signature probe is d22's
+    * band-keyed shuffled hash join; the CC fixpoint touches only
+    * edge-touched vertices. History text is read per-CANDIDATE,
+    * history bands per-probe — nothing rescans history.
+    *
+    * Output: (doc_id, fate, dup_of, quality_score) for EVERY delta
+    * document, ordered by doc_id — the strongest hashable contract (the
+    * oracle replays every stage, including the recursive closure).
+    */
+  def c8IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val zones = graft.core.StagedLayouts.once(spark, s"c8zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c8zones")
+      val hist = docs.filter(col("doc_id") < cut)
+      Dedup.exactByContent(hist, col("text"), col("doc_id"))
+        .select(col("text_md5"), col("keeper_id"))
+        .write.parquet(s"$z/md5")
+      graft.operators.SignatureZone.build(spark,
+        hist.select(col("doc_id"), col("text")), s"$z/sig")
+      z
+    }
+    // every fate consumer joins back to the scored delta; persist it
+    // (tracked) so the regex feature extraction runs once
+    val scored = graft.core.Caches.persistTracked(
+      qualityScored(docs.filter(col("doc_id") >= cut), col("text"))
+        .select(col("doc_id"), col("text"), col("quality_score")))
+    val gated = scored.filter(col("quality_score") > 0.0)
+    // exact stage: blocking id = min same-md5 id over history-zone
+    // keepers and the gated delta (ids are globally unique, so the
+    // least() is the global min-keeper rule c2/c7 apply, evaluated
+    // without touching history text)
+    val ex = graft.core.Caches.persistTracked(gated
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("delta_min",
+        min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
+      .join(spark.read.parquet(s"$zones/md5")
+        .withColumnRenamed("keeper_id", "hist_keeper"), Seq("text_md5"), "left")
+      .withColumn("exact_block",
+        when(col("hist_keeper").isNull, col("delta_min"))
+          .otherwise(least(col("hist_keeper"), col("delta_min"))))
+      .select(col("doc_id"), col("text"), col("exact_block")))
+    val survivors = ex.filter(col("exact_block") === col("doc_id"))
+    val pairs = graft.operators.SignatureZone.incrementalPairs(
+        docs, survivors.select(col("doc_id"), col("text")),
+        s"$zones/sig", jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val vertices = survivors.select(col("doc_id"))
+      .union(pairs.select(col("doc_a").as("doc_id")))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = Dedup.connectedComponents(vertices, pairs)
+      .select(col("doc_id"), col("component"))
+    val pass = coalesce(col("quality_score") > 0.0, lit(false))
+    scored
+      .join(ex.select(col("doc_id"), col("exact_block")), Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!pass, lit("low_quality"))
+          .when(col("exact_block") < col("doc_id"), lit("exact_dup"))
+          .when(col("component") < col("doc_id"), lit("near_dup"))
+          .otherwise(lit("kept")).as("fate"),
+        when(!pass, lit(null).cast("long"))
+          .when(col("exact_block") < col("doc_id"), col("exact_block"))
+          .when(col("component") < col("doc_id"), col("component"))
+          .otherwise(lit(null).cast("long")).as("dup_of"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality calibration (x23): x3's raw score rank-
     * normalized WITHIN each source to a [0,1] percent_rank — the
     * cross-source comparability signal every mixed-corpus curation
@@ -1505,6 +1654,8 @@ object TrainingData {
     "c5_training_mix" -> (c5TrainingMix _),
     "d18_kmeans" -> (d18Kmeans _),
     "c7_curation_pipeline" -> (c7CurationPipeline _),
+    "c8_incremental_curation" -> (c8IncrementalCuration _),
+    "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
@@ -1664,6 +1815,15 @@ object TrainingData {
       |          FROM tok a
       |          JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
       |          JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  /** [[grams3]] with MATERIALIZED hints — required whenever the chain
+    * rides inside a `WITH RECURSIVE` (c8): DuckDB's recursive-CTE
+    * planner otherwise inlines `grams` into each of its four consumers
+    * (see the d18 seeding-chain OOM note in SCALE.md).
+    */
+  private lazy val grams3M = grams3
+    .replace("tok AS (", "tok AS MATERIALIZED (")
+    .replace("grams AS (", "grams AS MATERIALIZED (")
 
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
@@ -2228,6 +2388,106 @@ object TrainingData {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d22: the incremental posture — same signature chain as d3, pairs
+    // restricted to those with a delta member (doc_a < doc_b, so the
+    // delta-membership condition is b >= cut), exact-Jaccard verified
+    // like d2/d8 but UNCAPPED (the df cap needs corpus-wide frequencies
+    // an incremental step must not recompute)
+    "d22_incremental_dedup" ->
+      s"""WITH $grams3,
+         |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+         |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+         |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+         |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+         |          FROM mh GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
+         |         WHERE b.doc_id >= cut.c),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
+         |           FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+         |           JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, nc AS n_common,
+         |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+         |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // c8: the admission pipeline replayed stage by stage — quality gate,
+    // min-id exact dedup across history ∪ gated delta, d22's pair
+    // derivation scoped to exact-survivors, recursive-closure components
+    // (MATERIALIZED hints: the chain rides under WITH RECURSIVE)
+    "c8_incremental_curation" ->
+      s"""WITH RECURSIVE
+         |cut AS MATERIALIZED (SELECT count(*) * 4 // 5 AS c FROM documents),
+         |q0 AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    length(text) AS n_chars_len,
+         |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+         |  FROM documents, cut WHERE doc_id >= cut.c),
+         |sc AS MATERIALIZED (SELECT doc_id, text,
+         |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+         |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+         |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+         |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+         |      AS quality_score
+         |  FROM q0),
+         |gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0),
+         |hist AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS hk
+         |  FROM documents, cut WHERE doc_id < cut.c GROUP BY 1),
+         |dmin AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS dk
+         |  FROM gated GROUP BY 1),
+         |ex AS MATERIALIZED (SELECT g.doc_id,
+         |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
+         |  FROM gated g JOIN dmin d ON md5(g.text) = d.m
+         |  LEFT JOIN hist h ON h.m = d.m),
+         |sv AS MATERIALIZED (SELECT doc_id FROM ex WHERE eb = doc_id),
+         |$grams3M,
+         |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+         |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+         |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
+         |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+         |  FROM mh GROUP BY doc_id, s // 4),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
+         |  WHERE b.doc_id IN (SELECT doc_id FROM sv)
+         |    AND (a.doc_id < cut.c OR a.doc_id IN (SELECT doc_id FROM sv))),
+         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS nc
+         |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+         |  GROUP BY 1, 2),
+         |vp AS MATERIALIZED (SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8),
+         |verts AS MATERIALIZED (SELECT doc_id FROM sv
+         |  UNION SELECT doc_a FROM vp UNION SELECT doc_b FROM vp),
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |closure(a, b) AS (
+         |  SELECT doc_id, doc_id FROM verts
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+         |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a)
+         |SELECT sc.doc_id,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+         |       WHEN ex.eb < sc.doc_id THEN ex.eb
+         |       WHEN comp.component < sc.doc_id THEN comp.component
+         |       ELSE NULL END AS dup_of,
+         |  sc.quality_score
+         |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+         |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
