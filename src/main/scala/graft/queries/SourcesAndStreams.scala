@@ -268,6 +268,15 @@ object SourcesAndStreams {
   def st19StreamAnnIndex(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamAnnIndex(spark, dir)
 
+  /** The persisted MinHash signature zone maintained from a
+    * checkpointed ingest stream (overlap-replay source, delta-only band
+    * appends, structural replay idempotency), then d22's incremental
+    * near-dup dedup answered from the STREAMED zone alone —
+    * hash-matching d22's oracle.
+    */
+  def st20StreamSignatureZone(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamSignatureZone(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -743,6 +752,7 @@ object SourcesAndStreams {
     "st17_stream_bloom" -> (st17StreamBloom _),
     "st18_stream_all_zones" -> (st18StreamAllZones _),
     "st19_stream_ann_index" -> (st19StreamAnnIndex _),
+    "st20_stream_signature_zone" -> (st20StreamSignatureZone _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -885,6 +895,9 @@ object SourcesAndStreams {
     // st19: the stream-maintained index must answer the probe exactly
     // like d6's in-session derivation (and d19's batch-built zone).
     "st19_stream_ann_index" -> TrainingData.oracles("d6_ann_lsh"),
+    // st20 serves d22's incremental dedup from the streamed zone — the
+    // maintenance path must be invisible in the result.
+    "st20_stream_signature_zone" -> TrainingData.oracles("d22_incremental_dedup"),
     "st14_stream_scd2" -> Relational.scd2OracleSql,
     // st16: the maintained CDC snapshot must equal q57's one-shot batch
     // apply over the same base + feed (same derivation, minus the

@@ -1552,8 +1552,12 @@ object TrainingData {
       .withColumn("text_md5", md5(col("text")))
       .withColumn("delta_min",
         min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
+      // the md5 zone holds one row per distinct HISTORY content — it
+      // scales with the corpus, so the probe is a shuffled hash join
+      // (zone side builds), never a broadcast
       .join(spark.read.parquet(s"$zones/md5")
-        .withColumnRenamed("keeper_id", "hist_keeper"), Seq("text_md5"), "left")
+        .withColumnRenamed("keeper_id", "hist_keeper")
+        .hint("shuffle_hash"), Seq("text_md5"), "left")
       .withColumn("exact_block",
         when(col("hist_keeper").isNull, col("delta_min"))
           .otherwise(least(col("hist_keeper"), col("delta_min"))))

@@ -1547,6 +1547,60 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st20: the persisted MinHash signature zone
+    * ([[graft.operators.SignatureZone]]) maintained FROM THE INGEST
+    * STREAM — d22 builds the same zone as a batch backfill over history;
+    * here a checkpointed `foreachBatch` loop appends each micro-batch's
+    * band rows (shingle → minhash → band over the batch only, nothing
+    * rescanned — st13's delta-only discipline). The zone is CREATED
+    * before the stream with its signature geometry fixed (a property of
+    * the zone, never of a batch — the st19 capacity argument). The
+    * source replays the history slice inside the full-corpus second
+    * batch, so the stored band table carries duplicate rows AND the
+    * delta's own bands; both are invisible to the read side
+    * ([[graft.operators.SignatureZone.incrementalPairs]]'s DISTINCT-ed
+    * candidate join — structural idempotency, and the cross leg
+    * subsumes the internal leg's pairs when the zone already holds the
+    * delta). The query then answers d22's incremental dedup from the
+    * STREAMED zone alone, hash-matching d22's oracle end-to-end.
+    */
+  def streamSignatureZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SignatureZone
+    val (src, schema, cut) = stagedDocumentSource(spark, dir)
+    val root = scratchDir("st20")
+    val zone = root.resolve("sigzone").toString
+    try {
+      SignatureZone.create(spark, zone)
+      runForeachBatchStream(spark, src, schema) { batch =>
+        SignatureZone.append(batch, zone)
+      }
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val delta = docs.filter(col("doc_id") >= cut)
+        .select(col("doc_id"), col("text"))
+      SignatureZone.incrementalPairs(docs, delta, zone, 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st20's staged source: the documents table in the overlap-replay
+    * shape — the history slice (first 4/5 by id, d22's cut), then ALL
+    * rows (every history document replays and the delta arrives). Also
+    * returns the cut for the read side's delta definition.
+    */
+  private def stagedDocumentSource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st20src:$dir", sourceFingerprint(s"$dir/documents.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.count() * 4L / 5L
+      val d = scratchDir("st20src")
+      stageSingleFile(docs.filter(col("doc_id") < cut), d, "a.parquet")
+      stageSingleFile(docs, d, "b.parquet")
+      (d.toString, docs.schema, java.lang.Long.valueOf(cut))
+    }
+
   /** st19's staged source: the embeddings table in the overlap-replay
     * shape (lower-id half, then ALL rows — every first-slice vector
     * replays). Also returns the corpus size for the zone's capacity

@@ -43,6 +43,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("d22: zone probe and verify joins are shuffled hash joins (zone and delta both scale)") {
+    val p = plan("d22_incremental_dedup")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q16: salted join builds its hash map from the replicated DIM side") {
     // BuildLeft here would allocate a fact-partition-sized hash map per
     // task — the round-7 audit caught exactly that (hint was on the fact
