@@ -589,6 +589,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c8: exchange keys are exactly the admission boundaries — md5 stage, band probes, pair verify, id handoffs") {
+    val p = plan("c8_incremental_curation")
+    // Same discipline as c7's pin: persisted stages nest their cached
+    // build plans and the printer replicates subtrees, so occurrence
+    // counts are meaningless — pin the SET of hash-exchange keys.
+    // `text_md5` (the exact stage's window + zone probe), `band` (the
+    // signature-zone probe and internal self-join), `doc_a`/`doc_b`
+    // (candidate-pair verification and sizes), `doc_id` (stage handoffs
+    // and the CC fixpoint's vertex key), `component` (CC resolution
+    // tail). Any other key would mean a stage shuffles the delta or
+    // history on something its boundary doesn't require; in particular
+    // no corpus-content key beyond md5 and no embedding-side key may
+    // appear (c8 never touches embeddings).
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("band", "component", "doc_a", "doc_b", "doc_id", "text_md5"),
+      s"exchange keys: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus
