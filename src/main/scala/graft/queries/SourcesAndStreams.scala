@@ -277,6 +277,14 @@ object SourcesAndStreams {
   def st20StreamSignatureZone(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamSignatureZone(spark, dir)
 
+  /** Both admission zones (exact-md5 + signature) maintained from ONE
+    * checkpointed stream — st18's consolidation discipline applied to
+    * c8's curation gates — then c8's per-delta admission decisions
+    * answered from the STREAMED zones, hash-matching c8's oracle.
+    */
+  def st21StreamAdmissionZones(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamAdmissionZones(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -753,6 +761,7 @@ object SourcesAndStreams {
     "st18_stream_all_zones" -> (st18StreamAllZones _),
     "st19_stream_ann_index" -> (st19StreamAnnIndex _),
     "st20_stream_signature_zone" -> (st20StreamSignatureZone _),
+    "st21_stream_admission_zones" -> (st21StreamAdmissionZones _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -898,6 +907,8 @@ object SourcesAndStreams {
     // st20 serves d22's incremental dedup from the streamed zone — the
     // maintenance path must be invisible in the result.
     "st20_stream_signature_zone" -> TrainingData.oracles("d22_incremental_dedup"),
+    // st21 answers c8's admission decisions from the streamed zones.
+    "st21_stream_admission_zones" -> TrainingData.oracles("c8_incremental_curation"),
     "st14_stream_scd2" -> Relational.scd2OracleSql,
     // st16: the maintained CDC snapshot must equal q57's one-shot batch
     // apply over the same base + feed (same derivation, minus the

@@ -1538,6 +1538,19 @@ object TrainingData {
         hist.select(col("doc_id"), col("text")), s"$z/sig")
       z
     }
+    admissionDecisions(spark, docs, cut, s"$zones/md5", s"$zones/sig")
+  }
+
+  /** c8's decision core, parameterized by the two history zones — shared
+    * with `EventStream.streamAdmissionZones` (st21), which maintains the
+    * same zones from a checkpointed stream. The md5 zone is read through
+    * a min-per-md5 aggregate so an append-only streamed zone (duplicate
+    * or overlapping keeper rows from replayed batches) answers
+    * identically to the batch-built one — the signature zone's
+    * structural-idempotency discipline applied to the exact stage.
+    */
+  private[graft] def admissionDecisions(spark: SparkSession, docs: DataFrame,
+      cut: Long, md5ZoneDir: String, sigZoneDir: String): DataFrame = {
     // every fate consumer joins back to the scored delta; persist it
     // (tracked) so the regex feature extraction runs once
     val scored = graft.core.Caches.persistTracked(
@@ -1554,19 +1567,24 @@ object TrainingData {
         min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
       // the md5 zone holds one row per distinct HISTORY content — it
       // scales with the corpus, so the probe is a shuffled hash join
-      // (zone side builds), never a broadcast
-      .join(spark.read.parquet(s"$zones/md5")
-        .withColumnRenamed("keeper_id", "hist_keeper")
+      // (zone side builds), never a broadcast; the min-agg collapses an
+      // append-only zone's replayed rows (no-op on a batch-built zone)
+      .join(spark.read.parquet(md5ZoneDir)
+        .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("hist_keeper"))
         .hint("shuffle_hash"), Seq("text_md5"), "left")
       .withColumn("exact_block",
         when(col("hist_keeper").isNull, col("delta_min"))
           .otherwise(least(col("hist_keeper"), col("delta_min"))))
       .select(col("doc_id"), col("text"), col("exact_block")))
     val survivors = ex.filter(col("exact_block") === col("doc_id"))
-    val pairs = graft.operators.SignatureZone.incrementalPairs(
-        docs, survivors.select(col("doc_id"), col("text")),
-        s"$zones/sig", jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
+    // three consumers (two vertex legs + the CC fixpoint's checkpoint)
+    // would each re-run the zone probe and verify joins — persist the
+    // verified pair list once (it is pair-sized, tiny next to the work)
+    val pairs = graft.core.Caches.persistTracked(
+      graft.operators.SignatureZone.incrementalPairs(
+          docs, survivors.select(col("doc_id"), col("text")),
+          sigZoneDir, jaccardThreshold)
+        .select(col("doc_a"), col("doc_b")))
     val vertices = survivors.select(col("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))
       .union(pairs.select(col("doc_b").as("doc_id")))

@@ -1583,6 +1583,61 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st21: BOTH admission zones (exact-md5 + signature) maintained from
+    * ONE checkpointed stream — the st18 consolidation discipline applied
+    * to c8's curation gates. Each micro-batch appends its own band rows
+    * (delta-only, st20's step) AND its own per-content md5 minima
+    * (`Dedup.exactByContent` over the batch — an append-only zone whose
+    * reader min-aggregates, so replayed batches and arbitrary batch
+    * splits land the same global min-keeper: min is a semilattice, the
+    * watermark-coalesce argument applied to content keys). The source
+    * replays the first half of HISTORY inside the full history slice —
+    * the deployment timeline where ingest has processed history and the
+    * DELTA is the next batch being admitted — and the query then runs
+    * c8's decision core against the STREAMED zones, hash-matching c8's
+    * oracle end-to-end.
+    */
+  def streamAdmissionZones(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, SignatureZone}
+    val (src, schema, cut) = stagedHistorySource(spark, dir)
+    val root = scratchDir("st21")
+    val sigZone = root.resolve("sig").toString
+    val md5Zone = root.resolve("md5").toString
+    try {
+      SignatureZone.create(spark, sigZone)
+      runForeachBatchStream(spark, src, schema) { batch =>
+        SignatureZone.append(batch, sigZone)
+        Dedup.exactByContent(batch, col("text"), col("doc_id"))
+          .select(col("text_md5"), col("keeper_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(md5Zone)
+      }
+      graft.queries.TrainingData.admissionDecisions(spark,
+          graft.core.Tables(spark, dir, "documents"), cut, md5Zone, sigZone)
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st21's staged source: HISTORY ONLY (ids < cut) in the overlap-
+    * replay shape — first half of history, then all of it. The delta
+    * (ids >= cut) never enters the stream: it is the batch being
+    * ADMITTED by the read-side query, not yet part of the corpus the
+    * zones describe (a delta md5 entering the md5 zone ungated would
+    * let a low-quality delta doc block its own content key — the zones'
+    * coverage domain is admitted history, by construction).
+    */
+  private def stagedHistorySource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st21src:$dir", sourceFingerprint(s"$dir/documents.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.count() * 4L / 5L
+      val d = scratchDir("st21src")
+      stageSingleFile(docs.filter(col("doc_id") < cut / 2), d, "a.parquet")
+      stageSingleFile(docs.filter(col("doc_id") < cut), d, "b.parquet")
+      (d.toString, docs.schema, java.lang.Long.valueOf(cut))
+    }
+
   /** st20's staged source: the documents table in the overlap-replay
     * shape — the history slice (first 4/5 by id, d22's cut), then ALL
     * rows (every history document replays and the delta arrives). Also
