@@ -162,18 +162,22 @@ object SignatureZone {
       .join(db.as("b"), col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = (if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
-      val zb = spark.read.parquet(s"$zoneDir/bands")
-      // both sides scale with data (the zone with history, the delta
-      // with the batch): shuffled hash join, never a broadcast
-      val cross = zb.as("z")
-        .hint("shuffle_hash")
-        .join(db.as("d"), col("z.band") === col("d.band") &&
-          col("z.bh") === col("d.bh") && col("z.doc_id") =!= col("d.doc_id"))
-        .select(least(col("z.doc_id"), col("d.doc_id")).as("doc_a"),
-          greatest(col("z.doc_id"), col("d.doc_id")).as("doc_b"))
-      cross.union(internal)
-    } else internal).distinct()
+    // two consumers (the candidate-id semi-join and the verify join)
+    // would each re-run the zone probe — persist the DISTINCT-ed pair
+    // set once (candidate-pair-sized, bounded by band collisions)
+    val cand = graft.core.Caches.persistTracked(
+      (if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
+        val zb = spark.read.parquet(s"$zoneDir/bands")
+        // both sides scale with data (the zone with history, the delta
+        // with the batch): shuffled hash join, never a broadcast
+        val cross = zb.as("z")
+          .hint("shuffle_hash")
+          .join(db.as("d"), col("z.band") === col("d.band") &&
+            col("z.bh") === col("d.bh") && col("z.doc_id") =!= col("d.doc_id"))
+          .select(least(col("z.doc_id"), col("d.doc_id")).as("doc_a"),
+            greatest(col("z.doc_id"), col("d.doc_id")).as("doc_b"))
+        cross.union(internal)
+      } else internal).distinct())
     // verification reads text for candidate documents ONLY — the pair
     // ids are the access pattern, never the history table
     val candIds = cand.select(col("doc_a").as("doc_id"))
