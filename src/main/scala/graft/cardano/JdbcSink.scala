@@ -164,10 +164,18 @@ object JdbcSink {
       * single ASCII uppercase letters.
       *
       * NON-NULL CONTRACT: `seq`, `op`, `newVal` AND every `carry`
-      * column must be NOT NULL in every staged change row. A NULL in
-      * any compared column makes the PG row-comparison guard evaluate
-      * to NULL (the update silently skips), and `DISTINCT ON ... DESC`
-      * orders NULL first (largest) while
+      * column must be NOT NULL in every staged change row — AND in
+      * every EXISTING TARGET row (legacy rows predating a carry
+      * column, or rows written by an external loader). The cross-batch
+      * guard compares carry legs on BOTH sides, so a NULL in a target
+      * carry makes the row comparison evaluate NULL on a full
+      * (seq, op, newVal) tie and the update silently skips — a target-
+      * side failure mode the staged-row half of the contract alone
+      * cannot rule out; declare target carry columns NOT NULL (the
+      * recommended schema posture) or backfill before enabling carry.
+      * Staged-side, a NULL in any compared column likewise makes the
+      * guard evaluate NULL (the update silently skips), and
+      * `DISTINCT ON ... DESC` orders NULL first (largest) while
       * [[graft.streaming.EventStream.cdcApplyBatch]]'s
       * `max(struct(...))` treats null as smallest — the two engines
       * would pick DIFFERENT winners for the same batch. The generated

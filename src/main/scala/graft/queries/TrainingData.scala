@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,9 +19,15 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
   */
 object TrainingData {
 
-  private val jaccardThreshold = 0.8
-  private val minhashK = 16
-  private val minhashBands = 4
+  // private[graft] (not private): the streamed zone maintainers in
+  // graft.streaming.EventStream (st20/st21) must share the EXACT same
+  // threshold and signature geometry as the batch twins and the zone
+  // builders — a hardcoded copy there would silently desync the streamed
+  // path from the oracle the moment a constant here changed.
+  private[graft] val jaccardThreshold = 0.8
+  private[graft] val shingleN = 3
+  private[graft] val minhashK = 16
+  private[graft] val minhashBands = 4
   private val ivfCells = 8
 
   /** Stop-shingle cap derived from the corpus size (max(50, ceil(√n)) —
@@ -185,7 +191,8 @@ object TrainingData {
       val docs = Tables(spark, dir, "documents")
       graft.operators.SignatureZone.build(spark,
         docs.filter(col("doc_id") < incrementalCut(docs))
-          .select(col("doc_id"), col("text")), z)
+          .select(col("doc_id"), col("text")), z,
+        shingleN, minhashK, minhashBands)
       z
     }
 
@@ -1535,26 +1542,34 @@ object TrainingData {
         .select(col("text_md5"), col("keeper_id"))
         .write.parquet(s"$z/md5")
       graft.operators.SignatureZone.build(spark,
-        hist.select(col("doc_id"), col("text")), s"$z/sig")
+        hist.select(col("doc_id"), col("text")), s"$z/sig",
+        shingleN, minhashK, minhashBands)
       z
     }
-    admissionDecisions(spark, docs, cut, s"$zones/md5", s"$zones/sig")
+    admissionDecisions(spark, docs,
+      docs.filter(col("doc_id") >= cut), s"$zones/md5", s"$zones/sig")
   }
 
   /** c8's decision core, parameterized by the two history zones — shared
     * with `EventStream.streamAdmissionZones` (st21), which maintains the
-    * same zones from a checkpointed stream. The md5 zone is read through
-    * a min-per-md5 aggregate so an append-only streamed zone (duplicate
-    * or overlapping keeper rows from replayed batches) answers
-    * identically to the batch-built one — the signature zone's
-    * structural-idempotency discipline applied to the exact stage.
+    * same zones from a checkpointed stream, and with [[c9AdmissionLoop]],
+    * which drives K successive deltas through it (hence `delta` is a
+    * frame, not a cut: the loop's deltas are id RANGES). The md5 zone is
+    * read through a min-per-md5 aggregate so an append-only streamed or
+    * looped zone (duplicate or overlapping keeper rows from replayed or
+    * successive batches) answers identically to the batch-built one —
+    * the signature zone's structural-idempotency discipline applied to
+    * the exact stage. `docs` supplies candidate TEXT for near-dup
+    * verification (read per-candidate via semi-join, never scanned);
+    * `delta` must expose `doc_id` and `text` and hold ids disjoint from
+    * (in the admission timeline: above) everything the zones cover.
     */
   private[graft] def admissionDecisions(spark: SparkSession, docs: DataFrame,
-      cut: Long, md5ZoneDir: String, sigZoneDir: String): DataFrame = {
+      delta: DataFrame, md5ZoneDir: String, sigZoneDir: String): DataFrame = {
     // every fate consumer joins back to the scored delta; persist it
     // (tracked) so the regex feature extraction runs once
     val scored = graft.core.Caches.persistTracked(
-      qualityScored(docs.filter(col("doc_id") >= cut), col("text"))
+      qualityScored(delta, col("text"))
         .select(col("doc_id"), col("text"), col("quality_score")))
     val gated = scored.filter(col("quality_score") > 0.0)
     // exact stage: blocking id = min same-md5 id over history-zone
@@ -1605,6 +1620,85 @@ object TrainingData {
           .when(col("component") < col("doc_id"), col("component"))
           .otherwise(lit(null).cast("long")).as("dup_of"),
         col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-delta admission loop (c9): the closed incremental-curation
+    * loop a deployment actually runs — admit a delta, append its zone
+    * rows, admit the NEXT delta against the grown zones. c8 proves one
+    * delta decides correctly against static zones; c9 proves the
+    * FEEDBACK EDGE: the corpus is split into an initial history slice
+    * plus K=4 successive deltas (id-ordered fifths — ingest order), and
+    * each round runs [[admissionDecisions]] against the zones AS LEFT
+    * BY THE PREVIOUS ROUNDS, then appends the delta's own md5 minima
+    * and band rows (st21's per-batch maintenance discipline, executed
+    * here between decisions).
+    *
+    * Ordering is the whole point: each round's fates are MATERIALIZED
+    * (written) before its zone appends run — Spark plans are lazy, so
+    * an append-before-write would silently let a delta doc's own md5
+    * block itself. Zone coverage stays INGESTED history (every prior
+    * doc regardless of fate — the c8/st21 rule): duplicate-of-rejected
+    * is still duplicate content.
+    *
+    * The DuckDB oracle replays all K rounds in one statement by slice-
+    * tagging every stage (a doc's history = all docs in EARLIER slices,
+    * its exact-dedup peers = gated docs in its OWN slice, its CC runs
+    * per-slice) — so the green hash proves the looped zone state after
+    * round k answers exactly like a batch computation over
+    * corpus-through-k, fate for fate. A spec additionally pins the zone
+    * EQUIVALENCE directly: the band table left by the loop equals
+    * `SignatureZone.build` over the full corpus (append is associative
+    * over slices), and the min-aggregated md5 zone equals d1's
+    * exactByContent over the full corpus.
+    *
+    * Scale shape: per round, everything admissionDecisions pins (delta-
+    * sized scoring, zone-keyed probes, candidate-sized verification) —
+    * per-delta cost grows only with band collisions against history,
+    * never with history size; the loop itself is driver-side
+    * orchestration over K plans, never over rows.
+    *
+    * Output: (doc_id, round, fate, dup_of, quality_score) for every doc
+    * in every delta, ordered by doc_id.
+    */
+  def c9AdmissionLoop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val z = graft.core.StagedLayouts.once(spark, s"c9|$dir") { () =>
+      val root = graft.core.Scratch.dir("c9loop")
+      val n = docs.count()
+      // integer-exact fifths, the incrementalCut discipline: slice k of
+      // 0..4 spans [n*k/5, n*(k+1)/5) — slice 0 is the initial history
+      val bounds = (1 to 4).map(k => n * k / 5L)
+      val hist0 = docs.filter(col("doc_id") < bounds(0))
+      Dedup.exactByContent(hist0, col("text"), col("doc_id"))
+        .select(col("text_md5"), col("keeper_id"))
+        .write.parquet(s"$root/md5")
+      graft.operators.SignatureZone.build(spark,
+        hist0.select(col("doc_id"), col("text")), s"$root/sig",
+        shingleN, minhashK, minhashBands)
+      for (k <- 0 until 4) {
+        val delta0 = docs.filter(col("doc_id") >= bounds(k))
+        val delta = (if (k < 3) delta0.filter(col("doc_id") < bounds(k + 1))
+          else delta0).select(col("doc_id"), col("text"))
+        // decide FIRST (the write is the action — fates materialize
+        // against zones that do not yet contain this delta)...
+        admissionDecisions(spark, docs, delta, s"$root/md5", s"$root/sig")
+          .write.parquet(s"$root/fates/round=$k")
+        // ...then feed back: the delta joins ingested history
+        graft.operators.SignatureZone.append(delta, s"$root/sig")
+        Dedup.exactByContent(delta, col("text"), col("doc_id"))
+          .select(col("text_md5"), col("keeper_id"))
+          .write.mode(SaveMode.Append).parquet(s"$root/md5")
+        // each round's tracked persists (scored delta, pair list, ...)
+        // are dead once its fates are on disk — release before the next
+        // round so K rounds hold one round's working set, not K
+        graft.core.Caches.release()
+      }
+      root
+    }
+    spark.read.parquet(s"$z/fates")
+      .select(col("doc_id"), col("round").cast("long").as("round"),
+        col("fate"), col("dup_of"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -1677,6 +1771,7 @@ object TrainingData {
     "d18_kmeans" -> (d18Kmeans _),
     "c7_curation_pipeline" -> (c7CurationPipeline _),
     "c8_incremental_curation" -> (c8IncrementalCuration _),
+    "c9_admission_loop" -> (c9AdmissionLoop _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
@@ -2509,6 +2604,94 @@ object TrainingData {
          |  sc.quality_score
          |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
          |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
+    // c9: all K rounds of the admission loop replayed in ONE statement
+    // by slice-tagging every stage — a doc's history is every doc in an
+    // EARLIER slice (the zones as left by prior rounds: ingested
+    // coverage, any quality), its exact-dedup peers are the gated docs
+    // of its OWN slice, candidate pairs require the b-side to be an
+    // exact-survivor of the slice and the a-side to be earlier-ingested
+    // or a same-slice survivor, and the recursive closure runs per
+    // slice (closure rows carry the slice tag). Matching hashes prove
+    // the looped zone state answers exactly like batch-through-k.
+    "c9_admission_loop" ->
+      s"""WITH RECURSIVE
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+         |sl AS MATERIALIZED (SELECT doc_id, text,
+         |    (CASE WHEN doc_id >= n * 1 // 5 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id >= n * 2 // 5 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id >= n * 3 // 5 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id >= n * 4 // 5 THEN 1 ELSE 0 END) AS s
+         |  FROM documents, nn),
+         |q0 AS MATERIALIZED (
+         |  SELECT doc_id, text, s,
+         |    length(text) AS n_chars_len,
+         |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+         |  FROM sl WHERE s >= 1),
+         |sc AS MATERIALIZED (SELECT doc_id, text, s,
+         |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+         |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+         |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+         |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+         |      AS quality_score
+         |  FROM q0),
+         |gated AS MATERIALIZED (SELECT doc_id, s, text FROM sc WHERE quality_score > 0),
+         |allm AS MATERIALIZED (SELECT doc_id, s, md5(text) AS m FROM sl),
+         |hist AS MATERIALIZED (SELECT g.doc_id, min(a.doc_id) AS hk
+         |  FROM gated g JOIN allm a ON a.m = md5(g.text) AND a.s < g.s
+         |  GROUP BY 1),
+         |dmin AS MATERIALIZED (SELECT s, md5(text) AS m, min(doc_id) AS dk
+         |  FROM gated GROUP BY 1, 2),
+         |ex AS MATERIALIZED (SELECT g.doc_id, g.s,
+         |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
+         |  FROM gated g JOIN dmin d ON d.s = g.s AND d.m = md5(g.text)
+         |  LEFT JOIN hist h ON h.doc_id = g.doc_id),
+         |sv AS MATERIALIZED (SELECT doc_id, s FROM ex WHERE eb = doc_id),
+         |$grams3M,
+         |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+         |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+         |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
+         |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+         |  FROM mh GROUP BY doc_id, s // 4),
+         |cand AS MATERIALIZED (SELECT DISTINCT v.s AS s, a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+         |  JOIN sv v ON v.doc_id = b2.doc_id
+         |  JOIN sl sa ON sa.doc_id = a.doc_id
+         |  LEFT JOIN sv va ON va.doc_id = a.doc_id
+         |  WHERE sa.s < v.s OR va.doc_id IS NOT NULL),
+         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |common AS MATERIALIZED (SELECT c.s, c.doc_a, c.doc_b, count(*) AS nc
+         |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+         |  GROUP BY 1, 2, 3),
+         |vp AS MATERIALIZED (SELECT s, doc_a, doc_b FROM common
+         |  JOIN sizes sa2 ON sa2.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(nc AS DOUBLE) / (sa2.n + sb.n - nc) >= 0.8),
+         |verts AS MATERIALIZED (SELECT s, doc_id FROM sv
+         |  UNION SELECT s, doc_a FROM vp UNION SELECT s, doc_b FROM vp),
+         |edges AS MATERIALIZED (SELECT s, doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT s, doc_b, doc_a FROM vp),
+         |closure(s, a, b) AS (
+         |  SELECT s, doc_id, doc_id FROM verts
+         |  UNION
+         |  SELECT c.s, c.a, e.dst FROM closure c JOIN edges e ON e.s = c.s AND e.src = c.b),
+         |comp AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component FROM closure GROUP BY 1, 2)
+         |SELECT sc.doc_id, CAST(sc.s - 1 AS BIGINT) AS round,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+         |       WHEN ex.eb < sc.doc_id THEN ex.eb
+         |       WHEN comp.component < sc.doc_id THEN comp.component
+         |       ELSE NULL END AS dup_of,
+         |  sc.quality_score
+         |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+         |LEFT JOIN comp ON comp.doc_id = sc.doc_id AND comp.s = sc.s
          |ORDER BY sc.doc_id""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashCtes

@@ -1569,15 +1569,20 @@ object EventStream {
     val (src, schema, cut) = stagedDocumentSource(spark, dir)
     val root = scratchDir("st20")
     val zone = root.resolve("sigzone").toString
+    // geometry and threshold come from TrainingData's constants, NOT
+    // re-hardcoded here: the streamed zone must hash identically to the
+    // batch twin (d22) and the oracle — a local copy would desync them
+    // silently the moment the shared constants moved
+    import graft.queries.TrainingData.{jaccardThreshold, minhashBands, minhashK, shingleN}
     try {
-      SignatureZone.create(spark, zone)
+      SignatureZone.create(spark, zone, shingleN, minhashK, minhashBands)
       runForeachBatchStream(spark, src, schema) { batch =>
         SignatureZone.append(batch, zone)
       }
       val docs = graft.core.Tables(spark, dir, "documents")
       val delta = docs.filter(col("doc_id") >= cut)
         .select(col("doc_id"), col("text"))
-      SignatureZone.incrementalPairs(docs, delta, zone, 0.8)
+      SignatureZone.incrementalPairs(docs, delta, zone, jaccardThreshold)
         .orderBy(col("doc_a"), col("doc_b"))
         .localCheckpoint()
     } finally reap(root)
@@ -1603,16 +1608,19 @@ object EventStream {
     val root = scratchDir("st21")
     val sigZone = root.resolve("sig").toString
     val md5Zone = root.resolve("md5").toString
+    // shared constants, not copies — the st20 desync argument
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
     try {
-      SignatureZone.create(spark, sigZone)
+      SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
       runForeachBatchStream(spark, src, schema) { batch =>
         SignatureZone.append(batch, sigZone)
         Dedup.exactByContent(batch, col("text"), col("doc_id"))
           .select(col("text_md5"), col("keeper_id"))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(md5Zone)
       }
+      val docs = graft.core.Tables(spark, dir, "documents")
       graft.queries.TrainingData.admissionDecisions(spark,
-          graft.core.Tables(spark, dir, "documents"), cut, md5Zone, sigZone)
+          docs, docs.filter(col("doc_id") >= cut), md5Zone, sigZone)
         .localCheckpoint()
     } finally reap(root)
   }
@@ -1621,9 +1629,18 @@ object EventStream {
     * replay shape — first half of history, then all of it. The delta
     * (ids >= cut) never enters the stream: it is the batch being
     * ADMITTED by the read-side query, not yet part of the corpus the
-    * zones describe (a delta md5 entering the md5 zone ungated would
-    * let a low-quality delta doc block its own content key — the zones'
-    * coverage domain is admitted history, by construction).
+    * zones describe. The zones' coverage domain is INGESTED history —
+    * every history document regardless of quality or dedup fate (both
+    * this builder and c8's batch twin index all of history, and the
+    * oracle replays the same rule), so a delta doc can legitimately be
+    * fated exact_dup/near_dup with `dup_of` pointing at a history doc
+    * that was itself never admitted: duplicate-of-rejected is still
+    * duplicate content, and blocking it keeps re-ingesting the same
+    * rejected text from ever buying admission. What must NOT enter the
+    * zones mid-decision is the DELTA itself (a delta md5 entering
+    * ungated would let a low-quality delta doc block its own content
+    * key); c9's loop appends each delta only AFTER its fates are
+    * materialized.
     */
   private def stagedHistorySource(
       spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =

@@ -16,6 +16,21 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The SET of hash-exchange key TUPLES in a plan string — every
+    * `Exchange hashpartitioning(a#1, b#2, 32)` contributes "a,b" (expr
+    * ids and the trailing partition count stripped). Tuples, not first
+    * columns: a rogue SECONDARY key on an exchange (e.g. (band, rogue))
+    * must fail the pin, which a first-column capture would let through.
+    */
+  private def exchangeKeyTuples(p: String): Set[String] =
+    "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p)
+      .map(_.group(1).split(",\\s*").toSeq
+        .filterNot(_.matches("\\d+"))          // trailing numPartitions
+        .map(_.replaceAll("#\\d+L?", ""))      // strip expr ids
+        .mkString(","))
+      .toSet
+
   test("q1: shipdate filter is pushed into the parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -582,10 +597,9 @@ class PlanShapeSpec extends SparkSpec {
     // something its boundary doesn't require. Pair mining, CC, and
     // k-means run as their own eagerly-materialized jobs with their own
     // pinned shapes (d7/d15's, DedupClusterSpec's, KmeansSpec's).
-    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)#".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
+    val keys = exchangeKeyTuples(p)
     assert(keys.size == 4 && keys("cid") && keys("bkt") && keys("doc_id") &&
-      keys.exists(_.startsWith("_w")), s"exchange keys: $keys\n$p")
+      keys.exists(_.startsWith("_w")), s"exchange key tuples: $keys\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -593,19 +607,22 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("c8_incremental_curation")
     // Same discipline as c7's pin: persisted stages nest their cached
     // build plans and the printer replicates subtrees, so occurrence
-    // counts are meaningless — pin the SET of hash-exchange keys.
-    // `text_md5` (the exact stage's window + zone probe), `band` (the
-    // signature-zone probe and internal self-join), `doc_a`/`doc_b`
-    // (candidate-pair verification and sizes), `doc_id` (stage handoffs
-    // and the CC fixpoint's vertex key), `component` (CC resolution
-    // tail). Any other key would mean a stage shuffles the delta or
-    // history on something its boundary doesn't require; in particular
-    // no corpus-content key beyond md5 and no embedding-side key may
-    // appear (c8 never touches embeddings).
-    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)#".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(keys == Set("band", "component", "doc_a", "doc_b", "doc_id", "text_md5"),
-      s"exchange keys: $keys\n$p")
+    // counts are meaningless — pin the SET of hash-exchange key TUPLES.
+    // `text_md5` (the exact stage's window + zone probe), `(band, bh)`
+    // (the signature-zone probe and internal self-join), `doc_a` /
+    // `(doc_b, shingle)` / `(doc_id, shingle)` (candidate-pair
+    // verification's two shingle-attach joins), `(doc_a, doc_b)` (the
+    // pair DISTINCT and the common-shingle count), `doc_id` (stage
+    // handoffs and the CC fixpoint's vertex key), `component` (CC
+    // resolution tail). Any other key — including a rogue secondary
+    // column on one of these exchanges — would mean a stage shuffles
+    // the delta or history on something its boundary doesn't require;
+    // in particular no corpus-content key beyond md5 and no
+    // embedding-side key may appear (c8 never touches embeddings).
+    val keys = exchangeKeyTuples(p)
+    assert(keys == Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5"),
+      s"exchange key tuples: $keys\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -66,6 +66,49 @@ class SignatureZoneSpec extends SparkSpec {
     assert(got(z3) == expected.filter(_._1 >= cut), "empty zone != internal-only pairs")
   }
 
+  test("c9 loop invariant: slice-wise appends leave the zones batch-built-equivalent after every round") {
+    // the multi-delta admission loop's zone contract: after appending
+    // slices 0..k, (a) the band table equals SignatureZone.build over
+    // corpus-through-k (append is associative over slices — band rows
+    // are a per-document pure function of the fixed geometry), and
+    // (b) the min-aggregated md5 zone equals exactByContent over
+    // corpus-through-k (min is a semilattice over per-slice minima).
+    val d = docs
+    val n = d.count()
+    val bounds = (0 to 5).map(k => n * k / 5L)
+    val root = tmpDir("c9zoneinv")
+    val sig = s"$root/sig"
+    val md5Zone = s"$root/md5"
+    SignatureZone.create(spark, sig)
+    for (k <- 0 until 5) {
+      val slice = d.filter(col("doc_id") >= bounds(k) &&
+        col("doc_id") < bounds(k + 1))
+      SignatureZone.append(slice, sig)
+      Dedup.exactByContent(slice, col("text"), col("doc_id"))
+        .select(col("text_md5"), col("keeper_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(md5Zone)
+      val through = d.filter(col("doc_id") < bounds(k + 1))
+      // (a) band-table equivalence vs a fresh batch build through k
+      val batchZone = tmpDir(s"c9zoneinv-batch$k") + "/z"
+      SignatureZone.build(spark, through, batchZone)
+      val looped = spark.read.parquet(s"$sig/bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sorted
+      val batch = spark.read.parquet(s"$batchZone/bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sorted
+      assert(looped == batch, s"band table diverged from batch build after round $k")
+      // (b) md5-zone min-agg equivalence vs exactByContent through k
+      val loopedMd5 = spark.read.parquet(md5Zone)
+        .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      val batchMd5 = Dedup.exactByContent(through, col("text"), col("doc_id"))
+        .select(col("text_md5"), col("keeper_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(loopedMd5 == batchMd5, s"md5 zone diverged from batch dedup after round $k")
+    }
+  }
+
   test("geometry guards: populated zones refuse re-create, re-build, and corrupt meta") {
     val z = tmpDir("sigzone4") + "/z"
     SignatureZone.build(spark, docs.limit(10), z)
