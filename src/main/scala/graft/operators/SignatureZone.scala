@@ -56,7 +56,8 @@ object SignatureZone {
     * drop the zone and re-index.
     */
   def create(spark: SparkSession, zoneDir: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      capDf: Option[(Long, String)] = None): Unit = {
     require(k % bands == 0, "k must divide into equal bands")
     if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
       // band rows with NO meta is a corrupt zone (a crash inside meta's
@@ -73,9 +74,19 @@ object SignatureZone {
           s"shingle_n=$on k=$ok bands=$ob; re-creating with " +
           s"shingle_n=$shingleN k=$k bands=$bands would orphan every " +
           "stored band — drop the zone and re-index to change its geometry")
+      // the cap is geometry too: bands of capped and uncapped shingle
+      // sets hash differently, so flipping cappedness (or the cap
+      // value) under stored rows is the same silent-miss path
+      require(capInfo(spark, zoneDir).map(_._1) == capDf.map(_._1),
+        s"SignatureZone $zoneDir already holds band rows under df-cap " +
+          s"${capInfo(spark, zoneDir).map(_._1)}; re-creating with cap " +
+          s"${capDf.map(_._1)} would orphan every stored band — drop " +
+          "the zone and re-index to change its cap")
     }
     import spark.implicits._
-    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+    Seq((shingleN, k, bands,
+        capDf.map(_._1), capDf.map(_._2)))
+      .toDF("shingle_n", "k", "bands", "cap", "df_dir")
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
   }
 
@@ -86,22 +97,66 @@ object SignatureZone {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** The zone's df-cap binding, if it is a CAPPED zone: (cap, df zone
+    * dir). Tolerates pre-cap meta files (3-column schema) — those zones
+    * are uncapped by construction.
+    */
+  def capInfo(spark: SparkSession, zoneDir: String): Option[(Long, String)] = {
+    val m = spark.read.parquet(s"$zoneDir/meta")
+    if (!m.schema.fieldNames.contains("cap")) None
+    else {
+      val r = m.select(col("cap"), col("df_dir")).head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getString(1)))
+    }
+  }
+
+  /** The hot-shingle drop frame for a capped zone (None ⇒ uncapped).
+    * Read per call — the df zone is itself append-only, so the list a
+    * probe sees is the df state as of the probe (c9's ordering appends
+    * a delta's own df only AFTER its decisions materialize, so the cap
+    * set stays the HISTORY df — the stop-list-refresh posture: a
+    * shingle that only becomes hot inside one delta still probes,
+    * bounded by that delta's own band buckets, and the next rebuild or
+    * compaction refreshes the snapshot).
+    */
+  private def dropList(spark: SparkSession, zoneDir: String): Option[DataFrame] =
+    capInfo(spark, zoneDir).map { case (cap, dfDir) =>
+      ShingleDfZone.hot(spark, dfDir, cap)
+    }
+
+  /** Apply a drop list to a shingle frame. The hot list is the SMALL
+    * residue (df > cap), but it still scales with the corpus — a
+    * shuffled hash anti-join, never an assumed broadcast (AQE upgrades
+    * it when a run's list happens to be tiny).
+    */
+  private def dropHot(sh: DataFrame, drop: Option[DataFrame]): DataFrame =
+    // hint the RIGHT side: a left-anti join builds on the right, and
+    // the hot list is the side that should build (small residue)
+    drop.fold(sh)(d =>
+      sh.join(d.hint("shuffle_hash"), Seq("shingle"), "left_anti"))
+
   /** One delta's band rows under the zone's fixed geometry: shingle →
-    * minhash → band, touching only the delta. `delta` must expose
-    * `doc_id` and `text`.
+    * (optional hot-shingle drop) → minhash → band, touching only the
+    * delta. `delta` must expose `doc_id` and `text`.
     */
   private def deltaBandRows(delta: DataFrame, shingleN: Int, k: Int,
-      bands: Int): DataFrame =
+      bands: Int, drop: Option[DataFrame]): DataFrame =
     Dedup.bandRows(
       Dedup.minhash(
-        Dedup.shingles(delta, col("doc_id"), col("text"), shingleN), k),
+        dropHot(
+          Dedup.shingles(delta, col("doc_id"), col("text"), shingleN),
+          drop), k),
       k, bands)
 
-  /** Append one delta's band rows — the per-batch maintenance step. */
+  /** Append one delta's band rows — the per-batch maintenance step.
+    * A capped zone caps the batch's shingles against its df zone first
+    * (signatures must hash over the same universe as every stored
+    * band).
+    */
   def append(delta: DataFrame, zoneDir: String): Unit = {
     val spark = delta.sparkSession
     val (n, k, b) = meta(spark, zoneDir)
-    deltaBandRows(delta, n, k, b)
+    deltaBandRows(delta, n, k, b, dropList(spark, zoneDir))
       .write.mode(SaveMode.Append).parquet(s"$zoneDir/bands")
   }
 
@@ -117,6 +172,26 @@ object SignatureZone {
         "re-append the entire corpus on top of them — use append for " +
         "deltas, or drop the zone first for a full rebuild")
     create(spark, zoneDir, shingleN, k, bands)
+    append(docs, zoneDir)
+  }
+
+  /** [[build]] with a df-cap binding: the zone is CREATED bound to a
+    * [[ShingleDfZone]] and a cap, and every band row — this backfill's
+    * and every later [[append]]'s — is derived from shingles with the
+    * hot list (df > cap) dropped, restoring [[Dedup.capShingles]]'s
+    * stop-shingle discipline in the incremental posture. The df zone
+    * must already cover the same corpus `docs` covers (the calibration
+    * pass runs before indexing); the binding is part of the zone's
+    * geometry — see [[create]]'s guard.
+    */
+  def buildCapped(spark: SparkSession, docs: DataFrame, zoneDir: String,
+      dfZoneDir: String, cap: Long,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+    require(!graft.core.Fs.exists(spark, s"$zoneDir/bands"),
+      s"SignatureZone $zoneDir already holds band rows; buildCapped() " +
+        "would re-append the entire corpus on top of them — use append " +
+        "for deltas, or drop the zone first for a full rebuild")
+    create(spark, zoneDir, shingleN, k, bands, Some((cap, dfZoneDir)))
     append(docs, zoneDir)
   }
 
@@ -139,13 +214,19 @@ object SignatureZone {
     *      shingles only (`corpus` supplies text by doc_id semi-join —
     *      candidate-sized, not history-sized).
     *
-    * Signatures here are UNCAPPED (the d3 discipline): the stop-shingle
-    * df cap needs corpus-wide document frequencies, which an
-    * incremental step must not recompute — a deployment maintains the
-    * df table as its own streamed zone and caps delta shingles against
-    * it; band-bucket sizes already bound the candidate join. An empty
-    * zone (created, never appended) degrades to delta-internal pairs
-    * only — the read side tolerates the missing bands dir.
+    * Signatures follow the ZONE's cap posture: an uncapped zone runs
+    * the d3 discipline (band-bucket sizes bound the candidate join); a
+    * CAPPED zone (built via [[buildCapped]] against a
+    * [[ShingleDfZone]]) drops hot shingles (df > cap) from the delta's
+    * band derivation AND from the verification shingle sets — the
+    * stop-shingle df cap without recomputing corpus-wide frequencies
+    * (the df zone is maintained incrementally; the drop list is one
+    * zone read). Verification and banding share ONE cap set, so the
+    * result equals the capped BATCH pipeline (d8's discipline) run
+    * over the same pre-capped universe — the equivalence
+    * SignatureZoneSpec pins. An empty zone (created, never appended)
+    * degrades to delta-internal pairs only — the read side tolerates
+    * the missing bands dir.
     *
     * Output: (doc_a, doc_b, n_common, jaccard) for verified pairs with
     * at least one delta member, `jaccard >= minJaccard`.
@@ -154,9 +235,10 @@ object SignatureZone {
       minJaccard: Double): DataFrame = {
     val spark = corpus.sparkSession
     val (n, k, b) = meta(spark, zoneDir)
+    val drop = dropList(spark, zoneDir)
     // the delta bands feed the zone probe AND the internal self-join's
     // two sides; tracked persist so shingle+minhash derivation runs once
-    val db = graft.core.Caches.persistTracked(deltaBandRows(delta, n, k, b))
+    val db = graft.core.Caches.persistTracked(deltaBandRows(delta, n, k, b, drop))
     val internal = db.as("a")
       .hint("shuffle_hash")
       .join(db.as("b"), col("a.band") === col("b.band") &&
@@ -182,10 +264,12 @@ object SignatureZone {
     // ids are the access pattern, never the history table
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = graft.core.Caches.persistTracked(
+    // a capped zone verifies over the SAME capped universe it banded —
+    // jaccard over mixed universes would not match any batch twin
+    val sh = graft.core.Caches.persistTracked(dropHot(
       Dedup.shingles(
         corpus.join(candIds, Seq("doc_id"), "left_semi"),
-        col("doc_id"), col("text"), n))
+        col("doc_id"), col("text"), n), drop))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .hint("shuffle_hash")

@@ -285,6 +285,15 @@ object SourcesAndStreams {
   def st21StreamAdmissionZones(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamAdmissionZones(spark, dir)
 
+  /** The shingle document-frequency zone maintained from a checkpointed
+    * stream (disjoint-batch appends keyed by batchId; reader sums),
+    * then the capped signature zone built bound to it and d24's capped
+    * incremental dedup answered from the streamed/derived zones —
+    * hash-matching d24's oracle.
+    */
+  def st22StreamDfZone(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamDfZone(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -762,6 +771,7 @@ object SourcesAndStreams {
     "st19_stream_ann_index" -> (st19StreamAnnIndex _),
     "st20_stream_signature_zone" -> (st20StreamSignatureZone _),
     "st21_stream_admission_zones" -> (st21StreamAdmissionZones _),
+    "st22_stream_df_zone" -> (st22StreamDfZone _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -909,6 +919,9 @@ object SourcesAndStreams {
     "st20_stream_signature_zone" -> TrainingData.oracles("d22_incremental_dedup"),
     // st21 answers c8's admission decisions from the streamed zones.
     "st21_stream_admission_zones" -> TrainingData.oracles("c8_incremental_curation"),
+    // st22 answers d24's capped incremental dedup from the streamed
+    // df zone (and the capped signature zone bound to it).
+    "st22_stream_df_zone" -> TrainingData.oracles("d24_incremental_dedup_capped"),
     "st14_stream_scd2" -> Relational.scd2OracleSql,
     // st16: the maintained CDC snapshot must equal q57's one-shot batch
     // apply over the same base + feed (same derivation, minus the

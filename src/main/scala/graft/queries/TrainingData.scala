@@ -216,6 +216,47 @@ object TrainingData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Capped incremental near-dup dedup (d24): d22's posture with the
+    * stop-shingle df cap RESTORED — the round-11 seam where
+    * `SignatureZone.incrementalPairs` ran uncapped because the cap
+    * needs corpus-wide document frequencies an incremental step must
+    * not recompute. The frequencies now live in their own incremental
+    * zone ([[graft.operators.ShingleDfZone]] — per-batch counts, reader
+    * sums), and the signature zone is BUILT bound to it
+    * (`buildCapped`): history bands, delta bands, and verification all
+    * drop the hot shingles (df > cap over the df zone's coverage =
+    * history), so a boilerplate shingle shared by f history docs costs
+    * ZERO probe rows instead of f. Cap = max(50, ceil(√n)) over the
+    * full corpus (the capacity plan, [[Dedup.deriveDocFreqCap]]).
+    *
+    * The whole pipeline uses ONE cap set, so the result equals the
+    * capped BATCH pipeline run over the same pre-capped universe
+    * (SignatureZoneSpec pins that equivalence; the oracle replays the
+    * history-df drop rule exactly).
+    */
+  def d24IncrementalDedupCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val cap = Dedup.deriveDocFreqCap(docs.count())
+    val zones = graft.core.StagedLayouts.once(spark, s"d24zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d24zone")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      // calibration pass first (df zone over history), then the capped
+      // signature backfill bound to it
+      graft.operators.ShingleDfZone.create(spark, s"$z/df", shingleN)
+      graft.operators.ShingleDfZone.append(hist, s"$z/df", batchId = 0L)
+      graft.operators.SignatureZone.buildCapped(spark, hist, s"$z/sig",
+        s"$z/df", cap, shingleN, minhashK, minhashBands)
+      z
+    }
+    val delta = docs.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), col("text"))
+    graft.operators.SignatureZone.incrementalPairs(
+        docs, delta, s"$zones/sig", jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Hybrid retrieval (c6): the RAG read path composed end-to-end —
     * dense candidate generation then lexical passage re-rank, the
     * two-stage shape every retrieval deployment runs:
@@ -1773,6 +1814,7 @@ object TrainingData {
     "c8_incremental_curation" -> (c8IncrementalCuration _),
     "c9_admission_loop" -> (c9AdmissionLoop _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
+    "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
@@ -2526,6 +2568,37 @@ object TrainingData {
          |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
          |           FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
          |           JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, nc AS n_common,
+         |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+         |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d24: d22 with the stop-shingle cap restored — the drop list is
+    // the HISTORY-df hot set (the df zone's coverage at probe time:
+    // deltas append their own df only after decisions, the c9
+    // ordering), cap = the full-corpus capacity plan. Banding, sizes,
+    // and verification all run over the same capped universe.
+    "d24_incremental_dedup_capped" ->
+      s"""WITH $grams3,
+         |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+         |hot AS (SELECT shingle FROM grams, cut WHERE doc_id < cut.c
+         |        GROUP BY shingle HAVING count(*) > $capSql),
+         |capped AS (SELECT g.doc_id, g.shingle FROM grams g
+         |           LEFT JOIN hot h USING (shingle) WHERE h.shingle IS NULL),
+         |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM capped),
+         |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+         |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+         |          FROM mh GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
+         |         WHERE b.doc_id >= cut.c),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
+         |           FROM cand c JOIN capped ga ON ga.doc_id = c.doc_a
+         |           JOIN capped gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
          |           GROUP BY 1, 2)
          |SELECT doc_a, doc_b, nc AS n_common,
          |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard

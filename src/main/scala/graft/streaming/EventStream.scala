@@ -1625,6 +1625,67 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st22: the shingle document-frequency zone
+    * ([[graft.operators.ShingleDfZone]]) maintained FROM THE INGEST
+    * STREAM — each micro-batch appends its OWN per-shingle document
+    * counts keyed by the foreachBatch batchId (delta-only work; the
+    * reader DISTINCTs then sums, so a checkpoint-replayed batch's
+    * byte-identical rows are absorbed while disjoint batches add
+    * exactly — st13's delta-only discipline with keyed addition in
+    * place of the min semilattice). The source feeds history as two
+    * DISJOINT id-range batches (df is additive over disjoint batches;
+    * an overlap-replay source would double-count, which is why this
+    * stream stages its own source shape). After the stream, the capped
+    * signature zone is built BOUND to the streamed df zone (the
+    * calibrate-then-index deployment order) and the query answers
+    * d24's capped incremental dedup from the two streamed/derived
+    * zones alone, hash-matching d24's oracle end-to-end.
+    */
+  def streamDfZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, ShingleDfZone, SignatureZone}
+    val (src, schema, cut) = stagedDisjointHistorySource(spark, dir)
+    val root = scratchDir("st22")
+    val dfZone = root.resolve("df").toString
+    val sigZone = root.resolve("sig").toString
+    import graft.queries.TrainingData.{jaccardThreshold, minhashBands, minhashK, shingleN}
+    try {
+      ShingleDfZone.create(spark, dfZone, shingleN)
+      runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+        ShingleDfZone.append(batch, dfZone, id)
+      }
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val cap = Dedup.deriveDocFreqCap(docs.count())
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      SignatureZone.buildCapped(spark, hist, sigZone, dfZone, cap,
+        shingleN, minhashK, minhashBands)
+      val delta = docs.filter(col("doc_id") >= cut)
+        .select(col("doc_id"), col("text"))
+      SignatureZone.incrementalPairs(docs, delta, sigZone, jaccardThreshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st22's staged source: history (ids < cut) as two DISJOINT
+    * id-range batches — the df zone's additivity contract (see
+    * [[streamDfZone]]); replay protection is the batch KEY, exercised
+    * at the operator spec level.
+    */
+  private def stagedDisjointHistorySource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st22src:$dir", sourceFingerprint(s"$dir/documents.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.count() * 4L / 5L
+      val d = scratchDir("st22src")
+      stageSingleFile(docs.filter(col("doc_id") < cut / 2), d, "a.parquet")
+      stageSingleFile(docs.filter(col("doc_id") >= cut / 2 &&
+        col("doc_id") < cut), d, "b.parquet")
+      (d.toString, docs.schema, java.lang.Long.valueOf(cut))
+    }
+
   /** st21's staged source: HISTORY ONLY (ids < cut) in the overlap-
     * replay shape — first half of history, then all of it. The delta
     * (ids >= cut) never enters the stream: it is the batch being
@@ -1736,14 +1797,24 @@ object EventStream {
     */
   private[graft] def runForeachBatchStream(
       spark: SparkSession, src: String, schema: StructType)(
-      load: DataFrame => Unit): Unit = {
+      load: DataFrame => Unit): Unit =
+    runForeachBatchStreamWithId(spark, src, schema)((batch, _) => load(batch))
+
+  /** [[runForeachBatchStream]] exposing the foreachBatch batchId — for
+    * maintainers whose replay idempotency is keyed on it (the
+    * [[graft.operators.ShingleDfZone]] contract) rather than
+    * structural.
+    */
+  private[graft] def runForeachBatchStreamWithId(
+      spark: SparkSession, src: String, schema: StructType)(
+      load: (DataFrame, Long) => Unit): Unit = {
     val root = scratchDir("fbstream")
     try {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .writeStream
-        .foreachBatch((batch: DataFrame, _: Long) => load(batch))
+        .foreachBatch((batch: DataFrame, id: Long) => load(batch, id))
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .start()

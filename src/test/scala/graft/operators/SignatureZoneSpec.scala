@@ -109,6 +109,83 @@ class SignatureZoneSpec extends SparkSpec {
     }
   }
 
+  test("capped zone: df-zone cap bites, capped-incremental == capped-batch, replay keyed on batchId") {
+    import spark.implicits._
+    // Fixture where the cap MATTERS (the sf corpora have no shingle
+    // above the √n cap, so the registered d24 entry exercises the
+    // plumbing but not the drop): 20 history docs share a boilerplate
+    // sentence (its internal shingles reach df=20 > cap=5); doc 20
+    // shares ONLY boilerplate with history doc 2 (uncapped jaccard
+    // ~0.71 — a boilerplate-faked near-dup), doc 21 genuinely near-dups
+    // history doc 3 with no boilerplate at all.
+    val bp = "the quick brown fox jumps over the lazy dog again and again"
+    val hist = (0 until 20).map {
+      case 2 => (2L, s"$bp apple banana")
+      case 3 => (3L, "cherry date elderberry fig grape honey island jungle kiwi lemon mango nutmeg")
+      case i => (i.toLong, s"$bp filler$i extra$i")
+    }
+    val delta = Seq(
+      (20L, s"$bp cherry date"), // shares only boilerplate with doc 2
+      (21L, "cherry date elderberry fig grape honey island jungle kiwi lemon mango nut"))
+    val corpus = (hist ++ delta).toDF("doc_id", "text")
+    val histDf = corpus.filter(col("doc_id") < 20)
+    val deltaDf = corpus.filter(col("doc_id") >= 20)
+    val root = tmpDir("cappedzone")
+    val cap = 5L
+    val thr = 0.5
+
+    // df zone over history, fed as two DISJOINT batches under distinct
+    // ids — then a REPLAY of batch 1 (same id, byte-identical rows)
+    // which the DISTINCT-then-sum read must absorb
+    ShingleDfZone.create(spark, s"$root/df", shingleN = 3)
+    ShingleDfZone.append(histDf.filter(col("doc_id") < 10), s"$root/df", 0L)
+    ShingleDfZone.append(histDf.filter(col("doc_id") >= 10), s"$root/df", 1L)
+    val dfBefore = ShingleDfZone.df(spark, s"$root/df")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    ShingleDfZone.append(histDf.filter(col("doc_id") >= 10), s"$root/df", 1L)
+    val dfAfter = ShingleDfZone.df(spark, s"$root/df")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(dfAfter == dfBefore, "replayed batch changed the df zone")
+    val exact = Dedup.shingles(histDf, col("doc_id"), col("text"), 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(dfBefore == exact, "summed zone df != direct corpus df")
+    assert(exact.exists(_._2 > cap), "fixture degenerate: no hot shingle")
+
+    // capped zone vs uncapped zone over the same history
+    SignatureZone.buildCapped(spark, histDf, s"$root/sig", s"$root/df", cap)
+    SignatureZone.build(spark, histDf, s"$root/siguncapped")
+    def pairsOf(zone: String) = SignatureZone
+      .incrementalPairs(corpus, deltaDf, zone, thr)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val capped = pairsOf(s"$root/sig")
+    val uncapped = pairsOf(s"$root/siguncapped")
+    assert(uncapped.contains((2L, 20L)), "boilerplate pair missing uncapped")
+    assert(!capped.contains((2L, 20L)), "cap failed to drop the boilerplate-faked pair")
+    assert(capped.contains((3L, 21L)), "genuine near-dup lost under the cap")
+
+    // capped-incremental == capped-batch: the batch pipeline (d8's
+    // discipline) over the SAME pre-capped universe, restricted to
+    // delta-member pairs
+    val hot = ShingleDfZone.hot(spark, s"$root/df", cap)
+    val cappedSh = Dedup.shingles(corpus, col("doc_id"), col("text"), 3)
+      .join(hot, Seq("shingle"), "left_anti")
+    val cand = Dedup.lshCandidatePairs(Dedup.minhash(cappedSh, 16), 16, 4)
+      .filter(col("doc_b") >= 20)
+    val batch = cand
+      .join(Dedup.jaccardPairs(cappedSh, thr, maxDocFreq = None), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(capped == batch, s"capped incremental $capped != capped batch $batch")
+
+    // cap binding is zone geometry: flipping the cap under stored
+    // bands must refuse
+    val e = intercept[IllegalArgumentException] {
+      SignatureZone.create(spark, s"$root/sig") }
+    assert(e.getMessage.contains("cap"), e.getMessage)
+  }
+
   test("geometry guards: populated zones refuse re-create, re-build, and corrupt meta") {
     val z = tmpDir("sigzone4") + "/z"
     SignatureZone.build(spark, docs.limit(10), z)
