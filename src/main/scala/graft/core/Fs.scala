@@ -29,6 +29,28 @@ object Fs {
     fs.delete(p, true): Unit
   }
 
+  /** Content fingerprint of a directory's FILE LISTING (names, sizes,
+    * modification times) — one listing RPC stream, no Spark job. Cheap
+    * staleness detection for derived layouts (a bucketed table staged
+    * from a zone dir is stale the moment the dir's listing changes);
+    * deliberately listing-level, not content-level — rewriting a file
+    * in place changes its mtime, and that is exactly the signal.
+    */
+  def fingerprint(spark: SparkSession, dir: String): String = {
+    val (fs, p) = resolve(spark, dir)
+    if (!fs.exists(p)) return "absent"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile)
+        parts += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Newest file modification time under a directory (recursive) — one
     * listing RPC stream, no Spark job. Drives the lake→warehouse load
     * watermark (reference Q2 `max(file_modified_date)`,

@@ -24,6 +24,24 @@ object Dedup {
     df.groupBy(md5(text).as("text_md5"))
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_cnt"))
 
+  /** OPTIMIZE an append-only md5 keeper zone (`(text_md5, keeper_id)`
+    * rows appended per batch — c8/st21's exact-dedup zone): fold the
+    * per-batch file storm and the overlapping/replayed keeper rows into
+    * one min-keeper row per content hash, rewritten md5-clustered via
+    * [[ShardedWriter.compactParquet]]'s crash-safe rename publish.
+    * Result-invisible by construction: the zone's readers min-aggregate
+    * (min over per-batch minima = min over the fold — the same
+    * semilattice argument that makes the append-only zone correct), so
+    * compacted and uncompacted zones answer identically
+    * (SignatureZoneSpec pins the hash). Returns (filesBefore,
+    * filesAfter).
+    */
+  def optimizeMd5Zone(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetRowsPerFile: Long = 4 << 20): (Int, Int) =
+    ShardedWriter.compactParquet(spark, dir, col("text_md5"),
+      targetRowsPerFile, transform = _.groupBy(col("text_md5"))
+        .agg(min(col("keeper_id")).as("keeper_id")))
+
   /** Distinct token n-gram shingles per document: (id, shingle) rows.
     * `array_distinct` before the explode keeps the shuffle volume at
     * distinct-shingles, not token count.

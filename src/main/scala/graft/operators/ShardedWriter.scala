@@ -76,13 +76,18 @@ object ShardedWriter {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       key: Column, targetRowsPerFile: Long,
-      knownCount: Option[Long] = None): (Int, Int) = {
+      knownCount: Option[Long] = None,
+      transform: DataFrame => DataFrame = identity): (Int, Int) = {
     recoverInterrupted(spark, dir)
     val before = parquetCount(spark, dir)
     // absent dir or metadata-only residue (zero part files): nothing to
     // fold, and spark.read.parquet could not even infer a schema
     if (before == 0) return (0, 0)
-    val frame = spark.read.parquet(dir)
+    // `transform` lets append-only zones FOLD ROWS in the same
+    // crash-safe pass (DISTINCT away replayed band rows, min-aggregate
+    // md5 keepers) — callers must pass only transforms the zone's read
+    // semantics absorb, so the rewrite stays result-invisible
+    val frame = transform(spark.read.parquet(dir))
     val staging = dir + ".compact"
     val retired = dir + ".pre-compact"
     writeSharded(frame, staging, key, targetRowsPerFile, knownCount)

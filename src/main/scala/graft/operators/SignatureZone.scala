@@ -40,10 +40,12 @@ import org.apache.spark.sql.functions._
   * semi-join against the corpus — point lookups once the documents
   * table carries zone-map stats), so the history cost is proportional
   * to band-bucket collisions, never to history size. At deployment
-  * scale the bands table would additionally be bucketed by `bh` so the
-  * probe join co-locates without an exchange (the q64/d20 layout move —
-  * the join already keys on (band, bh), so that layout drops in without
-  * a plan change).
+  * scale the zone is additionally OPTIMIZEd ([[optimize]] — replay
+  * duplicates folded, the per-batch file storm compacted, crash-safe)
+  * and its bands staged DISK-BUCKETED on (band, bh)
+  * ([[bucketedBandsTable]], the q64/d20 layout move), so the probe
+  * join consumes the bucketed scan with zero zone-side Exchange — the
+  * d25 posture, staleness-guarded against post-staging appends.
   */
 object SignatureZone {
 
@@ -195,6 +197,69 @@ object SignatureZone {
     append(docs, zoneDir)
   }
 
+  /** OPTIMIZE the band zone: rewrite the append-only bands table with
+    * replay duplicates DISTINCTed away and the per-batch file storm
+    * folded into balanced bh-clustered shards
+    * ([[ShardedWriter.compactParquet]]'s crash-safe rename publish) —
+    * the maintenance pass a deployment schedules exactly like c3's
+    * lake OPTIMIZE and d21's index OPTIMIZE. Result-invisible by
+    * construction: the read side DISTINCTs candidates, so folded
+    * duplicates change nothing (SignatureZoneSpec pins the hash).
+    * Returns (filesBefore, filesAfter).
+    */
+  def optimize(spark: SparkSession, zoneDir: String,
+      targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
+    if (!graft.core.Fs.exists(spark, s"$zoneDir/bands")) return (0, 0)
+    ShardedWriter.compactParquet(spark, s"$zoneDir/bands", col("bh"),
+      targetRowsPerFile, transform = _.distinct())
+  }
+
+  // session-scoped staleness ledger for bucketed band tables: table
+  // name -> the bands dir's listing fingerprint at staging time. Lives
+  // exactly as long as the tables themselves (scratch warehouse), so a
+  // fresh session can never see a stale entry.
+  private val stagedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Stage the zone's DISTINCT band rows as a DISK-BUCKETED table on
+    * (band, bh) — the q64/d20 layout move applied to the probe join:
+    * the bucketed scan IS the hash partitioning the join requires, so
+    * the zone side joins with ZERO Exchange and only the delta's bands
+    * move ([[incrementalPairs]]'s `bandsTable` option consumes it;
+    * PlanShapeSpec pins the plan property). The table records the
+    * bands dir's listing fingerprint; a probe against a table staged
+    * before later appends fails LOUDLY (the d21 staleness discipline —
+    * never a silent partial read). Returns the table name.
+    */
+  def bucketedBandsTable(spark: SparkSession, zoneDir: String,
+      buckets: Int = 8): String = {
+    val t = "sigzone_bands_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    spark.read.parquet(s"$zoneDir/bands").distinct()
+      .write.format("parquet").bucketBy(buckets, "band", "bh").saveAsTable(t)
+    stagedTables.put(t,
+      (zoneDir, graft.core.Fs.fingerprint(spark, s"$zoneDir/bands"))): Unit
+    t
+  }
+
+  private def freshBandsTable(spark: SparkSession, zoneDir: String,
+      table: String): DataFrame = {
+    val staged = stagedTables.get(table)
+    require(staged != null,
+      s"bands table $table was not staged by bucketedBandsTable in this " +
+        "session — a table of unknown provenance cannot be trusted to " +
+        "mirror the zone")
+    val (dir, fp) = staged
+    require(dir == zoneDir,
+      s"bands table $table was staged from zone $dir, not $zoneDir")
+    val now = graft.core.Fs.fingerprint(spark, s"$zoneDir/bands")
+    require(now == fp,
+      s"bands table $table is STALE: the zone's bands dir changed since " +
+        "staging (appends or an optimize ran) — re-stage with " +
+        "bucketedBandsTable before probing, or probe the dir directly")
+    spark.table(table)
+  }
+
   /** Verified near-dup pairs of a DELTA against the stored zone AND
     * within itself — the incremental posture of
     * [[Dedup.lshVerifiedPairs]]: history is never re-shingled; its band
@@ -232,7 +297,7 @@ object SignatureZone {
     * at least one delta member, `jaccard >= minJaccard`.
     */
   def incrementalPairs(corpus: DataFrame, delta: DataFrame, zoneDir: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, bandsTable: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val (n, k, b) = meta(spark, zoneDir)
     val drop = dropList(spark, zoneDir)
@@ -248,13 +313,22 @@ object SignatureZone {
     // would each re-run the zone probe — persist the DISTINCT-ed pair
     // set once (candidate-pair-sized, bounded by band collisions)
     val cand = graft.core.Caches.persistTracked(
-      (if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
-        val zb = spark.read.parquet(s"$zoneDir/bands")
+      (if (bandsTable.isDefined ||
+          graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
+        // a staged bucketed table serves the probe with zero zone-side
+        // Exchange (freshness-guarded); otherwise the parquet dir
+        val zb = bandsTable.fold(spark.read.parquet(s"$zoneDir/bands"))(
+          freshBandsTable(spark, zoneDir, _))
         // both sides scale with data (the zone with history, the delta
-        // with the batch): shuffled hash join, never a broadcast
+        // with the batch): shuffled hash join, never a broadcast. The
+        // hint sits on the DELTA side so IT builds (per-batch-sized
+        // hash map, never a history-sized one) and the zone side
+        // streams — on a bucketed bands table the zone scan then joins
+        // with zero Exchange (its bucketing IS the required hash
+        // partitioning)
         val cross = zb.as("z")
-          .hint("shuffle_hash")
-          .join(db.as("d"), col("z.band") === col("d.band") &&
+          .join(db.as("d").hint("shuffle_hash"),
+            col("z.band") === col("d.band") &&
             col("z.bh") === col("d.bh") && col("z.doc_id") =!= col("d.doc_id"))
           .select(least(col("z.doc_id"), col("d.doc_id")).as("doc_a"),
             greatest(col("z.doc_id"), col("d.doc_id")).as("doc_b"))

@@ -216,6 +216,31 @@ object TrainingData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d22 served from the OPTIMIZEd, DISK-BUCKETED band zone (d25): the
+    * zone is first compacted ([[graft.operators.SignatureZone.optimize]]
+    * — replay duplicates folded, per-batch file storm collapsed into
+    * bh-clustered shards), then its band rows staged as a table
+    * bucketed on (band, bh), so the zone probe consumes the bucketed
+    * scan with ZERO zone-side Exchange — the q64/d20 layout move the
+    * zone scaladoc promises, executed (PlanShapeSpec pins the plan
+    * property; the staleness ledger fails a probe against a table
+    * staged before later appends). Same oracle as d22: storage layout
+    * must be invisible in the result.
+    */
+  def d25IncrementalDedupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val zone = signatureZone(spark, dir)
+    val table = graft.core.StagedLayouts.once(spark, s"d25bands|$dir") { () =>
+      graft.operators.SignatureZone.optimize(spark, zone): Unit
+      graft.operators.SignatureZone.bucketedBandsTable(spark, zone)
+    }
+    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+      .select(col("doc_id"), col("text"))
+    graft.operators.SignatureZone.incrementalPairs(
+        docs, delta, zone, jaccardThreshold, bandsTable = Some(table))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Capped incremental near-dup dedup (d24): d22's posture with the
     * stop-shingle df cap RESTORED — the round-11 seam where
     * `SignatureZone.incrementalPairs` ran uncapped because the cap
@@ -1815,6 +1840,7 @@ object TrainingData {
     "c9_admission_loop" -> (c9AdmissionLoop _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
+    "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
@@ -2035,6 +2061,32 @@ object TrainingData {
        |           FROM common JOIN vsizes sa ON sa.doc_id = doc_a
        |                       JOIN vsizes sb ON sb.doc_id = doc_b
        |           WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8)""".stripMargin
+
+  /** d22's oracle — shared verbatim by d25 (same query served from the
+    * OPTIMIZEd bucketed band layout; storage must be invisible).
+    */
+  private lazy val d22OracleSql =
+    s"""WITH $grams3,
+       |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+       |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+       |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+       |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+       |          FROM mh GROUP BY doc_id, s // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
+       |         WHERE b.doc_id >= cut.c),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
+       |           FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+       |           JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, nc AS n_common,
+       |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+       |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x18_chunk_split" ->
@@ -2552,28 +2604,10 @@ object TrainingData {
     // delta-membership condition is b >= cut), exact-Jaccard verified
     // like d2/d8 but UNCAPPED (the df cap needs corpus-wide frequencies
     // an incremental step must not recompute)
-    "d22_incremental_dedup" ->
-      s"""WITH $grams3,
-         |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents),
-         |hashed AS (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
-         |mh AS (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
-         |       FROM hashed, range(16) r(s) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
-         |          FROM mh GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
-         |         WHERE b.doc_id >= cut.c),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
-         |           FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
-         |           JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
-         |           GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, nc AS n_common,
-         |       CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
-         |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d22_incremental_dedup" -> d22OracleSql,
+    // d25 serves d22's query from the OPTIMIZEd bucketed band zone —
+    // the storage layout must be invisible in the result
+    "d25_incremental_dedup_bucketed" -> d22OracleSql,
     // d24: d22 with the stop-shingle cap restored — the drop list is
     // the HISTORY-df hot set (the df zone's coverage at probe time:
     // deltas append their own df only after decisions, the c9

@@ -1618,6 +1618,17 @@ object EventStream {
           .select(col("text_md5"), col("keeper_id"))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(md5Zone)
       }
+      // OPTIMIZE both zones before serving: fold the file-per-batch
+      // storm and the overlap-replayed rows (the source replays the
+      // first half of history inside the second batch, so BOTH folds
+      // have real duplicates to collapse) — the maintenance pass a
+      // deployment schedules; result-invisible because the readers
+      // DISTINCT (bands) and min-aggregate (md5), which the oracle
+      // hash then proves end-to-end
+      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
+      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
       val docs = graft.core.Tables(spark, dir, "documents")
       graft.queries.TrainingData.admissionDecisions(spark,
           docs, docs.filter(col("doc_id") >= cut), md5Zone, sigZone)

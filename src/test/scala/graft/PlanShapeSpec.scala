@@ -626,6 +626,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d25: the zone probe consumes the bucketed band scan with zero zone-side Exchange") {
+    val p = plan("d25_incremental_dedup_bucketed")
+    // the probe must read the DISK-BUCKETED bands table...
+    val scanAt = p.indexOf("Bucketed: true")
+    assert(scanAt >= 0, s"no bucketed scan in the probe plan\n$p")
+    // ...and the zone side must reach the join WITHOUT an Exchange: the
+    // zone is the join's LEFT child, printed directly under the join
+    // header, so the segment between the nearest ShuffledHashJoin above
+    // the bucketed scan and the scan itself is exactly the zone-side
+    // subtree — any Exchange there means the bucketing was not used
+    val joinAt = p.lastIndexOf("ShuffledHashJoin", scanAt)
+    assert(joinAt >= 0, s"bucketed scan not under a shuffled hash join\n$p")
+    assert(!p.substring(joinAt, scanAt).contains("Exchange"),
+      s"zone-side Exchange above the bucketed scan\n${p.substring(joinAt, scanAt)}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x20: stratum top-k window reads histogram-pruned input via a broadcast cutoff") {
     val p = plan("x20_group_sample")
     // the per-stratum byte cutoffs come back as a broadcast — the corpus

@@ -64,6 +64,31 @@ class SignatureZoneSpec extends SparkSpec {
     val z3 = tmpDir("sigzone3") + "/z"
     SignatureZone.create(spark, z3)
     assert(got(z3) == expected.filter(_._1 >= cut), "empty zone != internal-only pairs")
+
+    // posture 5: OPTIMIZE folds z2's replay duplicates and file storm,
+    // result-invisible
+    val rows = spark.read.parquet(s"$z2/bands").count()
+    val (fb, fa) = SignatureZone.optimize(spark, z2)
+    assert(fa <= fb && fa > 0, s"optimize produced $fa of $fb files")
+    assert(spark.read.parquet(s"$z2/bands").count() < rows,
+      "optimize failed to fold the replayed duplicate band rows")
+    assert(got(z2) == expected, "optimize changed the result")
+
+    // posture 6: the probe served from the DISK-BUCKETED bands table is
+    // result-identical, its zone side joins with zero Exchange, and a
+    // post-staging append trips the staleness guard loudly
+    val t = SignatureZone.bucketedBandsTable(spark, z2)
+    val bucketed = SignatureZone.incrementalPairs(d, delta, z2, 0.8, Some(t))
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"probe did not read the bucketed table\n$p")
+    assert(
+      bucketed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(x => (x._1, x._2)) == expected,
+      "bucketed-table probe diverged")
+    SignatureZone.append(hist.limit(1), z2)
+    val e = intercept[IllegalArgumentException] {
+      SignatureZone.incrementalPairs(d, delta, z2, 0.8, Some(t)).collect() }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
   }
 
   test("c9 loop invariant: slice-wise appends leave the zones batch-built-equivalent after every round") {
@@ -107,6 +132,17 @@ class SignatureZoneSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
       assert(loopedMd5 == batchMd5, s"md5 zone diverged from batch dedup after round $k")
     }
+    // OPTIMIZE the md5 zone (fold 5 per-slice appends into min-keeper
+    // rows): the min-aggregated read must be unchanged
+    val before = spark.read.parquet(md5Zone)
+      .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    assert(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+    val after = spark.read.parquet(md5Zone)
+      .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(after == before, "md5 optimize changed the min-aggregated read")
   }
 
   test("capped zone: df-zone cap bites, capped-incremental == capped-batch, replay keyed on batchId") {
