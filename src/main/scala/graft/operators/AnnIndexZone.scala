@@ -144,6 +144,80 @@ object AnnIndexZone {
     res
   }
 
+  /** Verified near-dup pairs of a DELTA against the stored index AND
+    * within itself — the EMBEDDING-side twin of
+    * [[SignatureZone.incrementalPairs]], closing the incremental
+    * posture for semantic dedup (d7/d15 re-bucket the whole corpus per
+    * session; a deployment probes its persisted index with each delta):
+    *
+    *   1. delta bucket assignments under the zone's fixed planes (one
+    *      narrow codegen'd projection — delta-only work);
+    *   2. candidates = (stored index ⋈ delta buckets on bucket) ∪
+    *      (delta self-join), pairs oriented (least, greatest) and
+    *      DISTINCT-ed — replayed duplicate index rows and a zone that
+    *      already holds the delta are both absorbed (the SignatureZone
+    *      structural-idempotency argument verbatim);
+    *   3. exact cosine verification over candidate VECTORS only
+    *      (`corpus` supplies embeddings by vec_id semi-join —
+    *      candidate-sized, never history-sized).
+    *
+    * The candidate rule is same-bucket co-location (the d7 IVF-cell
+    * rule transposed to SRP buckets) — deliberately NOT topK's
+    * Hamming-1 multi-probe, which widens single-query recall but
+    * would multiply pair-probe cost by (planes+1)² for a recall band
+    * the verification threshold dominates. Scale shape: the index
+    * probe is one bucket-keyed shuffled hash join (delta side builds
+    * — per-batch-sized); history embeddings are touched per-candidate.
+    * An empty index degrades to delta-internal pairs.
+    *
+    * Output: (vec_a, vec_b, cos_sim) for verified pairs with at least
+    * one delta member, `cos_sim >= minCos`.
+    */
+  def incrementalPairs(corpus: DataFrame, delta: DataFrame, zoneDir: String,
+      minCos: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    Similarity.ensure(spark)
+    val (planes, dims) = meta(spark, zoneDir)
+    // delta buckets feed the zone probe and both internal self-join
+    // sides; tracked persist so the plane projection runs once
+    val db = graft.core.Caches.persistTracked(delta.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), planes, dims).as("bucket")))
+    val internal = db.as("a")
+      .hint("shuffle_hash")
+      .join(db.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = graft.core.Caches.persistTracked(
+      (if (graft.core.Fs.exists(spark, s"$zoneDir/index")) {
+        val zi = spark.read.parquet(s"$zoneDir/index")
+        // both sides scale with data — shuffled hash, delta builds
+        val cross = zi.as("z")
+          .join(db.as("d").hint("shuffle_hash"),
+            col("z.bucket") === col("d.bucket") &&
+            col("z.vec_id") =!= col("d.vec_id"))
+          .select(least(col("z.vec_id"), col("d.vec_id")).as("vec_a"),
+            greatest(col("z.vec_id"), col("d.vec_id")).as("vec_b"))
+        cross.union(internal)
+      } else internal).distinct())
+    val candIds = cand.select(col("vec_a").as("vec_id"))
+      .union(cand.select(col("vec_b").as("vec_id"))).distinct()
+    // exact verification touches candidate vectors only
+    val emb = graft.core.Caches.persistTracked(
+      corpus.join(candIds, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm")))
+    cand
+      .hint("shuffle_hash")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .hint("shuffle_hash")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** Multi-probe ANN top-k served FROM THE STORED ZONE — result-
     * identical to [[Similarity.lshTopK]]'s in-session derivation (same
     * plane constants, same Hamming-1 probe set, same exact cosine

@@ -976,6 +976,35 @@ object TrainingData {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  /** Incremental semantic dedup (d23): the EMBEDDING-side sibling of
+    * d22, closing the incremental posture for the vector half of the
+    * dedup family — d7/d15 re-bucket the ENTIRE corpus per session,
+    * while a deployment keeps bucket assignments in the persisted ANN
+    * index zone and dedups each arriving delta against all of history
+    * by probing it ([[graft.operators.AnnIndexZone.incrementalPairs]]).
+    * The zone is created with its plane count derived from the FULL
+    * expected corpus size (capacity planning — d19/st19's rule, and
+    * what makes the oracle's plane derivation reproducible), backfilled
+    * over history (first 4/5 by vec_id), and the delta's pairs are
+    * candidate-generated by same-bucket co-location then verified by
+    * exact cosine ≥ 0.4 (d7's threshold) over candidate vectors only.
+    */
+  def d23IncrementalSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val total = emb.count()
+    val cut = total * 4L / 5L
+    val zone = graft.core.StagedLayouts.once(spark, s"d23zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d23zone")
+      graft.operators.AnnIndexZone.create(spark, z, expectedCount = total): Unit
+      graft.operators.AnnIndexZone.appendIndex(
+        emb.filter(col("vec_id") < cut), z)
+      z
+    }
+    graft.operators.AnnIndexZone.incrementalPairs(
+        emb, emb.filter(col("vec_id") >= cut), zone, minCos = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Semantic (embedding-level) dedup DECISION: d7's IVF-celled cosine
     * pairs resolved into clusters with one canonical keeper — the
     * vector-side twin of d9, proving the pairs→components→keeper seam
@@ -1848,6 +1877,7 @@ object TrainingData {
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
+    "d23_incremental_semantic_dedup" -> (d23IncrementalSemanticDedup _),
     "d8_lsh_verified_dedup" -> (d8LshVerifiedDedup _),
     "d9_dedup_clusters" -> (d9DedupClusters _),
     "d12_quality_keeper" -> (d12QualityKeeper _),
@@ -1893,8 +1923,12 @@ object TrainingData {
     * (cos_sim desc, vec_id). Shared by d6 (k=10) and c6's candidate
     * stage (k=20) so the two gates cannot drift.
     */
-  private def lshTopKOracleSql(k: Int): String =
-    s"""WITH np AS (
+  /** SRP plane derivation + per-vector bucket assignment as CTEs
+    * (np, planes, bucketed) — shared by the d6/d19/d21 top-k oracles
+    * and d23's incremental pair oracle.
+    */
+  private lazy val srpBucketCtes =
+    s"""np AS (
        |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
        |  WHERE p >= 4 AND (CAST(32 AS BIGINT) << p) >= (SELECT count(*) FROM embeddings)),
        |planes AS (
@@ -1906,7 +1940,10 @@ object TrainingData {
        |         (SELECT sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) >= 0
        |                          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
        |          FROM planes pl) AS bucket
-       |  FROM embeddings e),
+       |  FROM embeddings e)""".stripMargin
+
+  private def lshTopKOracleSql(k: Int): String =
+    s"""WITH $srpBucketCtes,
        |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
        |probes AS (
        |  SELECT q.qvec, CASE WHEN r.p = np.np THEN q.qbucket
@@ -2293,6 +2330,26 @@ object TrainingData {
       s"""WITH $verifiedPairCtes
          |SELECT doc_a, doc_b, n_common, jaccard FROM vpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d23: the incremental semantic posture — SRP buckets replayed for
+    // every vector (the zone's fixed planes derive from the full
+    // corpus count), candidates restricted to pairs with a delta
+    // member (vec_a < vec_b and vec ids are ingest-ordered, so the
+    // delta condition is b >= cut), exact-cosine verified like d7
+    "d23_incremental_semantic_dedup" ->
+      s"""WITH $srpBucketCtes,
+         |cut AS (SELECT count(*) * 4 // 5 AS c FROM embeddings),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bucketed a JOIN bucketed b
+         |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id, cut
+         |         WHERE b.vec_id >= cut.c),
+         |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |      FROM embeddings)
+         |SELECT c.vec_a, c.vec_b,
+         |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+         |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // d20 shares d9's oracle by construction: the disk-bucketed edge
     // layout must be invisible in the resolved components.
     "d20_cc_bucketed" ->

@@ -109,6 +109,60 @@ class SimilaritySpec extends SparkSpec {
     assert(ps == ps.sorted)
   }
 
+  test("AnnIndexZone.incrementalPairs: zone postures invisible; semantics match the in-session bucketing") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val cut = n * 4L / 5L
+    val delta = emb.filter(col("vec_id") >= cut)
+    def got(z: String) = AnnIndexZone
+      .incrementalPairs(emb, delta, z, minCos = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+
+    // posture 1: history-only zone (d23's shape), capacity-planned for
+    // the full corpus
+    val z1 = tmpDir("annpairs1") + "/z"
+    AnnIndexZone.create(spark, z1, expectedCount = n)
+    AnnIndexZone.appendIndex(emb.filter(col("vec_id") < cut), z1)
+    val expected = got(z1)
+
+    // reference semantics: the in-session bucket assignment over the
+    // FULL corpus, same-bucket pairs with a delta member, exact cosine
+    val (planes, dims) = AnnIndexZone.meta(spark, z1)
+    val b = emb.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), planes, dims).as("bucket"))
+    val nf = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val ref = b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(col("b.vec_id") >= cut)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .join(nf.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(nf.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    assert(expected.nonEmpty, "degenerate fixture: no verified pairs")
+    assert(expected == ref, "zone-served pairs diverge from in-session bucketing")
+
+    // posture 2: zone already holds the delta + a replayed append —
+    // the DISTINCT-ed candidate join absorbs both
+    val z2 = tmpDir("annpairs2") + "/z"
+    AnnIndexZone.create(spark, z2, expectedCount = n)
+    AnnIndexZone.appendIndex(emb, z2)
+    AnnIndexZone.appendIndex(emb.filter(col("vec_id") < cut), z2)
+    assert(got(z2) == expected, "full/replayed zone diverged")
+
+    // posture 3: empty index degrades to delta-internal pairs
+    val z3 = tmpDir("annpairs3") + "/z"
+    AnnIndexZone.create(spark, z3, expectedCount = n)
+    assert(got(z3) == expected.filter(_._1 >= cut), "empty zone != internal-only pairs")
+  }
+
   test("AnnIndexZone: zone-served topK ≡ in-session lshTopK; delta append + replay are invisible") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
