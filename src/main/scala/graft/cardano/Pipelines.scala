@@ -103,9 +103,14 @@ final class Pipelines(
         .as[String]
       val raw = BlockfrostSource.fetchTransactions(hashes, backend)
       lake.writeRawJson(raw, "transactions", b)
-      val dto = Transforms.transactionDto(
-        loadRawBatch("transactions", b, Schemas.rawTransaction))
-      upsert(dto, "cardano_transactions")
+      val raw0 = loadRawBatch("transactions", b, Schemas.rawTransaction)
+      upsert(Transforms.transactionDto(raw0), "cardano_transactions")
+      // the sixth entity: the raw batch's nested output_amount array,
+      // exploded and merged right after its parent (FK order) — the
+      // table the reference declares but never loads (see
+      // Transforms.transactionOutputAmountDto)
+      upsert(Transforms.transactionOutputAmountDto(raw0),
+        "cardano_tx_output_amount")
       recordLoaded("transactions", "cardano_transactions", b)
       watermarks.recordBlockExport("cardano_transactions", b)
     }

@@ -176,6 +176,23 @@ object Schemas {
     StructField("valid_contract", BooleanType, nullable = false),
     StructField("created_at", TimestampType, nullable = false)))
 
+  /** cardano_tx_output_amount — cardano_tables.py:101-119. The
+    * reference DECLARES this table but never populates it: its DTO is
+    * broken (cardano_transactions_output_amount.py:22-23 reads
+    * `input.unit`/`input.quantity`, fields the raw transaction model
+    * only carries inside the `output_amount` ARRAY) and no pipeline
+    * loads it. Completed here the way the README's unwritten Q8 was:
+    * the raw array (rawTransaction above) explodes to one row per
+    * (tx, unit) with a deterministic sha2 id replacing the reference's
+    * uuid4 (the T4 discipline — replays must merge, not duplicate).
+    */
+  val txOutputAmount: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("hash", StringType, nullable = false),
+    StructField("unit", StringType, nullable = false),
+    StructField("quantity", lovelace, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
+
   /** cardano_tx_utxo — cardano_tables.py:121-131 (PK hash). */
   val txUtxo: StructType = StructType(Seq(
     StructField("hash", StringType, nullable = false),
@@ -242,6 +259,7 @@ object Schemas {
     "cardano_blocks" -> Seq("height"),
     "cardano_block_transactions" -> Seq("block"),
     "cardano_transactions" -> Seq("hash"),
+    "cardano_tx_output_amount" -> Seq("id"),
     "cardano_tx_utxo" -> Seq("hash"),
     "cardano_tx_utxo_input" -> Seq("id"),
     "cardano_tx_utxo_input_amount" -> Seq("id"),

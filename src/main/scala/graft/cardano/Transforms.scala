@@ -67,6 +67,30 @@ object Transforms {
       col("redeemer_count"), col("valid_contract"),
       loadTime.as("created_at"))
 
+  /** T2b: raw tx → cardano_tx_output_amount rows — the reference's
+    * LAST unported entity, which it shipped broken: the table is
+    * declared (cardano_tables.py:101-119) but its DTO reads fields
+    * that do not exist on the raw model
+    * (cardano_transactions_output_amount.py:22-23 reads `input.unit`
+    * where the raw transaction carries a nested `output_amount` ARRAY
+    * — raw_cardano_transactions.py:10-44) and no pipeline loads it.
+    * Completed the way the data intends: posexplode the array, one row
+    * per (tx, position), deterministic sha2 id over (hash, position)
+    * in place of the reference's uuid4 (the [[surrogateId]] replay
+    * discipline), Decimal(38,0) quantities. A null/absent array yields
+    * zero rows (explode, not a null row).
+    */
+  def transactionOutputAmountDto(raw: DataFrame,
+      loadTime: Column = current_timestamp()): DataFrame =
+    raw
+      .select(col("hash"), posexplode(col("output_amount")).as(Seq("pos", "amt")))
+      .select(
+        surrogateId(col("hash"), lit("outamt"), col("pos")).as("id"),
+        col("hash"),
+        col("amt.unit").as("unit"),
+        col("amt.quantity").cast(lovelace).as("quantity"),
+        loadTime.as("created_at"))
+
   /** T4: one nested UTXO doc → the five flat tables
     * (cardano_transactions_utxo_dto.py:56-121,
     * transform_cardano_tx_utxo_dto_to_df.py:21-98).

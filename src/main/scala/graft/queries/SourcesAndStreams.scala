@@ -364,6 +364,37 @@ object SourcesAndStreams {
       .withColumn("volume", col("volume").cast("long"))
   }
 
+  /** c1 family: the sixth warehouse entity — `cardano_tx_output_amount`,
+    * the table the reference declares but never loads (broken DTO; see
+    * [[graft.cardano.Transforms.transactionOutputAmountDto]]) —
+    * populated by the fixture backfill's EP1 chain (blocks → block-txs
+    * → transactions, whose raw batch carries the nested array) and
+    * rolled up per unit. Constant oracle like c1's Q8: the fixture
+    * chain is deterministic, so the exact (unit, n_outputs, volume)
+    * rollup is pinned. `c1_` prefix = correctness-only by the
+    * documented Bench contract (a full fixture-pipeline run measures
+    * the HTTP stub, not the engine).
+    */
+  def c1CardanoOutputAmount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cardano._
+    val root = java.nio.file.Files.createTempDirectory("c1_outamt").toString
+    val pipelines = new Pipelines(
+      spark,
+      new Lake(spark, s"$root/lake"),
+      s"$root/warehouse",
+      new Watermarks(spark, s"$root/status"),
+      new BlockfrostSource.FixtureBackend,
+      batchSize = 50)
+    pipelines.runBlocks(1, 60)
+    pipelines.runBlockTxs(1, 60)
+    pipelines.runTransactions(1, 60)
+    pipelines.readTable("cardano_tx_output_amount")
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_outputs"),
+        sum(col("quantity")).cast("long").as("volume"))
+      .orderBy(col("unit"))
+  }
+
   /** c4: the engine's data-skipping stack composed into the CARDANO
     * domain — the reference's own access patterns served from pruned
     * file sets. The reference's real analytics are point lookups and
@@ -781,6 +812,7 @@ object SourcesAndStreams {
     "q46_zorder_compact" -> (q46ZorderCompact _),
     "q47_zorder3_compact" -> (q47Zorder3Compact _),
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _),
+    "c1_cardano_output_amount" -> (c1CardanoOutputAmount _),
     "c4_cardano_skipping" -> (c4CardanoSkipping _))
 
   /** The (user 3..6) × (2024-01-10..11 UTC) box over the ORIGINAL
@@ -886,6 +918,13 @@ object SourcesAndStreams {
         |  ('script6', 589875), ('script4', 121515))
         |  AS t(reference_script_hash, volume)
         |ORDER BY volume DESC, reference_script_hash""".stripMargin,
+    // Exact expected output-amount rollup of the fixture backfill over
+    // heights 1-60: block h carries h%3 txs (60 total), tx i in block h
+    // has n = int(sha256("tx:h:i")[:12], 16) and ONE lovelace
+    // output_amount of n % 1e9 — summed: 29757313830.
+    "c1_cardano_output_amount" ->
+      """SELECT 'lovelace' AS unit, CAST(60 AS BIGINT) AS n_outputs,
+        |       CAST(29757313830 AS BIGINT) AS volume""".stripMargin,
     "s5_json_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,

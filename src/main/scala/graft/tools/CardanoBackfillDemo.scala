@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.cardano._
 
@@ -37,9 +38,17 @@ object CardanoBackfillDemo {
     pipelines.runFull(start, end)
 
     Seq("cardano_blocks", "cardano_block_transactions", "cardano_transactions",
+      "cardano_tx_output_amount",
       "cardano_tx_utxo", "cardano_tx_utxo_input", "cardano_tx_utxo_input_amount",
       "cardano_tx_utxo_output", "cardano_tx_utxo_output_amount")
       .foreach(t => println(f"[demo] $t%-34s ${pipelines.readTable(t).count()}%8d rows"))
+
+    println("[demo] tx output_amount per-unit rollup (the sixth entity):")
+    pipelines.readTable("cardano_tx_output_amount")
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_outputs"), sum(col("quantity")).as("volume"))
+      .orderBy(col("unit"))
+      .show(truncate = false)
 
     val in = pipelines.readTable("cardano_tx_utxo_input")
     val inAmt = pipelines.readTable("cardano_tx_utxo_input_amount")

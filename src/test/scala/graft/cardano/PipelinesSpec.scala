@@ -33,6 +33,14 @@ class PipelinesSpec extends SparkSpec {
     val utxo = pipelines.readTable("cardano_tx_utxo")
     assert(utxo.count() == txs.count())
 
+    // The sixth entity: one output_amount row per tx (fixture carries a
+    // single lovelace amount), every row keyed to a loaded transaction.
+    val outAmt = pipelines.readTable("cardano_tx_output_amount")
+    assert(outAmt.count() == txs.count())
+    assert(outAmt.join(txs.select(col("hash")), Seq("hash"), "left_anti").count() == 0)
+    // ids are deterministic sha2, so the PK merge can dedup replays
+    assert(outAmt.select(col("id")).distinct().count() == outAmt.count())
+
     // FK integrity across the five UTXO tables.
     val in = pipelines.readTable("cardano_tx_utxo_input")
     val inAmt = pipelines.readTable("cardano_tx_utxo_input_amount")

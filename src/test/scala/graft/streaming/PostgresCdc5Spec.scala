@@ -5,9 +5,11 @@ import graft.cardano.{JdbcSink, ScratchPostgres}
 /** The reference's five-table FK-ordered UTXO load
   * (`s3_to_db_cardano_tx_utxo_pipeline.py:142-209` — tx_utxo,
   * input, input_amt, output, output_amt loaded inside ONE
-  * `engine.begin()` transaction) upgraded to FULL CDC semantics:
-  * insert / update / delete flow through every table of the family,
-  * each batch's five merges run parent-before-child INSIDE ONE
+  * `engine.begin()` transaction) PLUS the sixth warehouse entity
+  * (cardano_tx_output_amount — declared at cardano_tables.py:101-119,
+  * populated here; it keys off the same tx hash as tx_utxo), upgraded
+  * to FULL CDC semantics: insert / update / delete flow through every
+  * table of the family, each batch's merges run parent-before-child INSIDE ONE
   * transaction (the [[JdbcSink.upsertAllJdbc]] discipline, here over
   * psql transport since the sandbox has no pgjdbc jar), against REAL
   * `FOREIGN KEY` constraints so the ordering claim is enforced by the
@@ -36,7 +38,12 @@ class PostgresCdc5Spec extends ScratchPostgres {
     ("cdc_input", "id", Some("cdc_utxo")),
     ("cdc_input_amt", "id", Some("cdc_input")),
     ("cdc_output", "id", Some("cdc_utxo")),
-    ("cdc_output_amt", "id", Some("cdc_output")))
+    ("cdc_output_amt", "id", Some("cdc_output")),
+    // the SIXTH warehouse entity: cardano_tx_output_amount — keyed off
+    // the same transaction hash as cardano_tx_utxo (both are children
+    // of the transaction), so the family root stands in as its FK
+    // parent here, adding a third child branch to the ordering proof
+    ("cdc_tx_out_amt", "id", Some("cdc_utxo")))
 
   private case class Chg(table: String, key: String, seq: Long, op: String,
       cents: Long, ref: String)
@@ -54,7 +61,8 @@ class PostgresCdc5Spec extends ScratchPostgres {
       Chg("cdc_input", s"i$i", 1, "U", 10L * i, s"u$i"),
       Chg("cdc_input_amt", s"a$i", 1, "U", i.toLong, s"i$i"),
       Chg("cdc_output", s"o$i", 1, "U", 20L * i, s"u$i"),
-      Chg("cdc_output_amt", s"b$i", 1, "U", 2L * i, s"o$i"))
+      Chg("cdc_output_amt", s"b$i", 1, "U", 2L * i, s"o$i"),
+      Chg("cdc_tx_out_amt", s"t$i", 1, "U", 3L * i, s"u$i"))
   }
   private val batch2: Seq[Chg] = batch1 ++ Seq(
     Chg("cdc_utxo", "u2", 2, "U", 201, ""),
@@ -62,11 +70,13 @@ class PostgresCdc5Spec extends ScratchPostgres {
     Chg("cdc_input_amt", "a4", 2, "U", 41, "i4"),
     Chg("cdc_output", "o5", 2, "U", 51, "u5"),
     Chg("cdc_output_amt", "b5", 2, "U", 52, "o5"),
+    Chg("cdc_tx_out_amt", "t4", 2, "U", 43, "u4"),
     Chg("cdc_utxo", "u6", 2, "D", 600, ""),
     Chg("cdc_input", "i6", 2, "D", 60, "u6"),
     Chg("cdc_input_amt", "a6", 2, "D", 6, "i6"),
     Chg("cdc_output", "o6", 2, "D", 120, "u6"),
     Chg("cdc_output_amt", "b6", 2, "D", 12, "o6"),
+    Chg("cdc_tx_out_amt", "t6", 2, "D", 18, "u6"),
     Chg("cdc_input", "i7", 2, "U", 70, "u1"),
     Chg("cdc_input_amt", "a7", 2, "U", 7, "i7"))
 
@@ -103,7 +113,7 @@ class PostgresCdc5Spec extends ScratchPostgres {
     for ((t, _, _) <- family) sql(s"DROP TABLE stg_${t}_$tag")
   }
 
-  test("five-table FK-ordered CDC: one transaction per batch, child-first GC, replay-stable") {
+  test("six-table FK-ordered CDC: one transaction per batch, child-first GC, replay-stable") {
     assume(available, "no usable PostgreSQL install on this host")
     val d = JdbcSink.PostgresDialect
     // real FK constraints — the ordering claims are engine-enforced.
