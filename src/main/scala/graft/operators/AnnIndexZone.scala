@@ -120,16 +120,41 @@ object AnnIndexZone {
     planes
   }
 
+  /** Record vector deletions against the zone: tombstone rows under
+    * `zoneDir/tombstones`, honored by [[topK]] and [[incrementalPairs]]
+    * (a deleted vector's stored bucket rows can no longer produce
+    * candidates) and folded in for good by [[optimize]]. Append-only,
+    * replay-stable (duplicate rows change nothing — readers anti-join).
+    * `ids` must expose `vec_id`.
+    */
+  def delete(ids: DataFrame, zoneDir: String): Unit =
+    ids.select(col("vec_id")).write
+      .mode(SaveMode.Append).parquet(s"$zoneDir/tombstones")
+
+  /** Drop tombstoned vectors' rows from an index frame (deletes-sized
+    * anti-join; compaction folds the list to zero).
+    */
+  private def liveIndex(spark: SparkSession, zoneDir: String,
+      index: DataFrame): DataFrame =
+    if (!graft.core.Fs.exists(spark, s"$zoneDir/tombstones")) index
+    else index.join(
+      spark.read.parquet(s"$zoneDir/tombstones")
+        .select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
   /** OPTIMIZE the index zone: rewrite the append-only index
     * bucket-clustered ([[ShardedWriter.compactParquet]]'s balanced
     * range shards + crash-safe rename publish — each file then covers a
-    * tight, disjoint bucket span) and persist per-file bucket min/max
-    * stats. After this, [[topK]] plans its probe's file subset from the
-    * #files-row stats table and opens ~1 file per probe instead of
-    * scanning the index — the maintenance pass a deployment schedules
-    * exactly like c3's lake OPTIMIZE. Later [[appendIndex]] deltas must
-    * be re-covered with `ZoneMap.appendStats` (the staleness guard
-    * fails the probe loudly otherwise — never a silent partial read).
+    * tight, disjoint bucket span), fold pending TOMBSTONES in for good
+    * (keyed deletes at compaction; the list is then cleared — a crash
+    * between publish and clear re-applies them, idempotent), and
+    * persist per-file bucket min/max stats. After this, [[topK]] plans
+    * its probe's file subset from the #files-row stats table and opens
+    * ~1 file per probe instead of scanning the index — the maintenance
+    * pass a deployment schedules exactly like c3's lake OPTIMIZE.
+    * Later [[appendIndex]] deltas must be re-covered with
+    * `ZoneMap.appendStats` (the staleness guard fails the probe loudly
+    * otherwise — never a silent partial read).
     * Returns (filesBefore, filesAfter).
     */
   def optimize(spark: SparkSession, zoneDir: String,
@@ -139,7 +164,9 @@ object AnnIndexZone {
     // must not then crash on the missing path
     if (!graft.core.Fs.exists(spark, s"$zoneDir/index")) return (0, 0)
     val res = ShardedWriter.compactParquet(
-      spark, s"$zoneDir/index", col("bucket"), targetRowsPerFile)
+      spark, s"$zoneDir/index", col("bucket"), targetRowsPerFile,
+      transform = ix => liveIndex(spark, zoneDir, ix))
+    graft.core.Fs.deleteRecursively(spark, s"$zoneDir/tombstones")
     ZoneMap.buildStats(spark, s"$zoneDir/index", s"$zoneDir/stats", Seq("bucket"))
     res
   }
@@ -189,7 +216,7 @@ object AnnIndexZone {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val cand = graft.core.Caches.persistTracked(
       (if (graft.core.Fs.exists(spark, s"$zoneDir/index")) {
-        val zi = spark.read.parquet(s"$zoneDir/index")
+        val zi = liveIndex(spark, zoneDir, spark.read.parquet(s"$zoneDir/index"))
         // both sides scale with data — shuffled hash, delta builds
         val cross = zi.as("z")
           .join(db.as("d").hint("shuffle_hash"),
@@ -264,7 +291,7 @@ object AnnIndexZone {
       return corpus.limit(0).crossJoin(broadcast(q1))
         .select(col("vec_id"),
           Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
-    val index =
+    val index = liveIndex(spark, zoneDir,
       if (graft.core.Fs.exists(spark, statsDir)) {
         val qb = q1
           .select(Similarity.srpBucket(col("qvec"), planes, dims).as("qb"))
@@ -274,7 +301,7 @@ object AnnIndexZone {
           "bucket", pbs)
         if (files.isEmpty) spark.read.parquet(indexDir).filter(lit(false))
         else spark.read.parquet(files: _*)
-      } else spark.read.parquet(indexDir)
+      } else spark.read.parquet(indexDir))
     val probes = q1
       .withColumn("qbucket", Similarity.srpBucket(col("qvec"), planes, dims))
       .select(col("qvec"), explode(array(

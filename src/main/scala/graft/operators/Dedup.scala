@@ -24,23 +24,62 @@ object Dedup {
     df.groupBy(md5(text).as("text_md5"))
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_cnt"))
 
-  /** OPTIMIZE an append-only md5 keeper zone (`(text_md5, keeper_id)`
-    * rows appended per batch — c8/st21's exact-dedup zone): fold the
-    * per-batch file storm and the overlapping/replayed keeper rows into
-    * one min-keeper row per content hash, rewritten md5-clustered via
+  /** The md5 keeper zone — c8/st21/c9's exact-dedup history index: a
+    * plain parquet dir of `(text_md5, keeper_id)` rows, ONE PER
+    * DOCUMENT (not per-batch minima: per-doc rows are what make
+    * [[md5ZoneDelete]] exact — under collapsed minima, deleting the
+    * min-id holder would silently un-block content that OTHER live
+    * documents still carry, because their rows were folded away).
+    * Readers min-aggregate after dropping tombstoned docs, so
+    * per-batch splits, replays, and duplicate rows are all absorbed
+    * (min is a semilattice). Tombstones live in `<dir>.tombstones`
+    * (`doc_id` rows, append-only — a delete is itself just an ingest
+    * event); [[optimizeMd5Zone]] folds them in and clears them.
+    */
+  def md5ZoneAppend(delta: DataFrame, text: Column, idCol: Column,
+      dir: String): Unit =
+    delta.select(md5(text).as("text_md5"), idCol.as("keeper_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+
+  /** Record document deletions against an md5 zone. Replay-stable:
+    * duplicate tombstone rows change nothing (the reader anti-joins).
+    */
+  def md5ZoneDelete(ids: DataFrame, dir: String): Unit =
+    ids.select(col("doc_id")).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir + ".tombstones")
+
+  /** The zone's live rows: stored rows minus tombstoned documents. The
+    * tombstone list is deletes-sized (small next to the zone; Catalyst
+    * broadcasts it when stats allow), and compaction folds it to zero.
+    */
+  def md5ZoneRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val rows = spark.read.parquet(dir)
+    if (!graft.core.Fs.exists(spark, dir + ".tombstones")) rows
+    else rows.join(
+      spark.read.parquet(dir + ".tombstones")
+        .select(col("doc_id").as("keeper_id")).distinct(),
+      Seq("keeper_id"), "left_anti")
+  }
+
+  /** OPTIMIZE an append-only md5 keeper zone: fold the per-batch file
+    * storm, replayed duplicate rows, AND pending tombstones (keyed
+    * deletes at compaction — deleted docs' rows are dropped for good
+    * and the tombstone list cleared), rewritten md5-clustered via
     * [[ShardedWriter.compactParquet]]'s crash-safe rename publish.
-    * Result-invisible by construction: the zone's readers min-aggregate
-    * (min over per-batch minima = min over the fold — the same
-    * semilattice argument that makes the append-only zone correct), so
-    * compacted and uncompacted zones answer identically
-    * (SignatureZoneSpec pins the hash). Returns (filesBefore,
-    * filesAfter).
+    * Result-invisible by construction: readers already DISTINCT-read
+    * minus tombstones, so compacted and uncompacted zones answer
+    * identically (SignatureZoneSpec pins it). Crash between publish
+    * and tombstone clear re-applies the same tombstones next run —
+    * idempotent. Returns (filesBefore, filesAfter).
     */
   def optimizeMd5Zone(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetRowsPerFile: Long = 4 << 20): (Int, Int) =
-    ShardedWriter.compactParquet(spark, dir, col("text_md5"),
-      targetRowsPerFile, transform = _.groupBy(col("text_md5"))
-        .agg(min(col("keeper_id")).as("keeper_id")))
+      targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
+    val res = ShardedWriter.compactParquet(spark, dir, col("text_md5"),
+      targetRowsPerFile, transform = _ => md5ZoneRead(spark, dir).distinct())
+    graft.core.Fs.deleteRecursively(spark, dir + ".tombstones")
+    res
+  }
 
   /** Distinct token n-gram shingles per document: (id, shingle) rows.
     * `array_distinct` before the explode keeps the shuffle volume at

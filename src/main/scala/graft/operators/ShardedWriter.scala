@@ -98,6 +98,13 @@ object ShardedWriter {
     require(fs.rename(new org.apache.hadoop.fs.Path(staging),
       new org.apache.hadoop.fs.Path(dir)), s"publish rename failed: $staging")
     graft.core.Fs.deleteRecursively(spark, retired)
+    // an in-place rewrite MUST invalidate the session's caches for the
+    // path: a frame persisted over the pre-rewrite files canonicalizes
+    // equal to a post-rewrite read of the same path (same root, same
+    // schema), so without this the CacheManager would silently serve
+    // the RETIRED data to every later reader — stale listings and
+    // cached plans both drop here
+    spark.catalog.refreshByPath(dir)
     (before, parquetCount(spark, dir))
   }
 

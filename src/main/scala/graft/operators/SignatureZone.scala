@@ -197,21 +197,52 @@ object SignatureZone {
     append(docs, zoneDir)
   }
 
+  /** Record document deletions against the zone: tombstone rows under
+    * `zoneDir/tombstones`, honored by [[incrementalPairs]] (a deleted
+    * doc's stored bands can no longer produce candidates — so
+    * re-ingesting its content is admitted instead of blocked on a dead
+    * keeper) and folded in for good by [[optimize]]. A delete is
+    * itself just an ingest event: append-only, replay-stable
+    * (duplicate tombstone rows change nothing — the reader anti-joins).
+    * `ids` must expose `doc_id`.
+    */
+  def delete(ids: DataFrame, zoneDir: String): Unit =
+    ids.select(col("doc_id")).write
+      .mode(SaveMode.Append).parquet(s"$zoneDir/tombstones")
+
+  /** Drop tombstoned docs' rows from a bands frame. The tombstone list
+    * is deletes-sized (small next to the zone; Catalyst broadcasts it
+    * when stats allow) and compaction folds it to zero.
+    */
+  private def liveBands(spark: SparkSession, zoneDir: String,
+      bands: DataFrame): DataFrame =
+    if (!graft.core.Fs.exists(spark, s"$zoneDir/tombstones")) bands
+    else bands.join(
+      spark.read.parquet(s"$zoneDir/tombstones")
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** OPTIMIZE the band zone: rewrite the append-only bands table with
-    * replay duplicates DISTINCTed away and the per-batch file storm
-    * folded into balanced bh-clustered shards
+    * replay duplicates DISTINCTed away, pending TOMBSTONES folded in
+    * for good (keyed deletes at compaction — the tombstone list is
+    * then cleared; a crash between publish and clear re-applies the
+    * same tombstones, idempotent), and the per-batch file storm folded
+    * into balanced bh-clustered shards
     * ([[ShardedWriter.compactParquet]]'s crash-safe rename publish) —
     * the maintenance pass a deployment schedules exactly like c3's
     * lake OPTIMIZE and d21's index OPTIMIZE. Result-invisible by
-    * construction: the read side DISTINCTs candidates, so folded
-    * duplicates change nothing (SignatureZoneSpec pins the hash).
+    * construction: the read side DISTINCTs candidates and already
+    * subtracts tombstones (SignatureZoneSpec pins the hash).
     * Returns (filesBefore, filesAfter).
     */
   def optimize(spark: SparkSession, zoneDir: String,
       targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
     if (!graft.core.Fs.exists(spark, s"$zoneDir/bands")) return (0, 0)
-    ShardedWriter.compactParquet(spark, s"$zoneDir/bands", col("bh"),
-      targetRowsPerFile, transform = _.distinct())
+    val res = ShardedWriter.compactParquet(spark, s"$zoneDir/bands", col("bh"),
+      targetRowsPerFile,
+      transform = b => liveBands(spark, zoneDir, b).distinct())
+    graft.core.Fs.deleteRecursively(spark, s"$zoneDir/tombstones")
+    res
   }
 
   // session-scoped staleness ledger for bucketed band tables: table
@@ -316,9 +347,13 @@ object SignatureZone {
       (if (bandsTable.isDefined ||
           graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
         // a staged bucketed table serves the probe with zero zone-side
-        // Exchange (freshness-guarded); otherwise the parquet dir
-        val zb = bandsTable.fold(spark.read.parquet(s"$zoneDir/bands"))(
-          freshBandsTable(spark, zoneDir, _))
+        // Exchange (freshness-guarded); otherwise the parquet dir.
+        // Tombstones are subtracted LIVE on either path (the tombstone
+        // dir is outside the bands fingerprint, so deletes never
+        // invalidate a staged table — they are honored on read)
+        val zb = liveBands(spark, zoneDir,
+          bandsTable.fold(spark.read.parquet(s"$zoneDir/bands"))(
+            freshBandsTable(spark, zoneDir, _)))
         // both sides scale with data (the zone with history, the delta
         // with the batch): shuffled hash join, never a broadcast. The
         // hint sits on the DELTA side so IT builds (per-batch-sized

@@ -1633,9 +1633,7 @@ object TrainingData {
     val zones = graft.core.StagedLayouts.once(spark, s"c8zones|$dir") { () =>
       val z = graft.core.Scratch.dir("c8zones")
       val hist = docs.filter(col("doc_id") < cut)
-      Dedup.exactByContent(hist, col("text"), col("doc_id"))
-        .select(col("text_md5"), col("keeper_id"))
-        .write.parquet(s"$z/md5")
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
       graft.operators.SignatureZone.build(spark,
         hist.select(col("doc_id"), col("text")), s"$z/sig",
         shingleN, minhashK, minhashBands)
@@ -1675,11 +1673,12 @@ object TrainingData {
       .withColumn("text_md5", md5(col("text")))
       .withColumn("delta_min",
         min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
-      // the md5 zone holds one row per distinct HISTORY content — it
-      // scales with the corpus, so the probe is a shuffled hash join
-      // (zone side builds), never a broadcast; the min-agg collapses an
-      // append-only zone's replayed rows (no-op on a batch-built zone)
-      .join(spark.read.parquet(md5ZoneDir)
+      // the md5 zone holds per-doc HISTORY content rows (tombstones
+      // subtracted by md5ZoneRead) — it scales with the corpus, so the
+      // probe is a shuffled hash join (zone side builds), never a
+      // broadcast; the min-agg collapses per-doc, replayed, and
+      // batch-split rows alike into the min live keeper
+      .join(Dedup.md5ZoneRead(spark, md5ZoneDir)
         .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("hist_keeper"))
         .hint("shuffle_hash"), Seq("text_md5"), "left")
       .withColumn("exact_block",
@@ -1765,9 +1764,7 @@ object TrainingData {
       // 0..4 spans [n*k/5, n*(k+1)/5) — slice 0 is the initial history
       val bounds = (1 to 4).map(k => n * k / 5L)
       val hist0 = docs.filter(col("doc_id") < bounds(0))
-      Dedup.exactByContent(hist0, col("text"), col("doc_id"))
-        .select(col("text_md5"), col("keeper_id"))
-        .write.parquet(s"$root/md5")
+      Dedup.md5ZoneAppend(hist0, col("text"), col("doc_id"), s"$root/md5")
       graft.operators.SignatureZone.build(spark,
         hist0.select(col("doc_id"), col("text")), s"$root/sig",
         shingleN, minhashK, minhashBands)
@@ -1781,9 +1778,7 @@ object TrainingData {
           .write.parquet(s"$root/fates/round=$k")
         // ...then feed back: the delta joins ingested history
         graft.operators.SignatureZone.append(delta, s"$root/sig")
-        Dedup.exactByContent(delta, col("text"), col("doc_id"))
-          .select(col("text_md5"), col("keeper_id"))
-          .write.mode(SaveMode.Append).parquet(s"$root/md5")
+        Dedup.md5ZoneAppend(delta, col("text"), col("doc_id"), s"$root/md5")
         // each round's tracked persists (scored delta, pair list, ...)
         // are dead once its fates are on disk — release before the next
         // round so K rounds hold one round's working set, not K
@@ -1794,6 +1789,46 @@ object TrainingData {
     spark.read.parquet(s"$z/fates")
       .select(col("doc_id"), col("round").cast("long").as("round"),
         col("fate"), col("dup_of"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental cluster assignment at admission (c10): the piece that
+    * lets the mix quotas move per delta without a corpus-level
+    * re-cluster — c8 defers ALL clustering to corpus refresh; here the
+    * kept delta documents are assigned to the PERSISTED centroids of
+    * the last refresh (d18's Lloyd fit over history, saved once as a
+    * k-row zone — [[graft.operators.Similarity.saveCentroids]]) via
+    * the literal-centroid codegen'd projection
+    * ([[graft.operators.Similarity.assignToCentroids]]): zero shuffle,
+    * zero history reads, one narrow pass over the admitted delta.
+    *
+    * The oracle replays BOTH halves exactly: c8's admission chain
+    * (kept = quality-gated, exact-survivor, component-minimum docs)
+    * and the integer Lloyd chain over history embeddings, then assigns
+    * kept docs to the final-round centroids (argmin with the lower-cid
+    * tiebreak — the same rule the assignment rounds use).
+    *
+    * Output: (doc_id, cid, dist) for every admitted (kept) delta doc.
+    */
+  def c10AdmissionClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val cut = incrementalCut(docs)
+    // the centroid zone is REFRESH output — fitted over history once,
+    // persisted, read back as literals (k·dims longs)
+    val zone = graft.core.StagedLayouts.once(spark, s"c10cents|$dir") { () =>
+      val z = graft.core.Scratch.dir("c10cents")
+      Similarity.saveCentroids(spark,
+        Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), z)
+      z
+    }
+    val kept = c8IncrementalCuration(spark, dir)
+      .filter(col("fate") === "kept")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.assignToCentroids(
+        emb.join(kept, Seq("vec_id"), "left_semi"),
+        Similarity.loadCentroids(spark, zone))
+      .select(col("vec_id").as("doc_id"), col("cid"), col("dist"))
       .orderBy(col("doc_id"))
   }
 
@@ -1867,6 +1902,7 @@ object TrainingData {
     "c7_curation_pipeline" -> (c7CurationPipeline _),
     "c8_incremental_curation" -> (c8IncrementalCuration _),
     "c9_admission_loop" -> (c9AdmissionLoop _),
+    "c10_admission_clusters" -> (c10AdmissionClusters _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
@@ -2124,6 +2160,68 @@ object TrainingData {
        |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** c8's full admission replay as a CTE chain (quality gate → exact
+    * stage → survivor band pairs → verified pairs → per-delta CC) —
+    * shared by the c8 oracle (fate select) and the c10 oracle (kept
+    * docs feed the centroid assignment). Must ride under
+    * `WITH RECURSIVE` (the closure) with MATERIALIZED hints throughout.
+    */
+  private lazy val c8AdmissionCtes =
+    s"""cut AS MATERIALIZED (SELECT count(*) * 4 // 5 AS c FROM documents),
+       |q0 AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    length(text) AS n_chars_len,
+       |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+       |  FROM documents, cut WHERE doc_id >= cut.c),
+       |sc AS MATERIALIZED (SELECT doc_id, text,
+       |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+       |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+       |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+       |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+       |      AS quality_score
+       |  FROM q0),
+       |gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0),
+       |hist AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS hk
+       |  FROM documents, cut WHERE doc_id < cut.c GROUP BY 1),
+       |dmin AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS dk
+       |  FROM gated GROUP BY 1),
+       |ex AS MATERIALIZED (SELECT g.doc_id,
+       |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
+       |  FROM gated g JOIN dmin d ON md5(g.text) = d.m
+       |  LEFT JOIN hist h ON h.m = d.m),
+       |sv AS MATERIALIZED (SELECT doc_id FROM ex WHERE eb = doc_id),
+       |$grams3M,
+       |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+       |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+       |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
+       |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+       |  FROM mh GROUP BY doc_id, s // 4),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
+       |  WHERE b.doc_id IN (SELECT doc_id FROM sv)
+       |    AND (a.doc_id < cut.c OR a.doc_id IN (SELECT doc_id FROM sv))),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS nc
+       |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+       |  GROUP BY 1, 2),
+       |vp AS MATERIALIZED (SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8),
+       |verts AS MATERIALIZED (SELECT doc_id FROM sv
+       |  UNION SELECT doc_a FROM vp UNION SELECT doc_b FROM vp),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |  UNION ALL SELECT doc_b, doc_a FROM vp),
+       |closure(a, b) AS (
+       |  SELECT doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+       |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x18_chunk_split" ->
@@ -2702,60 +2800,7 @@ object TrainingData {
     // (MATERIALIZED hints: the chain rides under WITH RECURSIVE)
     "c8_incremental_curation" ->
       s"""WITH RECURSIVE
-         |cut AS MATERIALIZED (SELECT count(*) * 4 // 5 AS c FROM documents),
-         |q0 AS MATERIALIZED (
-         |  SELECT doc_id, text,
-         |    length(text) AS n_chars_len,
-         |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
-         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
-         |  FROM documents, cut WHERE doc_id >= cut.c),
-         |sc AS MATERIALIZED (SELECT doc_id, text,
-         |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
-         |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
-         |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
-         |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
-         |      AS quality_score
-         |  FROM q0),
-         |gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0),
-         |hist AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS hk
-         |  FROM documents, cut WHERE doc_id < cut.c GROUP BY 1),
-         |dmin AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS dk
-         |  FROM gated GROUP BY 1),
-         |ex AS MATERIALIZED (SELECT g.doc_id,
-         |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
-         |  FROM gated g JOIN dmin d ON md5(g.text) = d.m
-         |  LEFT JOIN hist h ON h.m = d.m),
-         |sv AS MATERIALIZED (SELECT doc_id FROM ex WHERE eb = doc_id),
-         |$grams3M,
-         |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
-         |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
-         |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
-         |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
-         |  FROM mh GROUP BY doc_id, s // 4),
-         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
-         |  WHERE b.doc_id IN (SELECT doc_id FROM sv)
-         |    AND (a.doc_id < cut.c OR a.doc_id IN (SELECT doc_id FROM sv))),
-         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-         |common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS nc
-         |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
-         |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
-         |  GROUP BY 1, 2),
-         |vp AS MATERIALIZED (SELECT doc_a, doc_b FROM common
-         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8),
-         |verts AS MATERIALIZED (SELECT doc_id FROM sv
-         |  UNION SELECT doc_a FROM vp UNION SELECT doc_b FROM vp),
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
-         |  UNION ALL SELECT doc_b, doc_a FROM vp),
-         |closure(a, b) AS (
-         |  SELECT doc_id, doc_id FROM verts
-         |  UNION
-         |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
-         |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a)
+         |$c8AdmissionCtes
          |SELECT sc.doc_id,
          |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
          |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
@@ -2769,6 +2814,31 @@ object TrainingData {
          |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
          |LEFT JOIN comp ON comp.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin,
+    // c10: c8's admission chain feeds the kept docs, the integer Lloyd
+    // chain over HISTORY embeddings feeds the final-round centroids
+    // (c2 = the centroids the round-3 assignment uses), and kept docs
+    // assign by quantized argmin with the lower-cid tiebreak.
+    "c10_admission_clusters" ->
+      s"""WITH RECURSIVE
+         |$c8AdmissionCtes,
+         |keptd AS MATERIALIZED (SELECT sc.doc_id FROM sc
+         |  JOIN ex ON ex.doc_id = sc.doc_id
+         |  JOIN comp ON comp.doc_id = sc.doc_id
+         |  WHERE sc.quality_score > 0
+         |    AND ex.eb = sc.doc_id AND comp.component = sc.doc_id),
+         |hemb AS MATERIALIZED (SELECT e.vec_id, e.embedding
+         |  FROM embeddings e, cut WHERE e.vec_id < cut.c),
+         |${kmeansCtes("hemb")},
+         |kqd AS MATERIALIZED (SELECT e.vec_id,
+         |    CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS dim,
+         |    CAST(floor((CAST(unnest(e.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+         |  FROM embeddings e JOIN keptd k ON k.doc_id = e.vec_id),
+         |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM kqd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid)
+         |SELECT vec_id AS doc_id, cid, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cid) AS rn FROM dd)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // c9: all K rounds of the admission loop replayed in ONE statement
     // by slice-tagging every stage — a doc's history is every doc in an
     // EARLIER slice (the zones as left by prior rounds: ingested

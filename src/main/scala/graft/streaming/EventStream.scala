@@ -1591,11 +1591,13 @@ object EventStream {
   /** st21: BOTH admission zones (exact-md5 + signature) maintained from
     * ONE checkpointed stream — the st18 consolidation discipline applied
     * to c8's curation gates. Each micro-batch appends its own band rows
-    * (delta-only, st20's step) AND its own per-content md5 minima
-    * (`Dedup.exactByContent` over the batch — an append-only zone whose
+    * (delta-only, st20's step) AND its own per-DOC md5 rows
+    * (`Dedup.md5ZoneAppend` over the batch — an append-only zone whose
     * reader min-aggregates, so replayed batches and arbitrary batch
     * splits land the same global min-keeper: min is a semilattice, the
-    * watermark-coalesce argument applied to content keys). The source
+    * watermark-coalesce argument applied to content keys; per-doc
+    * rather than per-batch-minima so tombstoned deletes stay exact —
+    * see md5ZoneAppend's scaladoc). The source
     * replays the first half of HISTORY inside the full history slice —
     * the deployment timeline where ingest has processed history and the
     * DELTA is the next batch being admitted — and the query then runs
@@ -1614,9 +1616,7 @@ object EventStream {
       SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
       runForeachBatchStream(spark, src, schema) { batch =>
         SignatureZone.append(batch, sigZone)
-        Dedup.exactByContent(batch, col("text"), col("doc_id"))
-          .select(col("text_md5"), col("keeper_id"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(md5Zone)
+        Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone)
       }
       // OPTIMIZE both zones before serving: fold the file-per-batch
       // storm and the overlap-replayed rows (the source replays the

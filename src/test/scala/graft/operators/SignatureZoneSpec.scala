@@ -222,6 +222,68 @@ class SignatureZoneSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("tombstones: delete doc → re-admit its content → kept; per-doc rows keep co-holders blocking; replay + compaction stable") {
+    import spark.implicits._
+    // Quality-passing, mutually dissimilar history docs; 5 and 7 share
+    // content C (the co-holder case), and the delta doc 100 re-ingests
+    // exactly C.
+    val c = "the cat and the dog of the house is in the town near the river and the hill"
+    val hist = (0 until 10).map {
+      case 5 => (5L, c)
+      case 7 => (7L, c)
+      case i => (i.toLong,
+        s"the unique subject number$i is of the kind$i and the sort$i in the place$i of area$i")
+    }
+    val corpus = (hist :+ ((100L, c))).toDF("doc_id", "text")
+    val histDf = corpus.filter(col("doc_id") < 100)
+    val delta = corpus.filter(col("doc_id") === 100)
+    val root = tmpDir("tombstones")
+    val md5Zone = s"$root/md5"
+    val sigZone = s"$root/sig"
+    Dedup.md5ZoneAppend(histDf, col("text"), col("doc_id"), md5Zone)
+    SignatureZone.build(spark, histDf, sigZone)
+    def fate(): (String, Any) = {
+      val r = graft.queries.TrainingData
+        .admissionDecisions(spark, corpus, delta, md5Zone, sigZone)
+        .filter(col("doc_id") === 100).head()
+      (r.getString(1), if (r.isNullAt(2)) null else r.getLong(2))
+    }
+    assert(fate() == (("exact_dup", 5L)), "baseline: blocked on keeper 5")
+
+    // delete keeper 5 from both zones: the CO-HOLDER 7 must now block
+    // (per-doc md5 rows — collapsed minima would wrongly free C here)
+    Dedup.md5ZoneDelete(Seq(5L).toDF("doc_id"), md5Zone)
+    SignatureZone.delete(Seq(5L).toDF("doc_id"), sigZone)
+    assert(fate() == (("exact_dup", 7L)), "co-holder 7 must still block")
+
+    // delete the last holder: the content is genuinely gone → kept
+    // (both exact AND near-dup gates must release: doc 100's text is
+    // identical to the deleted docs', so a live band row would fate it
+    // near_dup even with the md5 rows gone)
+    Dedup.md5ZoneDelete(Seq(7L).toDF("doc_id"), md5Zone)
+    SignatureZone.delete(Seq(7L).toDF("doc_id"), sigZone)
+    assert(fate() == (("kept", null)), "re-admitted content must be kept")
+
+    // replayed deletes change nothing
+    Dedup.md5ZoneDelete(Seq(5L, 7L).toDF("doc_id"), md5Zone)
+    SignatureZone.delete(Seq(5L, 7L).toDF("doc_id"), sigZone)
+    assert(fate() == (("kept", null)), "replayed deletes moved the fate")
+
+    // compaction folds the tombstones in for good and clears them;
+    // the decision must not move
+    assert(Dedup.optimizeMd5Zone(spark, md5Zone)._2 > 0)
+    assert(SignatureZone.optimize(spark, sigZone)._2 > 0)
+    assert(!graft.core.Fs.exists(spark, md5Zone + ".tombstones"))
+    assert(!graft.core.Fs.exists(spark, s"$sigZone/tombstones"))
+    assert(fate() == (("kept", null)), "compaction moved the fate")
+    assert(spark.read.parquet(md5Zone)
+      .filter(col("keeper_id").isin(5L, 7L)).count() == 0,
+      "compaction left dead md5 rows")
+    assert(spark.read.parquet(s"$sigZone/bands")
+      .filter(col("doc_id").isin(5L, 7L)).count() == 0,
+      "compaction left dead band rows")
+  }
+
   test("geometry guards: populated zones refuse re-create, re-build, and corrupt meta") {
     val z = tmpDir("sigzone4") + "/z"
     SignatureZone.build(spark, docs.limit(10), z)

@@ -161,6 +161,22 @@ class SimilaritySpec extends SparkSpec {
     val z3 = tmpDir("annpairs3") + "/z"
     AnnIndexZone.create(spark, z3, expectedCount = n)
     assert(got(z3) == expected.filter(_._1 >= cut), "empty zone != internal-only pairs")
+
+    // tombstones: deleting a history vector removes exactly its pairs
+    // (replay-stable), and optimize folds the tombstone in for good
+    import spark.implicits._
+    val dead = expected.head._1 // a history endpoint of a verified pair
+    AnnIndexZone.delete(Seq(dead).toDF("vec_id"), z1)
+    AnnIndexZone.delete(Seq(dead).toDF("vec_id"), z1) // replay
+    val afterDelete = got(z1)
+    assert(afterDelete == expected.filterNot(p => p._1 == dead || p._2 == dead),
+      "tombstoned vector still produces candidates")
+    assert(AnnIndexZone.optimize(spark, z1)._2 > 0)
+    assert(!graft.core.Fs.exists(spark, s"$z1/tombstones"))
+    assert(spark.read.parquet(s"$z1/index")
+      .filter(col("vec_id") === dead).count() == 0,
+      "compaction left dead index rows")
+    assert(got(z1) == afterDelete, "compaction moved the pair set")
   }
 
   test("AnnIndexZone: zone-served topK ≡ in-session lshTopK; delta append + replay are invisible") {
