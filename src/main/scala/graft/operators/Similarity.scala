@@ -335,8 +335,21 @@ object Similarity {
   /** [[kmeans]]'s per-vector assignment: (vec_id, dist, cid) after
     * `iters` Lloyd rounds — the seam pipelines consume for per-cluster
     * quotas (c7) while [[kmeans]] itself reports the cluster summary.
+    * Composition of [[kmeansFit]] (the model) and [[assignToCentroids]]
+    * (the projection), factored so an incremental pipeline can PERSIST
+    * the fitted centroids ([[saveCentroids]]) and assign later deltas
+    * without re-running Lloyd (c10's posture).
     */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    assignToCentroids(embeddings, kmeansFit(embeddings, k, iters))
+
+  /** Run the seeding + `iters` Lloyd rounds and return the FINAL
+    * centroids — the ones the round-`iters` assignment uses (after
+    * `iters - 1` recomputes), so
+    * `assignToCentroids(emb, kmeansFit(emb))` ≡ the one-shot
+    * [[kmeansAssign]] bit for bit (KmeansSpec pins it).
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 3): Seq[Array[Long]] = {
     require(k > 0, s"kmeans needs k > 0 clusters (got $k)")
     require(iters > 0, s"kmeans needs iters > 0 rounds (got $iters)")
     ensure(embeddings.sparkSession)
@@ -382,32 +395,69 @@ object Similarity {
     }
     // collapse degenerate repeats, assign cids by seed vec_id rank
     var cents: Seq[Array[Long]] = chosen.toMap.toSeq.sortBy(_._1).map(_._2)
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
-      val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
-        val lc = array(c.toSeq.map(lit(_)): _*)
-        struct(
-          VectorExpressions.sqdist(col("qv"), lc).as("dist"),
-          lit(cid.toLong).as("cid"))
-      }: _*))
-      assigned = q.select(col("vec_id"), col("qv"),
-        best.getField("dist").as("dist"), best.getField("cid").as("cid"))
-      if (it < iters) {
-        val sums = assigned
-          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byC = sums.groupBy(_.getLong(0))
-        cents = cents.zipWithIndex.map { case (old, cid) =>
-          byC.get(cid.toLong).fold(old) { rows =>
-            val next = old.clone()
-            rows.foreach(r => next(r.getInt(1)) = r.getLong(2) / r.getLong(3))
-            next
-          }
+    for (it <- 1 until iters) {
+      val sums = assignedTo(q, cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byC = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byC.get(cid.toLong).fold(old) { rows =>
+          val next = old.clone()
+          rows.foreach(r => next(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+          next
         }
       }
     }
-    assigned.select(col("vec_id"), col("dist"), col("cid"))
+    cents
   }
+
+  /** The literal-centroid argmin over a quantized frame — k codegen'd
+    * [[graft.functions.LongSqDist]] primitive loops per row against
+    * literal arrays; ZERO shuffle, the corpus never moves.
+    */
+  private def assignedTo(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+      val lc = array(c.toSeq.map(lit(_)): _*)
+      struct(
+        VectorExpressions.sqdist(col("qv"), lc).as("dist"),
+        lit(cid.toLong).as("cid"))
+    }: _*))
+    q.select(col("vec_id"), col("qv"),
+      best.getField("dist").as("dist"), best.getField("cid").as("cid"))
+  }
+
+  /** Assign ANY embedding frame to fixed centroids: (vec_id, dist, cid).
+    * This is c10's per-delta admission step — the centroids are
+    * literals (k·dims longs, the watermark altitude), so assignment is
+    * one narrow codegen'd projection over the delta with zero shuffle
+    * and zero history reads.
+    */
+  def assignToCentroids(embeddings: DataFrame,
+      cents: Seq[Array[Long]]): DataFrame = {
+    ensure(embeddings.sparkSession)
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))")
+        .as("qv"))
+    assignedTo(q, cents).select(col("vec_id"), col("dist"), col("cid"))
+  }
+
+  /** Persist fitted centroids as a k-row zone (cid, centroid) — the
+    * model artifact the incremental loop reads back ([[loadCentroids]],
+    * a k·dims driver read) to assign each admitted delta without
+    * re-running Lloyd. Corpus-level REFRESH rebuilds it (the c8
+    * boundary: quotas move when the whole mix moves).
+    */
+  def saveCentroids(spark: SparkSession, cents: Seq[Array[Long]],
+      dir: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Long]] =
+    spark.read.parquet(dir).orderBy(col("cid"))
+      .collect().map(_.getSeq[Long](1).toArray).toSeq
 }

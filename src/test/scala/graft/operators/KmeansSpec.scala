@@ -29,6 +29,31 @@ class KmeansSpec extends SparkSpec {
     assert(run(3) == r3, "re-run must reproduce identical clusters")
   }
 
+  test("fit + persisted-centroid assignment ≡ one-shot kmeansAssign; zone round-trips") {
+    import org.apache.spark.sql.functions.col
+    // the c10 factorization must be invisible: fitting once, persisting
+    // the centroids, loading them back, and assigning is bit-identical
+    // to the one-shot path — for the fit corpus AND for a disjoint
+    // delta assigned later (here: the same frame split by id)
+    val cents = Similarity.kmeansFit(emb)
+    val zone = tmpDir("centzone") + "/z"
+    Similarity.saveCentroids(spark, cents, zone)
+    val loaded = Similarity.loadCentroids(spark, zone)
+    assert(loaded.map(_.toSeq) == cents.map(_.toSeq), "zone round-trip changed centroids")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val oneShot = rows(Similarity.kmeansAssign(emb))
+    assert(rows(Similarity.assignToCentroids(emb, loaded)) == oneShot,
+      "persisted-centroid assignment diverged from the one-shot path")
+    // a later delta assigns against the SAME centroids — no Lloyd re-run
+    val cutId = emb.count() * 4L / 5L
+    val delta = emb.filter(col("vec_id") >= cutId)
+    assert(rows(Similarity.assignToCentroids(delta, loaded)) ==
+      oneShot.filter(_._1 >= cutId),
+      "delta assignment diverged from the corpus assignment's restriction")
+  }
+
   test("clusters equal an in-memory Lloyd reference (quantize, assign, recompute)") {
     // triple pin: the Spark result, the DuckDB oracle, and this
     // in-memory fold must all agree — replicate the operator's exact
