@@ -1717,6 +1717,35 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Capped incremental curation (c11): c8's admission decisions with
+    * the near-dup gate running over the CAPPED shingle universe — the
+    * zones are built with d24's df binding (`ShingleDfZone` over
+    * history, `SignatureZone.buildCapped`), and
+    * [[admissionDecisions]] needs NO change: cappedness is zone
+    * GEOMETRY, so `incrementalPairs` reads the binding from meta and
+    * drops hot shingles from the delta's banding and the verification
+    * alike. This is the full-production posture: exact md5 gate +
+    * df-capped signature gate + CC resolution per delta.
+    */
+  def c11AdmissionCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val cap = Dedup.deriveDocFreqCap(docs.count())
+    val zones = graft.core.StagedLayouts.once(spark, s"c11zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c11zones")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+      graft.operators.ShingleDfZone.create(spark, s"$z/df", shingleN)
+      graft.operators.ShingleDfZone.append(hist, s"$z/df", batchId = 0L)
+      graft.operators.SignatureZone.buildCapped(spark, hist, s"$z/sig",
+        s"$z/df", cap, shingleN, minhashK, minhashBands)
+      z
+    }
+    admissionDecisions(spark, docs,
+      docs.filter(col("doc_id") >= cut), s"$zones/md5", s"$zones/sig")
+  }
+
   /** Multi-delta admission loop (c9): the closed incremental-curation
     * loop a deployment actually runs — admit a delta, append its zone
     * rows, admit the NEXT delta against the grown zones. c8 proves one
@@ -1903,6 +1932,7 @@ object TrainingData {
     "c8_incremental_curation" -> (c8IncrementalCuration _),
     "c9_admission_loop" -> (c9AdmissionLoop _),
     "c10_admission_clusters" -> (c10AdmissionClusters _),
+    "c11_admission_capped" -> (c11AdmissionCapped _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
@@ -2163,11 +2193,21 @@ object TrainingData {
 
   /** c8's full admission replay as a CTE chain (quality gate → exact
     * stage → survivor band pairs → verified pairs → per-delta CC) —
-    * shared by the c8 oracle (fate select) and the c10 oracle (kept
-    * docs feed the centroid assignment). Must ride under
-    * `WITH RECURSIVE` (the closure) with MATERIALIZED hints throughout.
+    * shared by the c8 oracle (fate select), the c10 oracle (kept docs
+    * feed the centroid assignment), and the c11 oracle (`capped =
+    * true`: banding, sizes, and verification run over the
+    * history-df-capped shingle universe, the d24 drop rule). Must ride
+    * under `WITH RECURSIVE` (the closure) with MATERIALIZED hints
+    * throughout.
     */
-  private lazy val c8AdmissionCtes =
+  private def admissionCtes(capped: Boolean): String = {
+    val src = if (capped) "cgrams" else "grams"
+    val cappedCtes = if (!capped) "" else
+      s"""hotc AS MATERIALIZED (SELECT shingle FROM grams, cut
+         |  WHERE doc_id < cut.c GROUP BY shingle HAVING count(*) > $capSql),
+         |cgrams AS MATERIALIZED (SELECT g.doc_id, g.shingle FROM grams g
+         |  LEFT JOIN hotc h USING (shingle) WHERE h.shingle IS NULL),
+         |""".stripMargin
     s"""cut AS MATERIALIZED (SELECT count(*) * 4 // 5 AS c FROM documents),
        |q0 AS MATERIALIZED (
        |  SELECT doc_id, text,
@@ -2195,7 +2235,7 @@ object TrainingData {
        |  LEFT JOIN hist h ON h.m = d.m),
        |sv AS MATERIALIZED (SELECT doc_id FROM ex WHERE eb = doc_id),
        |$grams3M,
-       |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+       |${cappedCtes}hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM $src),
        |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
        |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
        |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
@@ -2205,10 +2245,10 @@ object TrainingData {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
        |  WHERE b.doc_id IN (SELECT doc_id FROM sv)
        |    AND (a.doc_id < cut.c OR a.doc_id IN (SELECT doc_id FROM sv))),
-       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM $src GROUP BY 1),
        |common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS nc
-       |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
-       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+       |  FROM cand c JOIN $src ga ON ga.doc_id = c.doc_a
+       |  JOIN $src gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
        |  GROUP BY 1, 2),
        |vp AS MATERIALIZED (SELECT doc_a, doc_b FROM common
        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
@@ -2222,6 +2262,27 @@ object TrainingData {
        |  UNION
        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
        |comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component FROM closure GROUP BY a)""".stripMargin
+  }
+
+  private lazy val c8AdmissionCtes = admissionCtes(capped = false)
+
+  /** The admission fate SELECT shared by c8 (uncapped) and c11 (capped
+    * near-dup universe) — only the CTE chain differs.
+    */
+  private lazy val admissionFateSelect =
+    """SELECT sc.doc_id,
+      |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+      |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+      |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+      |       ELSE 'kept' END AS fate,
+      |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+      |       WHEN ex.eb < sc.doc_id THEN ex.eb
+      |       WHEN comp.component < sc.doc_id THEN comp.component
+      |       ELSE NULL END AS dup_of,
+      |  sc.quality_score
+      |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+      |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+      |ORDER BY sc.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x18_chunk_split" ->
@@ -2801,19 +2862,14 @@ object TrainingData {
     "c8_incremental_curation" ->
       s"""WITH RECURSIVE
          |$c8AdmissionCtes
-         |SELECT sc.doc_id,
-         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
-         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
-         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
-         |       ELSE 'kept' END AS fate,
-         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
-         |       WHEN ex.eb < sc.doc_id THEN ex.eb
-         |       WHEN comp.component < sc.doc_id THEN comp.component
-         |       ELSE NULL END AS dup_of,
-         |  sc.quality_score
-         |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
-         |LEFT JOIN comp ON comp.doc_id = sc.doc_id
-         |ORDER BY sc.doc_id""".stripMargin,
+         |$admissionFateSelect""".stripMargin,
+    // c11: the same admission replay over the CAPPED shingle universe
+    // (d24's history-df drop rule applied to banding, sizes, and
+    // verification alike).
+    "c11_admission_capped" ->
+      s"""WITH RECURSIVE
+         |${admissionCtes(capped = true)}
+         |$admissionFateSelect""".stripMargin,
     // c10: c8's admission chain feeds the kept docs, the integer Lloyd
     // chain over HISTORY embeddings feeds the final-round centroids
     // (c2 = the centroids the round-3 assignment uses), and kept docs
