@@ -294,6 +294,16 @@ object SourcesAndStreams {
   def st22StreamDfZone(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamDfZone(spark, dir)
 
+  /** Zone deletes arriving THROUGH the ingest stream (CDC for the
+    * admission zones): per-batch upserts append band + md5 rows,
+    * per-batch deletes append tombstones to both zones; OPTIMIZE folds
+    * the tombstones in for good (streamed retention GC) and the
+    * admission decisions run against the maintained zones — the oracle
+    * subtracts the deleted ids from history coverage.
+    */
+  def st23StreamZoneTombstones(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamZoneTombstones(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -803,6 +813,7 @@ object SourcesAndStreams {
     "st20_stream_signature_zone" -> (st20StreamSignatureZone _),
     "st21_stream_admission_zones" -> (st21StreamAdmissionZones _),
     "st22_stream_df_zone" -> (st22StreamDfZone _),
+    "st23_stream_zone_tombstones" -> (st23StreamZoneTombstones _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -961,6 +972,13 @@ object SourcesAndStreams {
     // st22 answers d24's capped incremental dedup from the streamed
     // df zone (and the capped signature zone bound to it).
     "st22_stream_df_zone" -> TrainingData.oracles("d24_incremental_dedup_capped"),
+    // st23: c8's admission replay with the STREAM-DELETED history docs
+    // (doc_id % 17 = 3) subtracted from the hist keeper set and the
+    // candidate a-side — exactly what the tombstoned zones serve.
+    "st23_stream_zone_tombstones" ->
+      s"""WITH RECURSIVE
+         |${TrainingData.admissionCtes(capped = false, histLive = "{ID} % 17 <> 3")}
+         |${TrainingData.admissionFateSelect}""".stripMargin,
     "st14_stream_scd2" -> Relational.scd2OracleSql,
     // st16: the maintained CDC snapshot must equal q57's one-shot batch
     // apply over the same base + feed (same derivation, minus the

@@ -2200,7 +2200,15 @@ object TrainingData {
     * under `WITH RECURSIVE` (the closure) with MATERIALIZED hints
     * throughout.
     */
-  private def admissionCtes(capped: Boolean): String = {
+  private[queries] def admissionCtes(capped: Boolean,
+      histLive: String = "TRUE"): String = {
+    // histLive: SQL boolean over the placeholder {ID} restricting which
+    // INGESTED history docs are still LIVE (st23's streamed tombstones
+    // — deleted docs' md5 rows and bands are subtracted by the zone
+    // readers, so the replay must subtract them from the hist keeper
+    // set and from the candidate a-side alike)
+    val histLiveHist = histLive.replace("{ID}", "doc_id")
+    val histLiveCand = histLive.replace("{ID}", "a.doc_id")
     val src = if (capped) "cgrams" else "grams"
     val cappedCtes = if (!capped) "" else
       s"""hotc AS MATERIALIZED (SELECT shingle FROM grams, cut
@@ -2226,7 +2234,7 @@ object TrainingData {
        |  FROM q0),
        |gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0),
        |hist AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS hk
-       |  FROM documents, cut WHERE doc_id < cut.c GROUP BY 1),
+       |  FROM documents, cut WHERE doc_id < cut.c AND ($histLiveHist) GROUP BY 1),
        |dmin AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS dk
        |  FROM gated GROUP BY 1),
        |ex AS MATERIALIZED (SELECT g.doc_id,
@@ -2244,7 +2252,8 @@ object TrainingData {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id, cut
        |  WHERE b.doc_id IN (SELECT doc_id FROM sv)
-       |    AND (a.doc_id < cut.c OR a.doc_id IN (SELECT doc_id FROM sv))),
+       |    AND ((a.doc_id < cut.c AND ($histLiveCand))
+       |      OR a.doc_id IN (SELECT doc_id FROM sv))),
        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM $src GROUP BY 1),
        |common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS nc
        |  FROM cand c JOIN $src ga ON ga.doc_id = c.doc_a
@@ -2266,10 +2275,11 @@ object TrainingData {
 
   private lazy val c8AdmissionCtes = admissionCtes(capped = false)
 
-  /** The admission fate SELECT shared by c8 (uncapped) and c11 (capped
-    * near-dup universe) — only the CTE chain differs.
+  /** The admission fate SELECT shared by c8 (uncapped), c11 (capped
+    * near-dup universe), and st23 (tombstoned history) — only the CTE
+    * chain differs.
     */
-  private lazy val admissionFateSelect =
+  private[queries] lazy val admissionFateSelect =
     """SELECT sc.doc_id,
       |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
       |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'

@@ -1678,6 +1678,84 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st23: zone DELETES arriving THROUGH the ingest stream — the CDC
+    * discipline (st16/q57) applied to the admission zones. Each
+    * micro-batch carries upserts AND tombstones: inserts append their
+    * band rows and per-doc md5 rows (st21's step), deletes append
+    * tombstone rows to BOTH zones ([[graft.operators.SignatureZone
+    * .delete]] / `Dedup.md5ZoneDelete` — a delete is itself just an
+    * ingest event, append-only and replay-stable). The source replays
+    * the first half of history inside the second batch (the overlap
+    * shape every maintainer proves itself against: duplicate md5 rows
+    * are absorbed by the min-agg read, duplicate bands by the DISTINCT
+    * candidates, duplicate tombstones by the anti-join), and the
+    * second batch deletes every history doc with `doc_id % 17 = 3` —
+    * including docs inserted by the SAME batch (append-then-delete
+    * within one batch nets to deleted). After the stream, BOTH zones
+    * are OPTIMIZEd (tombstones folded in for good and cleared — the
+    * retention GC executed in the streamed posture, result-invisible
+    * by the reader contracts), and the admission decisions run against
+    * the maintained zones — the oracle replays the same rule by
+    * subtracting the deleted ids from the history keeper set and the
+    * candidate a-side.
+    */
+  def streamZoneTombstones(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, SignatureZone}
+    val (src, schema, cut) = stagedCdcHistorySource(spark, dir)
+    val root = scratchDir("st23")
+    val sigZone = root.resolve("sig").toString
+    val md5Zone = root.resolve("md5").toString
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    try {
+      SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
+      runForeachBatchStream(spark, src, schema) { batch =>
+        val ins = batch.filter(col("op") === "I")
+          .select(col("doc_id"), col("text"))
+        SignatureZone.append(ins, sigZone)
+        Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
+        val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+        SignatureZone.delete(dels, sigZone)
+        Dedup.md5ZoneDelete(dels, md5Zone)
+      }
+      // retention GC in the streamed posture: fold the tombstones (and
+      // the per-batch file storm) for good before serving
+      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
+      require(!graft.core.Fs.exists(spark, s"$sigZone/tombstones"),
+        "optimize left the band tombstone list")
+      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+      val docs = graft.core.Tables(spark, dir, "documents")
+      graft.queries.TrainingData.admissionDecisions(spark,
+          docs, docs.filter(col("doc_id") >= cut), md5Zone, sigZone)
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
+  /** st23's staged source: history in the overlap-replay shape with an
+    * `op` column — batch a inserts the first half, batch b re-inserts
+    * ALL of history and deletes every `doc_id % 17 = 3` (rows with
+    * op = 'D' and empty text).
+    */
+  private def stagedCdcHistorySource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st23src:$dir", sourceFingerprint(s"$dir/documents.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.count() * 4L / 5L
+      val d = scratchDir("st23src")
+      val a = docs.filter(col("doc_id") < cut / 2)
+        .withColumn("op", lit("I"))
+      val b = docs.filter(col("doc_id") < cut)
+        .withColumn("op", lit("I"))
+        .unionAll(docs.filter(col("doc_id") < cut && col("doc_id") % 17 === 3)
+          .select(col("doc_id"), lit("").as("text"), lit("D").as("op")))
+      stageSingleFile(a, d, "a.parquet")
+      stageSingleFile(b, d, "b.parquet")
+      (d.toString, a.schema, java.lang.Long.valueOf(cut))
+    }
+
   /** st22's staged source: history (ids < cut) as two DISJOINT
     * id-range batches — the df zone's additivity contract (see
     * [[streamDfZone]]); replay protection is the batch KEY, exercised
