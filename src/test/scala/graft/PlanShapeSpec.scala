@@ -626,6 +626,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c10: centroid assignment adds NO exchange beyond the admission core and the kept-id handoff") {
+    val p = plan("c10_admission_clusters")
+    // the assignment itself is a literal-centroid projection — the only
+    // NEW keys the composition may add over c8's pinned admission set
+    // are the kept-id handoff into embeddings (vec_id); any other key
+    // would mean the assignment shuffled the corpus or the model
+    val keys = exchangeKeyTuples(p)
+    val admission = Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5")
+    assert((keys -- admission).subsetOf(Set("vec_id")),
+      s"unexpected exchange keys beyond admission + vec_id: ${keys -- admission}\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c11: capped admission adds ONLY the hot-shingle anti-join key over c8's set") {
+    val p = plan("c11_admission_capped")
+    val keys = exchangeKeyTuples(p)
+    val admission = Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5")
+    // the df cap's only new boundaries are the shingle-keyed anti-join
+    // against the hot list and the df-zone reader's replay-absorbing
+    // DISTINCT over its (shingle, cnt, batch_id) rows
+    assert((keys -- admission).subsetOf(Set("shingle", "shingle,cnt,batch_id")),
+      s"unexpected exchange keys beyond admission + df cap: ${keys -- admission}\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d25: the zone probe consumes the bucketed band scan with zero zone-side Exchange") {
     val p = plan("d25_incremental_dedup_bucketed")
     // the probe must read the DISK-BUCKETED bands table...
