@@ -1842,21 +1842,33 @@ object TrainingData {
   def c10AdmissionClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
-    val cut = incrementalCut(docs)
-    // the centroid zone is REFRESH output — fitted over history once,
-    // persisted, read back as literals (k·dims longs)
-    val zone = graft.core.StagedLayouts.once(spark, s"c10cents|$dir") { () =>
-      val z = graft.core.Scratch.dir("c10cents")
+    // the admission window is the EMBEDDED sub-corpus (cut = 4/5 of the
+    // embeddings count, delta capped at the embedded range): embeddings
+    // cover a PREFIX of the documents at some SFs, and a documents-based
+    // cut would leave the delta vector-less — a vacuous assignment
+    val embTotal = emb.count()
+    val cut = embTotal * 4L / 5L
+    val zones = graft.core.StagedLayouts.once(spark, s"c10zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c10zones")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+      graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
+        shingleN, minhashK, minhashBands)
+      // the centroid zone is REFRESH output — fitted over the history
+      // vectors once, persisted, read back as literals (k·dims longs)
       Similarity.saveCentroids(spark,
-        Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), z)
+        Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), s"$z/cents")
       z
     }
-    val kept = c8IncrementalCuration(spark, dir)
+    val kept = admissionDecisions(spark, docs,
+        docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+        s"$zones/md5", s"$zones/sig")
       .filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
     Similarity.assignToCentroids(
         emb.join(kept, Seq("vec_id"), "left_semi"),
-        Similarity.loadCentroids(spark, zone))
+        Similarity.loadCentroids(spark, s"$zones/cents"))
       .select(col("vec_id").as("doc_id"), col("cid"), col("dist"))
       .orderBy(col("doc_id"))
   }
@@ -2201,12 +2213,17 @@ object TrainingData {
     * throughout.
     */
   private[queries] def admissionCtes(capped: Boolean,
-      histLive: String = "TRUE"): String = {
+      histLive: String = "TRUE",
+      cutCte: String = "SELECT count(*) * 4 // 5 AS c FROM documents",
+      deltaPred: String = "TRUE"): String = {
     // histLive: SQL boolean over the placeholder {ID} restricting which
     // INGESTED history docs are still LIVE (st23's streamed tombstones
     // — deleted docs' md5 rows and bands are subtracted by the zone
     // readers, so the replay must subtract them from the hist keeper
-    // set and from the candidate a-side alike)
+    // set and from the candidate a-side alike). cutCte/deltaPred bound
+    // the admission window (c10 admits the EMBEDDED sub-corpus: cut =
+    // 4/5 of the embeddings count, delta capped at the embedded range,
+    // so the entry does real assignment work at every SF).
     val histLiveHist = histLive.replace("{ID}", "doc_id")
     val histLiveCand = histLive.replace("{ID}", "a.doc_id")
     val src = if (capped) "cgrams" else "grams"
@@ -2216,7 +2233,7 @@ object TrainingData {
          |cgrams AS MATERIALIZED (SELECT g.doc_id, g.shingle FROM grams g
          |  LEFT JOIN hotc h USING (shingle) WHERE h.shingle IS NULL),
          |""".stripMargin
-    s"""cut AS MATERIALIZED (SELECT count(*) * 4 // 5 AS c FROM documents),
+    s"""cut AS MATERIALIZED ($cutCte),
        |q0 AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    length(text) AS n_chars_len,
@@ -2224,7 +2241,7 @@ object TrainingData {
        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
        |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
-       |  FROM documents, cut WHERE doc_id >= cut.c),
+       |  FROM documents, cut WHERE doc_id >= cut.c AND ($deltaPred)),
        |sc AS MATERIALIZED (SELECT doc_id, text,
        |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
        |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
@@ -2886,7 +2903,9 @@ object TrainingData {
     // assign by quantized argmin with the lower-cid tiebreak.
     "c10_admission_clusters" ->
       s"""WITH RECURSIVE
-         |$c8AdmissionCtes,
+         |${admissionCtes(capped = false,
+            cutCte = "SELECT (SELECT count(*) FROM embeddings) * 4 // 5 AS c",
+            deltaPred = "doc_id < (SELECT count(*) FROM embeddings)")},
          |keptd AS MATERIALIZED (SELECT sc.doc_id FROM sc
          |  JOIN ex ON ex.doc_id = sc.doc_id
          |  JOIN comp ON comp.doc_id = sc.doc_id
