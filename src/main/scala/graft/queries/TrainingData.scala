@@ -29,6 +29,11 @@ object TrainingData {
   private[graft] val minhashK = 16
   private[graft] val minhashBands = 4
   private val ivfCells = 8
+  /** Exact-cosine verification threshold for the embedding-side dedup
+    * family (d7/d15/d23/c12) — shared with the oracle builders so the
+    * Spark paths and the SQL replay cannot desync.
+    */
+  private[graft] val semanticCosThreshold = 0.4
 
   /** Stop-shingle cap derived from the corpus size (max(50, ceil(√n)) —
     * rationale at [[Dedup.deriveDocFreqCap]]): 50 at sf0.01 (n=500), 71
@@ -973,7 +978,7 @@ object TrainingData {
       .join(b, col("cell") === col("cb") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+      .filter(col("cos_sim") >= semanticCosThreshold)
   }
 
   /** Incremental semantic dedup (d23): the EMBEDDING-side sibling of
@@ -1001,7 +1006,8 @@ object TrainingData {
       z
     }
     graft.operators.AnnIndexZone.incrementalPairs(
-        emb, emb.filter(col("vec_id") >= cut), zone, minCos = 0.4)
+        emb, emb.filter(col("vec_id") >= cut), zone,
+        minCos = semanticCosThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -1873,6 +1879,96 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic admission gate (c12): c8's admission with a THIRD dedup
+    * gate — documents that survive the quality, exact-md5, and text
+    * near-dup stages are additionally deduped at the EMBEDDING level
+    * against the persisted ANN index zone (d23's incremental posture
+    * wired into admission, the verdict's "second near-dup gate").
+    * Paraphrases and translations share no shingles, so the text gates
+    * cannot see them; their vectors co-locate in SRP buckets, which is
+    * exactly the history structure the ANN zone stores.
+    *
+    * Stage order is a cost argument, not a preference: the text gates
+    * are cheaper per candidate (md5 equality, then shingle overlap on
+    * band collisions) and remove the bulk of duplication, so the vector
+    * gate — whose verification reads candidate embeddings — runs over
+    * the smallest possible survivor set. Semantic near-dup is not
+    * transitive, so survivor pairs resolve through the same
+    * connected-components discipline as the text stage; history
+    * endpoints (smaller ids) dominate component minima, making
+    * `dup_of` point at the oldest semantically-equivalent document.
+    *
+    * The admission window is the EMBEDDED sub-corpus (c10's rule): the
+    * gate needs delta vectors, and a documents-based cut would leave it
+    * vacuously empty at SFs where embeddings cover only a prefix.
+    *
+    * Scale shape: the zone probe is [[graft.operators.AnnIndexZone
+    * .incrementalPairs]] — delta buckets are a narrow codegen'd
+    * projection, the probe joins bucket-keyed shuffled-hash (zone rows
+    * = history vectors, never broadcast), and exact-cosine verification
+    * touches candidate vectors only via semi-join. Per-delta cost is
+    * ∝ delta + bucket collisions, never history size — the same bound
+    * as the text zones, now for the vector modality.
+    *
+    * Output: (doc_id, fate ∈ {low_quality, exact_dup, near_dup,
+    * semantic_dup, kept}, dup_of, quality_score) for every delta doc.
+    */
+  def c12AdmissionSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val cut = embTotal * 4L / 5L
+    val zones = graft.core.StagedLayouts.once(spark, s"c12zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c12zones")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+      graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
+        shingleN, minhashK, minhashBands)
+      // plane count fixed from the FULL expected corpus (capacity
+      // planning — d19/d23's rule, and what the oracle re-derives)
+      graft.operators.AnnIndexZone.create(spark, s"$z/ann",
+        expectedCount = embTotal): Unit
+      graft.operators.AnnIndexZone.appendIndex(
+        emb.filter(col("vec_id") < cut), s"$z/ann")
+      z
+    }
+    // text-stage fates feed two consumers (kept filter + final join) AND
+    // sit under the whole vector-gate lineage — localCheckpoint (not a
+    // cache) because a cached plan still NESTS the full admission
+    // subtree in every consumer, and the per-action formatted-explain
+    // pass goes super-linear on that replication (the c9/CC lineage-
+    // truncation rule; the frame is delta-sized, so the checkpoint is
+    // bounded)
+    val fates = admissionDecisions(spark, docs,
+        docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+        s"$zones/md5", s"$zones/sig")
+      .localCheckpoint()
+    val keptIds = fates.filter(col("fate") === "kept")
+      .select(col("doc_id").as("vec_id"))
+    // the vector gate probes the zone with KEPT survivors only
+    val pairs = graft.core.Caches.persistTracked(
+      graft.operators.AnnIndexZone.incrementalPairs(
+          emb, emb.join(keptIds, Seq("vec_id"), "left_semi"),
+          s"$zones/ann", minCos = semanticCosThreshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val vertices = keptIds.select(col("vec_id").as("doc_id"))
+      .union(pairs.select(col("doc_a").as("doc_id")))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = Dedup.connectedComponents(vertices, pairs)
+      .select(col("doc_id"), col("component").as("sem_component"))
+    fates
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fate") === "kept" && col("sem_component") < col("doc_id"),
+          lit("semantic_dup")).otherwise(col("fate")).as("fate"),
+        when(col("fate") === "kept" && col("sem_component") < col("doc_id"),
+          col("sem_component")).otherwise(col("dup_of")).as("dup_of"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality calibration (x23): x3's raw score rank-
     * normalized WITHIN each source to a [0,1] percent_rank — the
     * cross-source comparability signal every mixed-corpus curation
@@ -1945,6 +2041,7 @@ object TrainingData {
     "c9_admission_loop" -> (c9AdmissionLoop _),
     "c10_admission_clusters" -> (c10AdmissionClusters _),
     "c11_admission_capped" -> (c11AdmissionCapped _),
+    "c12_admission_semantic" -> (c12AdmissionSemantic _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
@@ -2479,7 +2576,7 @@ object TrainingData {
          |      FROM embeddings e),
          |vp AS (SELECT a.vec_id AS va, b.vec_id AS vb
          |       FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
          |edges AS (SELECT va AS src, vb AS dst FROM vp
          |          UNION ALL SELECT vb, va FROM vp),
          |closure(a, b) AS (
@@ -2510,7 +2607,7 @@ object TrainingData {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
          |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d8_lsh_verified_dedup" ->
       s"""WITH $verifiedPairCtes
@@ -2534,7 +2631,7 @@ object TrainingData {
          |SELECT c.vec_a, c.vec_b,
          |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
          |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
-         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
     // d20 shares d9's oracle by construction: the disk-bucketed edge
     // layout must be invisible in the resolved components.
@@ -2924,6 +3021,61 @@ object TrainingData {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dist, cid) AS rn FROM dd)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // c12: c8's admission chain (over the embedded window, c10's cut)
+    // extended with the semantic gate — kept survivors SRP-bucket
+    // against history vectors AND each other (the zone's cross pairs
+    // plus the delta-internal self-join), exact-cosine verified, and
+    // resolved through a second recursive closure; a kept doc whose
+    // semantic component minimum is smaller becomes semantic_dup.
+    "c12_admission_semantic" ->
+      s"""WITH RECURSIVE
+         |${admissionCtes(capped = false,
+            cutCte = "SELECT (SELECT count(*) FROM embeddings) * 4 // 5 AS c",
+            deltaPred = "doc_id < (SELECT count(*) FROM embeddings)")},
+         |keptd AS MATERIALIZED (SELECT sc.doc_id FROM sc
+         |  JOIN ex ON ex.doc_id = sc.doc_id
+         |  JOIN comp ON comp.doc_id = sc.doc_id
+         |  WHERE sc.quality_score > 0
+         |    AND ex.eb = sc.doc_id AND comp.component = sc.doc_id),
+         |$srpBucketCtes,
+         |scand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id, cut
+         |  WHERE b.vec_id IN (SELECT doc_id FROM keptd)
+         |    AND (a.vec_id < cut.c OR a.vec_id IN (SELECT doc_id FROM keptd))),
+         |sn AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |svp AS MATERIALIZED (SELECT va, vb FROM scand
+         |  JOIN sn a ON a.vec_id = va JOIN sn b ON b.vec_id = vb
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
+         |sverts AS MATERIALIZED (SELECT doc_id FROM keptd
+         |  UNION SELECT va FROM svp UNION SELECT vb FROM svp),
+         |sedges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM svp
+         |  UNION ALL SELECT vb, va FROM svp),
+         |closure2(a, b) AS (
+         |  SELECT doc_id, doc_id FROM sverts
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure2 c JOIN sedges e ON c.b = e.src),
+         |comp2 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component
+         |  FROM closure2 GROUP BY a)
+         |SELECT sc.doc_id,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+         |       WHEN comp2.component < sc.doc_id THEN 'semantic_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+         |       WHEN ex.eb < sc.doc_id THEN ex.eb
+         |       WHEN comp.component < sc.doc_id THEN comp.component
+         |       WHEN comp2.component < sc.doc_id THEN comp2.component
+         |       ELSE NULL END AS dup_of,
+         |  sc.quality_score
+         |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+         |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+         |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
     // c9: all K rounds of the admission loop replayed in ONE statement
     // by slice-tagging every stage — a doc's history is every doc in an
     // EARLIER slice (the zones as left by prior rounds: ingested
@@ -3184,7 +3336,7 @@ object TrainingData {
          |  FROM semb e),
          |vp AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
          |edges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM vp
          |          UNION ALL SELECT vb, va FROM vp),
          |closure(a, b) AS (

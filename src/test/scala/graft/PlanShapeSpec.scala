@@ -640,6 +640,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c12: the semantic gate adds ONLY vector-side keys over c8's admission set") {
+    val p = plan("c12_admission_semantic")
+    val keys = exchangeKeyTuples(p)
+    val admission = Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5")
+    // the vector gate's only new boundaries: the kept-id handoff into
+    // embeddings (vec_id — also the candidate-id semi-join), the SRP
+    // bucket probe (the zone side and the delta-internal self-join),
+    // the candidate-pair DISTINCT, and the two verification
+    // vector-attach joins (vec_a / vec_b). Any other key would mean
+    // the gate shuffled the corpus or history on something its
+    // boundary doesn't require — in particular no text-content key
+    // beyond the admission set may appear (the vector gate never
+    // touches text).
+    assert((keys -- admission).subsetOf(
+      Set("vec_id", "bucket", "vec_a", "vec_b", "vec_a,vec_b")),
+      s"unexpected exchange keys beyond admission + vector gate: ${keys -- admission}\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c11: capped admission adds ONLY the hot-shingle anti-join key over c8's set") {
     val p = plan("c11_admission_capped")
     val keys = exchangeKeyTuples(p)
