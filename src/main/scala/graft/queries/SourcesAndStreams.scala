@@ -285,6 +285,14 @@ object SourcesAndStreams {
   def st21StreamAdmissionZones(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamAdmissionZones(spark, dir)
 
+  /** All three admission zones (md5 + signature + ANN index) maintained
+    * from one checkpointed stream, then c12's three-gate semantic
+    * admission answered from them — see
+    * [[graft.streaming.EventStream.streamSemanticZones]].
+    */
+  def st24StreamSemanticZones(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamSemanticZones(spark, dir)
+
   /** The shingle document-frequency zone maintained from a checkpointed
     * stream (disjoint-batch appends keyed by batchId; reader sums),
     * then the capped signature zone built bound to it and d24's capped
@@ -814,6 +822,7 @@ object SourcesAndStreams {
     "st21_stream_admission_zones" -> (st21StreamAdmissionZones _),
     "st22_stream_df_zone" -> (st22StreamDfZone _),
     "st23_stream_zone_tombstones" -> (st23StreamZoneTombstones _),
+    "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -972,6 +981,9 @@ object SourcesAndStreams {
     // st22 answers d24's capped incremental dedup from the streamed
     // df zone (and the capped signature zone bound to it).
     "st22_stream_df_zone" -> TrainingData.oracles("d24_incremental_dedup_capped"),
+    // st24 answers c12's three-gate semantic admission from the three
+    // streamed zones — the maintenance path must be invisible.
+    "st24_stream_semantic_zones" -> TrainingData.oracles("c12_admission_semantic"),
     // st23: c8's admission replay with the STREAM-DELETED history docs
     // (doc_id % 17 = 3) subtracted from the hist keeper set and the
     // candidate a-side — exactly what the tombstoned zones serve.

@@ -1933,6 +1933,22 @@ object TrainingData {
         emb.filter(col("vec_id") < cut), s"$z/ann")
       z
     }
+    semanticAdmissionDecisions(spark, docs, emb,
+      docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+      s"$zones/md5", s"$zones/sig", s"$zones/ann")
+  }
+
+  /** c12's decision core, parameterized by the THREE history zones —
+    * shared with `EventStream.streamSemanticZones` (st24), which
+    * maintains the same zones from one checkpointed stream. The same
+    * contract as [[admissionDecisions]] plus: `emb` supplies candidate
+    * VECTORS for semantic verification (read per-candidate via
+    * semi-join, never scanned), and every delta doc must be inside the
+    * embedded range (the caller's window rule).
+    */
+  private[graft] def semanticAdmissionDecisions(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame, delta: DataFrame,
+      md5ZoneDir: String, sigZoneDir: String, annZoneDir: String): DataFrame = {
     // text-stage fates feed two consumers (kept filter + final join) AND
     // sit under the whole vector-gate lineage — localCheckpoint (not a
     // cache) because a cached plan still NESTS the full admission
@@ -1940,9 +1956,7 @@ object TrainingData {
     // pass goes super-linear on that replication (the c9/CC lineage-
     // truncation rule; the frame is delta-sized, so the checkpoint is
     // bounded)
-    val fates = admissionDecisions(spark, docs,
-        docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
-        s"$zones/md5", s"$zones/sig")
+    val fates = admissionDecisions(spark, docs, delta, md5ZoneDir, sigZoneDir)
       .localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
@@ -1950,7 +1964,7 @@ object TrainingData {
     val pairs = graft.core.Caches.persistTracked(
       graft.operators.AnnIndexZone.incrementalPairs(
           emb, emb.join(keptIds, Seq("vec_id"), "left_semi"),
-          s"$zones/ann", minCos = semanticCosThreshold)
+          annZoneDir, minCos = semanticCosThreshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     val vertices = keptIds.select(col("vec_id").as("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))

@@ -1636,6 +1636,65 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st24: ALL THREE admission zones (exact-md5 + signature + ANN
+    * index) maintained from ONE checkpointed stream — st21's combined
+    * loop extended with the vector modality, so the stream that feeds
+    * c12's three-gate admission is one machinery cost, not three
+    * (st18's consolidation argument applied to the admission family).
+    * Each micro-batch appends its band rows and per-doc md5 rows
+    * (st21's step) plus its documents' SRP bucket assignments — the
+    * batch's vectors come from a semi-join against the embeddings
+    * table (delta-sized per batch, never a corpus scan). The
+    * overlap-replay source proves structural idempotency for all
+    * three zones at once: bands and md5 minima as in st21, and
+    * replayed (vec_id, bucket) rows are absorbed by the probe's
+    * candidate DISTINCT (st19's argument). After the stream all three
+    * zones are OPTIMIZEd (the replayed rows and the file-per-batch
+    * storm genuinely fold), and c12's semantic admission decisions run
+    * against the maintained zones — hash-matching c12's oracle, which
+    * proves streamed ≡ batch-built for the whole three-zone family.
+    *
+    * The admission window is the EMBEDDED sub-corpus (c10/c12's rule):
+    * the staged source carries only documents inside the embedded
+    * range, because the vector gate needs delta AND history vectors.
+    */
+  def streamSemanticZones(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val (src, schema, cut) = stagedEmbeddedHistorySource(spark, dir)
+    val root = scratchDir("st24")
+    val sigZone = root.resolve("sig").toString
+    val md5Zone = root.resolve("md5").toString
+    val annZone = root.resolve("ann").toString
+    // shared constants, not copies — the st20 desync argument
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    try {
+      SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
+      // plane count fixed from the FULL expected corpus at creation
+      // (capacity planning — d19's rule, what the oracle re-derives)
+      AnnIndexZone.create(spark, annZone, expectedCount = embTotal): Unit
+      runForeachBatchStream(spark, src, schema) { batch =>
+        SignatureZone.append(batch, sigZone)
+        Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone)
+        AnnIndexZone.appendIndex(
+          emb.join(batch.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), annZone)
+      }
+      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
+      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+      val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+      require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
+      val docs = graft.core.Tables(spark, dir, "documents")
+      graft.queries.TrainingData.semanticAdmissionDecisions(spark, docs, emb,
+          docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+          md5Zone, sigZone, annZone)
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
   /** st22: the shingle document-frequency zone
     * ([[graft.operators.ShingleDfZone]]) maintained FROM THE INGEST
     * STREAM — each micro-batch appends its OWN per-shingle document
@@ -1800,6 +1859,27 @@ object EventStream {
         .select(col("doc_id"), col("text"))
       val cut = docs.count() * 4L / 5L
       val d = scratchDir("st21src")
+      stageSingleFile(docs.filter(col("doc_id") < cut / 2), d, "a.parquet")
+      stageSingleFile(docs.filter(col("doc_id") < cut), d, "b.parquet")
+      (d.toString, docs.schema, java.lang.Long.valueOf(cut))
+    }
+
+  /** st24's staged source: the EMBEDDED history slice (ids < 4/5 of
+    * the embeddings count — c10/c12's window rule, so the read side's
+    * vector gate has delta vectors at every SF) in st21's
+    * overlap-replay shape: first half of that history, then all of it.
+    * Fingerprints BOTH tables — the cut moves with the embeddings.
+    */
+  private def stagedEmbeddedHistorySource(
+      spark: SparkSession, dir: String): (String, StructType, java.lang.Long) =
+    stageSourceOnce(
+        s"st24src:$dir", sourceFingerprint(
+          s"$dir/documents.parquet", s"$dir/embeddings.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut =
+        spark.read.parquet(s"$dir/embeddings.parquet").count() * 4L / 5L
+      val d = scratchDir("st24src")
       stageSingleFile(docs.filter(col("doc_id") < cut / 2), d, "a.parquet")
       stageSingleFile(docs.filter(col("doc_id") < cut), d, "b.parquet")
       (d.toString, docs.schema, java.lang.Long.valueOf(cut))
