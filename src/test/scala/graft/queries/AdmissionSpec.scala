@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
+
+/** Gate semantics of the three-gate semantic admission (c12/st24) at
+  * fixture level: each gate must fire on exactly the duplication class
+  * it exists for, with the documented precedence (quality, then exact,
+  * then text near-dup, then semantic) and `dup_of` pointing at the
+  * oldest equivalent document. The load-bearing case is the PARAPHRASE:
+  * no shared shingles (invisible to the text gates by construction)
+  * but a cosine-close vector — only the ANN-zone gate can catch it,
+  * which is the reason the gate exists.
+  */
+class AdmissionSpec extends SparkSpec {
+
+  // ~115 chars, stopword-rich (x3 score comfortably positive)
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "runs to the old mill in the quiet town where it is safe and warm"
+  // one trailing token changed: 3-shingle jaccard ≈ 21/23 = 0.91 ≥ 0.8
+  private val nearVariant = base.dropRight(4) + "cold"
+  // textually disjoint from base (no 3-shingle reaches 0.8 jaccard)
+  private val paraphrase = "a calm river flows past the green hills and " +
+    "the small boats drift in the morning light to the far shore of the bay"
+  private val unique = "many bright students read the long books of the " +
+    "great library and they learn the deep ideas in the winter nights"
+  private val junk = "12345!!! ??? 999 $$$ 000"
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(i => ((i * 31 + seed * 7) % 13 - 6) / 6.0f)
+
+  test("each gate fires on its duplication class; paraphrases reach semantic_dup") {
+    import spark.implicits._
+    val hist = Seq((0L, base)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),         // exact copy of history      -> exact_dup
+      (11L, nearVariant),  // high shingle overlap       -> near_dup
+      (12L, paraphrase),   // no shingles, same vector   -> semantic_dup
+      (13L, unique),       // unique text, far vector    -> kept
+      (14L, junk)          // fails the quality gate     -> low_quality
+    ).toDF("doc_id", "text")
+    val docs = hist.union(delta)
+    // the paraphrase's vector is IDENTICAL to history's (same SRP
+    // bucket by construction, cosine 1.0); the unique doc's is the
+    // NEGATION (opposite side of every hyperplane, cosine -1.0)
+    val e0 = vec(1)
+    val emb = Seq(
+      (0L, e0), (10L, vec(2)), (11L, vec(3)),
+      (12L, e0), (13L, e0.map(-_)), (14L, vec(4))
+    ).toDF("vec_id", "embedding")
+
+    val z = tmpDir("admission")
+    Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+    SignatureZone.build(spark, hist, s"$z/sig",
+      TrainingData.shingleN, TrainingData.minhashK, TrainingData.minhashBands)
+    AnnIndexZone.create(spark, s"$z/ann", expectedCount = 6L): Unit
+    AnnIndexZone.appendIndex(emb.filter(col("vec_id") < 10L), s"$z/ann")
+
+    val got = TrainingData
+      .semanticAdmissionDecisions(spark, docs, emb, delta,
+        s"$z/md5", s"$z/sig", s"$z/ann")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+
+    assert(got(10L) == ("exact_dup", 0L), got)
+    assert(got(11L) == ("near_dup", 0L), got)
+    assert(got(12L) == ("semantic_dup", 0L), got)
+    assert(got(13L) == ("kept", -1L), got)
+    assert(got(14L)._1 == "low_quality", got)
+  }
+
+  test("precedence: an exact dup with a cosine-close vector never reaches the vector gate") {
+    import spark.implicits._
+    // doc 10 is BOTH an exact copy and vector-identical to history —
+    // the fate must be exact_dup (the cheaper gate decides first), and
+    // the vector gate must not even see it (it only probes kept docs)
+    val hist = Seq((0L, base)).toDF("doc_id", "text")
+    val delta = Seq((10L, base)).toDF("doc_id", "text")
+    val e0 = vec(1)
+    val emb = Seq((0L, e0), (10L, e0)).toDF("vec_id", "embedding")
+    val z = tmpDir("admission2")
+    Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+    SignatureZone.build(spark, hist, s"$z/sig",
+      TrainingData.shingleN, TrainingData.minhashK, TrainingData.minhashBands)
+    AnnIndexZone.create(spark, s"$z/ann", expectedCount = 2L): Unit
+    AnnIndexZone.appendIndex(emb.filter(col("vec_id") < 10L), s"$z/ann")
+    val got = TrainingData
+      .semanticAdmissionDecisions(spark, hist.union(delta), emb, delta,
+        s"$z/md5", s"$z/sig", s"$z/ann")
+      .collect()
+    assert(got.length == 1 && got(0).getString(1) == "exact_dup" &&
+      got(0).getLong(2) == 0L, got.mkString(";"))
+  }
+}
