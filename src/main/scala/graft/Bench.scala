@@ -69,8 +69,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-family subtotals so the headline total stops conflating new
+    // surface with common-query drift (round-12 verdict #3): multi-zone
+    // checkpointed streams (st*) and admission/curation compositions
+    // (c*) carry structural per-entry floors (micro-batch machinery, CC
+    // fixpoint rounds) that batch SQL entries do not.
+    def family(n: String): String =
+      if (n.startsWith("st")) "streaming"
+      else if (n.startsWith("c")) "composition" else "batch"
+    val fams = results.groupBy(r => family(r._1))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+      .map { case (f, v) => s"\"" + f + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a truncated stdout tail (BENCH_r6 showed 60
     // of 88 per-query timings, parsed:null) — persist the COMPLETE timing

@@ -136,7 +136,7 @@ object AnnIndexZone {
     */
   private def liveIndex(spark: SparkSession, zoneDir: String,
       index: DataFrame): DataFrame =
-    if (!graft.core.Fs.exists(spark, s"$zoneDir/tombstones")) index
+    if (!graft.core.Fs.hasParquetFiles(spark, s"$zoneDir/tombstones")) index
     else index.join(
       spark.read.parquet(s"$zoneDir/tombstones")
         .select(col("vec_id")).distinct(),
@@ -163,10 +163,18 @@ object AnnIndexZone {
     // compactParquet tolerates that as a (0,0) no-op, and buildStats
     // must not then crash on the missing path
     if (!graft.core.Fs.exists(spark, s"$zoneDir/index")) return (0, 0)
+    // tombstone clear is snapshot-scoped (the SignatureZone.optimize
+    // race fix): a tombstone appended during compaction survives to the
+    // next pass instead of being silently dropped
+    val snap = graft.core.Fs.listFilePaths(spark, s"$zoneDir/tombstones")
+    // .distinct(): replayed duplicate (vec_id, bucket) rows are
+    // result-invisible (the probes semi-join / DISTINCT), but without
+    // folding them here the index and its probe cost grow monotonically
+    // with replays — compaction is exactly where they genuinely fold
     val res = ShardedWriter.compactParquet(
       spark, s"$zoneDir/index", col("bucket"), targetRowsPerFile,
-      transform = ix => liveIndex(spark, zoneDir, ix))
-    graft.core.Fs.deleteRecursively(spark, s"$zoneDir/tombstones")
+      transform = ix => liveIndex(spark, zoneDir, ix).distinct())
+    graft.core.Fs.deleteFilesThenDirIfEmpty(spark, s"$zoneDir/tombstones", snap)
     ZoneMap.buildStats(spark, s"$zoneDir/index", s"$zoneDir/stats", Seq("bucket"))
     res
   }

@@ -55,7 +55,7 @@ object Dedup {
   def md5ZoneRead(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val rows = spark.read.parquet(dir)
-    if (!graft.core.Fs.exists(spark, dir + ".tombstones")) rows
+    if (!graft.core.Fs.hasParquetFiles(spark, dir + ".tombstones")) rows
     else rows.join(
       spark.read.parquet(dir + ".tombstones")
         .select(col("doc_id").as("keeper_id")).distinct(),
@@ -75,9 +75,13 @@ object Dedup {
     */
   def optimizeMd5Zone(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
+    // snapshot-scoped tombstone clear (the SignatureZone.optimize race
+    // fix): a tombstone appended by the ingest path during compaction
+    // lands outside the snapshot and survives to the next pass
+    val snap = graft.core.Fs.listFilePaths(spark, dir + ".tombstones")
     val res = ShardedWriter.compactParquet(spark, dir, col("text_md5"),
       targetRowsPerFile, transform = _ => md5ZoneRead(spark, dir).distinct())
-    graft.core.Fs.deleteRecursively(spark, dir + ".tombstones")
+    graft.core.Fs.deleteFilesThenDirIfEmpty(spark, dir + ".tombstones", snap)
     res
   }
 

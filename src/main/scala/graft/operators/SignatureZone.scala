@@ -77,13 +77,16 @@ object SignatureZone {
           s"shingle_n=$shingleN k=$k bands=$bands would orphan every " +
           "stored band — drop the zone and re-index to change its geometry")
       // the cap is geometry too: bands of capped and uncapped shingle
-      // sets hash differently, so flipping cappedness (or the cap
-      // value) under stored rows is the same silent-miss path
-      require(capInfo(spark, zoneDir).map(_._1) == capDf.map(_._1),
+      // sets hash differently, so flipping cappedness, the cap value,
+      // OR the bound df zone under stored rows is the same silent-miss
+      // path — a different ShingleDfZone with the same cap drops a
+      // DIFFERENT hot-shingle set than the stored bands were hashed
+      // with, so the guard compares the full (cap, df_dir) binding
+      require(capInfo(spark, zoneDir) == capDf,
         s"SignatureZone $zoneDir already holds band rows under df-cap " +
-          s"${capInfo(spark, zoneDir).map(_._1)}; re-creating with cap " +
-          s"${capDf.map(_._1)} would orphan every stored band — drop " +
-          "the zone and re-index to change its cap")
+          s"binding ${capInfo(spark, zoneDir)}; re-creating with binding " +
+          s"$capDf would orphan every stored band — drop the zone and " +
+          "re-index to change its cap or its df zone")
     }
     import spark.implicits._
     Seq((shingleN, k, bands,
@@ -216,7 +219,7 @@ object SignatureZone {
     */
   private def liveBands(spark: SparkSession, zoneDir: String,
       bands: DataFrame): DataFrame =
-    if (!graft.core.Fs.exists(spark, s"$zoneDir/tombstones")) bands
+    if (!graft.core.Fs.hasParquetFiles(spark, s"$zoneDir/tombstones")) bands
     else bands.join(
       spark.read.parquet(s"$zoneDir/tombstones")
         .select(col("doc_id")).distinct(),
@@ -238,10 +241,18 @@ object SignatureZone {
   def optimize(spark: SparkSession, zoneDir: String,
       targetRowsPerFile: Long = 4 << 20): (Int, Int) = {
     if (!graft.core.Fs.exists(spark, s"$zoneDir/bands")) return (0, 0)
+    // snapshot the tombstone LISTING before the compaction reads it:
+    // the fold consumes whatever is live at read time, but the clear
+    // afterwards removes ONLY the snapshotted files — a tombstone
+    // appended concurrently by the ingest path (st23's stream) lands in
+    // files outside the snapshot and survives to the next OPTIMIZE,
+    // instead of being silently discarded (which would resurrect the
+    // deleted doc in every later probe)
+    val snap = graft.core.Fs.listFilePaths(spark, s"$zoneDir/tombstones")
     val res = ShardedWriter.compactParquet(spark, s"$zoneDir/bands", col("bh"),
       targetRowsPerFile,
       transform = b => liveBands(spark, zoneDir, b).distinct())
-    graft.core.Fs.deleteRecursively(spark, s"$zoneDir/tombstones")
+    graft.core.Fs.deleteFilesThenDirIfEmpty(spark, s"$zoneDir/tombstones", snap)
     res
   }
 
@@ -266,10 +277,15 @@ object SignatureZone {
       buckets: Int = 8): String = {
     val t = "sigzone_bands_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    // fingerprint BEFORE reading the dir for staging: an append landing
+    // DURING the staging read may or may not make it into the table, so
+    // recording the post-read fingerprint would bless a genuinely stale
+    // table (TOCTOU); with the pre-read fingerprint such an append makes
+    // the staleness guard fail loudly instead — the safe direction
+    val fp = graft.core.Fs.fingerprint(spark, s"$zoneDir/bands")
     spark.read.parquet(s"$zoneDir/bands").distinct()
       .write.format("parquet").bucketBy(buckets, "band", "bh").saveAsTable(t)
-    stagedTables.put(t,
-      (zoneDir, graft.core.Fs.fingerprint(spark, s"$zoneDir/bands"))): Unit
+    stagedTables.put(t, (zoneDir, fp)): Unit
     t
   }
 

@@ -1664,13 +1664,37 @@ object TrainingData {
     * (in the admission timeline: above) everything the zones cover.
     */
   private[graft] def admissionDecisions(spark: SparkSession, docs: DataFrame,
-      delta: DataFrame, md5ZoneDir: String, sigZoneDir: String): DataFrame = {
+      delta: DataFrame, md5ZoneDir: String, sigZoneDir: String,
+      calThresholds: Option[DataFrame] = None): DataFrame = {
+    // The quality gate: raw score > 0 (c7's rule) by default, or — when
+    // a calibration threshold table is supplied (c13) — the per-source
+    // CALIBRATED gate: pass iff score >= the source's history threshold
+    // (x23's systematic-bias fix wired into admission: raw score scales
+    // differ by source, so a global raw threshold over-admits the
+    // generous-scale source; the per-source threshold is REFRESH output
+    // like c10's centroids — computed over history once, persisted,
+    // joined in at admission). A source with no history threshold falls
+    // back to the raw rule; a NULL score always fails (both rules).
+    // The threshold table is #sources rows — broadcast by construction.
+    val scoredCols = calThresholds.fold(Seq(col("text")))(_ =>
+      Seq(col("source"), col("text")))
+    val base = qualityScored(delta, scoredCols: _*)
+    val withPass = calThresholds match {
+      case None => base.withColumn("q_pass",
+        coalesce(col("quality_score") > 0.0, lit(false)))
+      case Some(cal) => base
+        .join(broadcast(cal.select(col("source"), col("thr"))), Seq("source"), "left")
+        .withColumn("q_pass", coalesce(
+          when(col("thr").isNull, col("quality_score") > 0.0)
+            .otherwise(col("quality_score") >= col("thr")),
+          lit(false)))
+    }
     // every fate consumer joins back to the scored delta; persist it
     // (tracked) so the regex feature extraction runs once
     val scored = graft.core.Caches.persistTracked(
-      qualityScored(delta, col("text"))
-        .select(col("doc_id"), col("text"), col("quality_score")))
-    val gated = scored.filter(col("quality_score") > 0.0)
+      withPass.select(col("doc_id"), col("text"), col("quality_score"),
+        col("q_pass")))
+    val gated = scored.filter(col("q_pass"))
     // exact stage: blocking id = min same-md5 id over history-zone
     // keepers and the gated delta (ids are globally unique, so the
     // least() is the global min-keeper rule c2/c7 apply, evaluated
@@ -1706,7 +1730,7 @@ object TrainingData {
       .distinct()
     val comp = Dedup.connectedComponents(vertices, pairs)
       .select(col("doc_id"), col("component"))
-    val pass = coalesce(col("quality_score") > 0.0, lit(false))
+    val pass = col("q_pass")
     scored
       .join(ex.select(col("doc_id"), col("exact_block")), Seq("doc_id"), "left")
       .join(comp, Seq("doc_id"), "left")
@@ -1792,21 +1816,28 @@ object TrainingData {
     */
   def c9AdmissionLoop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    // integer-exact fifths, the incrementalCut discipline: slice k of
+    // 0..4 spans [n*k/5, n*(k+1)/5) — slice 0 is the initial history
+    val bounds = (1 to 4).map(k => n * k / 5L)
+    // Staged = the state a deployment already HAS when the final delta
+    // arrives: rounds 0..2 decided and fed back, zones covering slices
+    // 0..3. The FINAL delta's decision round deliberately stays OUT of
+    // the staging closure and runs live on every call — it is the
+    // per-delta admission serve cost this query prices (staging the
+    // whole loop would leave the timed run measuring only a parquet
+    // read-back of the fates — the round-12 verdict's accounting bug).
     val z = graft.core.StagedLayouts.once(spark, s"c9|$dir") { () =>
       val root = graft.core.Scratch.dir("c9loop")
-      val n = docs.count()
-      // integer-exact fifths, the incrementalCut discipline: slice k of
-      // 0..4 spans [n*k/5, n*(k+1)/5) — slice 0 is the initial history
-      val bounds = (1 to 4).map(k => n * k / 5L)
       val hist0 = docs.filter(col("doc_id") < bounds(0))
       Dedup.md5ZoneAppend(hist0, col("text"), col("doc_id"), s"$root/md5")
       graft.operators.SignatureZone.build(spark,
         hist0.select(col("doc_id"), col("text")), s"$root/sig",
         shingleN, minhashK, minhashBands)
-      for (k <- 0 until 4) {
-        val delta0 = docs.filter(col("doc_id") >= bounds(k))
-        val delta = (if (k < 3) delta0.filter(col("doc_id") < bounds(k + 1))
-          else delta0).select(col("doc_id"), col("text"))
+      for (k <- 0 until 3) {
+        val delta = docs.filter(col("doc_id") >= bounds(k) &&
+            col("doc_id") < bounds(k + 1))
+          .select(col("doc_id"), col("text"))
         // decide FIRST (the write is the action — fates materialize
         // against zones that do not yet contain this delta)...
         admissionDecisions(spark, docs, delta, s"$root/md5", s"$root/sig")
@@ -1821,9 +1852,23 @@ object TrainingData {
       }
       root
     }
+    // the timed part: round 3's decisions against the staged zones —
+    // real per-delta work (delta-sized scoring, two zone probes,
+    // candidate-sized verification, the CC fixpoint), exactly what a
+    // deployment pays per arriving batch. Round 3 is the loop's last,
+    // so no feedback append follows it and re-running is side-effect
+    // free (the query stays re-runnable, the registry contract).
+    val last = admissionDecisions(spark, docs,
+        docs.filter(col("doc_id") >= bounds(3))
+          .select(col("doc_id"), col("text")),
+        s"$z/md5", s"$z/sig")
+      .withColumn("round", lit(3L))
+      .select(col("doc_id"), col("round"), col("fate"), col("dup_of"),
+        col("quality_score"))
     spark.read.parquet(s"$z/fates")
       .select(col("doc_id"), col("round").cast("long").as("round"),
         col("fate"), col("dup_of"), col("quality_score"))
+      .unionByName(last)
       .orderBy(col("doc_id"))
   }
 
@@ -1983,6 +2028,71 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source calibration thresholds over a HISTORY slice — the
+    * REFRESH output c13's admission gate consumes (the c10 centroid
+    * pattern applied to x23's calibration): for each source, the raw
+    * quality score at the LOWER MEDIAN of that source's non-null
+    * history scores, ordered by the same (score asc, doc_id) total
+    * order x23 ranks with. Rank-exact integer arithmetic (row_number
+    * against (n+1) div 2), no interpolation — both engines land on the
+    * identical threshold double, so the >= gate comparison is
+    * cross-engine exact. One exchange on source; output is
+    * #sources rows.
+    */
+  private[graft] def calibrationThresholds(hist: DataFrame): DataFrame = {
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    qualityScored(hist, col("source"))
+      .select(col("source"), col("doc_id"), col("quality_score"))
+      .filter(col("quality_score").isNotNull)
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("source"), col("quality_score").as("thr"))
+  }
+
+  /** Calibrated admission (c13): c8's three-gate admission with the
+    * quality gate running on the PER-SOURCE CALIBRATED threshold
+    * instead of the raw `score > 0` — the systematic-bias fix x23's
+    * scaladoc argues for, executed where it matters: raw score scales
+    * differ by source (a boilerplate-heavy crawl and a curated dump
+    * occupy different bands), so the raw global threshold admits the
+    * generous-scale source's mediocre documents while rejecting the
+    * strict-scale source's good ones. Here each source's history
+    * median IS its bar: a delta doc passes iff its raw score reaches
+    * its own source's historical middle — admission pressure is equal
+    * per source by construction (AdmissionSpec pins the dominance
+    * flip on a two-band synthetic corpus).
+    *
+    * The thresholds are refresh output (computed over the history
+    * slice once, persisted as a #sources-row table — the c10 centroid
+    * posture); at admission they ride a broadcast join into the gate
+    * projection. Everything downstream (exact gate, near-dup gate, CC
+    * resolution) is c8's machinery unchanged — the gate swap is one
+    * optional parameter on [[admissionDecisions]].
+    */
+  def c13AdmissionCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val zones = graft.core.StagedLayouts.once(spark, s"c13zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c13zones")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("source"), col("text"))
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+      graft.operators.SignatureZone.build(spark,
+        hist.select(col("doc_id"), col("text")), s"$z/sig",
+        shingleN, minhashK, minhashBands)
+      // the calibration REFRESH: per-source thresholds persisted once
+      calibrationThresholds(hist).write.parquet(s"$z/cal")
+      z
+    }
+    admissionDecisions(spark, docs,
+      docs.filter(col("doc_id") >= cut)
+        .select(col("doc_id"), col("source"), col("text")),
+      s"$zones/md5", s"$zones/sig",
+      calThresholds = Some(spark.read.parquet(s"$zones/cal")))
+  }
+
   /** Per-source quality calibration (x23): x3's raw score rank-
     * normalized WITHIN each source to a [0,1] percent_rank — the
     * cross-source comparability signal every mixed-corpus curation
@@ -2056,6 +2166,7 @@ object TrainingData {
     "c10_admission_clusters" -> (c10AdmissionClusters _),
     "c11_admission_capped" -> (c11AdmissionCapped _),
     "c12_admission_semantic" -> (c12AdmissionSemantic _),
+    "c13_admission_calibrated" -> (c13AdmissionCalibrated _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
@@ -2326,7 +2437,11 @@ object TrainingData {
   private[queries] def admissionCtes(capped: Boolean,
       histLive: String = "TRUE",
       cutCte: String = "SELECT count(*) * 4 // 5 AS c FROM documents",
-      deltaPred: String = "TRUE"): String = {
+      deltaPred: String = "TRUE",
+      scCols: String = "",
+      preGate: String = "",
+      gatedCte: String =
+        "gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0)"): String = {
     // histLive: SQL boolean over the placeholder {ID} restricting which
     // INGESTED history docs are still LIVE (st23's streamed tombstones
     // — deleted docs' md5 rows and bands are subtracted by the zone
@@ -2335,6 +2450,11 @@ object TrainingData {
     // the admission window (c10 admits the EMBEDDED sub-corpus: cut =
     // 4/5 of the embeddings count, delta capped at the embedded range,
     // so the entry does real assignment work at every SF).
+    // scCols adds passthrough columns to q0/sc (c13 carries source);
+    // preGate injects extra CTEs between sc and the gate (c13's
+    // threshold chain — each entry must end with ",\n"); gatedCte
+    // overrides the quality gate itself (c13 gates on the per-source
+    // calibrated threshold instead of raw score > 0).
     val histLiveHist = histLive.replace("{ID}", "doc_id")
     val histLiveCand = histLive.replace("{ID}", "a.doc_id")
     val src = if (capped) "cgrams" else "grams"
@@ -2346,21 +2466,21 @@ object TrainingData {
          |""".stripMargin
     s"""cut AS MATERIALIZED ($cutCte),
        |q0 AS MATERIALIZED (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, ${scCols}text,
        |    length(text) AS n_chars_len,
        |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
        |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
        |  FROM documents, cut WHERE doc_id >= cut.c AND ($deltaPred)),
-       |sc AS MATERIALIZED (SELECT doc_id, text,
+       |sc AS MATERIALIZED (SELECT doc_id, ${scCols}text,
        |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
        |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
        |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
        |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
        |      AS quality_score
        |  FROM q0),
-       |gated AS MATERIALIZED (SELECT doc_id, text FROM sc WHERE quality_score > 0),
+       |$preGate$gatedCte,
        |hist AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS hk
        |  FROM documents, cut WHERE doc_id < cut.c AND ($histLiveHist) GROUP BY 1),
        |dmin AS MATERIALIZED (SELECT md5(text) AS m, min(doc_id) AS dk
@@ -3008,6 +3128,58 @@ object TrainingData {
       s"""WITH RECURSIVE
          |${admissionCtes(capped = true)}
          |$admissionFateSelect""".stripMargin,
+    // c13: the same admission replay with the quality gate swapped to
+    // the per-source CALIBRATED threshold — history docs score through
+    // the identical formula, each source's lower-median score becomes
+    // its bar (row_number vs (n+1)//2, rank-exact), and the gate passes
+    // score >= thr (raw > 0 fallback for threshold-less sources).
+    "c13_admission_calibrated" ->
+      s"""WITH RECURSIVE
+         |${admissionCtes(capped = false,
+            scCols = "source, ",
+            preGate = s"""hq AS MATERIALIZED (
+              |  SELECT doc_id, source,
+              |    length(text) AS n_chars_len,
+              |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+              |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+              |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+              |  FROM documents, cut WHERE doc_id < cut.c),
+              |hsc AS MATERIALIZED (SELECT doc_id, source,
+              |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+              |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+              |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+              |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+              |      AS quality_score
+              |  FROM hq),
+              |calth AS MATERIALIZED (SELECT source, quality_score AS thr FROM (
+              |    SELECT source, quality_score,
+              |      row_number() OVER (PARTITION BY source
+              |        ORDER BY quality_score, doc_id) AS rn,
+              |      count(*) OVER (PARTITION BY source) AS n
+              |    FROM hsc WHERE quality_score IS NOT NULL) t
+              |  WHERE rn = (n + 1) // 2),
+              |qp AS MATERIALIZED (SELECT sc.doc_id,
+              |    coalesce(CASE WHEN t.thr IS NULL THEN sc.quality_score > 0
+              |                  ELSE sc.quality_score >= t.thr END, FALSE) AS q_pass
+              |  FROM sc LEFT JOIN calth t ON t.source = sc.source),
+              |""".stripMargin,
+            gatedCte = "gated AS MATERIALIZED (SELECT sc.doc_id, sc.text " +
+              "FROM sc JOIN qp USING (doc_id) WHERE qp.q_pass)")}
+         |SELECT sc.doc_id,
+         |  CASE WHEN NOT qp.q_pass THEN 'low_quality'
+         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN NOT qp.q_pass THEN NULL
+         |       WHEN ex.eb < sc.doc_id THEN ex.eb
+         |       WHEN comp.component < sc.doc_id THEN comp.component
+         |       ELSE NULL END AS dup_of,
+         |  sc.quality_score
+         |FROM sc JOIN qp ON qp.doc_id = sc.doc_id
+         |LEFT JOIN ex ON ex.doc_id = sc.doc_id
+         |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
     // c10: c8's admission chain feeds the kept docs, the integer Lloyd
     // chain over HISTORY embeddings feeds the final-round centroids
     // (c2 = the centroids the round-3 assignment uses), and kept docs

@@ -95,4 +95,57 @@ class AdmissionSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(1) == "exact_dup" &&
       got(0).getLong(2) == 0L, got.mkString(";"))
   }
+
+  test("calibrated gate (c13) equalizes admission across disjoint-score-band sources") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // Two sources with DISJOINT raw-score bands — the systematic-bias
+    // trap x23's scaladoc describes: every "gen" doc outscores every
+    // "strict" doc, so the raw global threshold admits all of gen and
+    // cuts through the middle of strict. Texts interleave stopwords
+    // with per-doc-unique fillers so no 3-shingle is ever shared (the
+    // dedup gates stay silent and the test isolates the quality gate);
+    // "strict" docs carry a long digit run (digit-ratio penalty) and
+    // exceed the 400-char bonus band.
+    val stops = Seq("the", "and", "of", "to", "in", "is")
+    // digit-free fillers (ids letter-encoded): a digit inside a filler
+    // token would feed the digit-ratio penalty and skew scores BETWEEN
+    // history and delta (their ids differ in digit count)
+    def enc(n: Long): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    def mk(src: String, id: Long, nStop: Int, digits: Int): (Long, String, String) = {
+      val toks = (0 until 12).flatMap(i =>
+        (if (i < nStop) Seq(stops(i % 6)) else Nil) :+ s"x$src${enc(id)}v${enc(i.toLong)}")
+      (id, src, toks.mkString(" ") + (if (digits > 0) " " + "7" * digits else ""))
+    }
+    val hist = ((0 until 10).map(i => mk("gen", i.toLong, 3 + i, 0)) ++
+      (0 until 10).map(i => mk("strict", 10L + i, i, 300)))
+      .toDF("doc_id", "source", "text")
+    val delta = ((0 until 10).map(i => mk("gen", 100L + i, 3 + i, 0)) ++
+      (0 until 10).map(i => mk("strict", 110L + i, i, 300)))
+      .toDF("doc_id", "source", "text")
+    val docs = hist.union(delta).select(col("doc_id"), col("text"))
+    val z = tmpDir("calib")
+    graft.operators.Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+    graft.operators.SignatureZone.build(spark,
+      hist.select(col("doc_id"), col("text")), s"$z/sig",
+      TrainingData.shingleN, TrainingData.minhashK, TrainingData.minhashBands)
+    def admittedPerSource(cal: Option[DataFrame]): Map[String, Long] =
+      TrainingData.admissionDecisions(spark, docs, delta,
+          s"$z/md5", s"$z/sig", cal)
+        .filter(col("fate") === "kept")
+        .join(delta.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = admittedPerSource(None)
+    val cal = admittedPerSource(
+      Some(TrainingData.calibrationThresholds(hist)))
+    graft.core.Caches.release()
+    // raw global threshold: the generous-scale source dominates
+    assert(raw.getOrElse("gen", 0L) == 10L, s"raw=$raw")
+    assert(raw.getOrElse("strict", 0L) <= 6L, s"raw=$raw")
+    // calibrated: each source clears its OWN history median — admission
+    // pressure equalizes (6 = docs at/above the lower median of 10)
+    assert(cal.get("gen") == cal.get("strict"), s"cal=$cal")
+    assert(cal.getOrElse("gen", 0L) == 6L, s"cal=$cal")
+  }
 }
