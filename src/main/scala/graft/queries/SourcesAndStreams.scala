@@ -312,6 +312,15 @@ object SourcesAndStreams {
   def st23StreamZoneTombstones(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamZoneTombstones(spark, dir)
 
+  /** The admission loop run FROM the checkpointed stream with all three
+    * gates and tombstone traffic: per micro-batch — apply deletes,
+    * decide through quality/exact/near-dup/semantic, EMIT fates, feed
+    * the batch's zone rows back — see
+    * [[graft.streaming.EventStream.streamSemanticAdmissionLoop]].
+    */
+  def st25StreamAdmissionLoop(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamSemanticAdmissionLoop(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -823,6 +832,7 @@ object SourcesAndStreams {
     "st22_stream_df_zone" -> (st22StreamDfZone _),
     "st23_stream_zone_tombstones" -> (st23StreamZoneTombstones _),
     "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
+    "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -984,6 +994,10 @@ object SourcesAndStreams {
     // st24 answers c12's three-gate semantic admission from the three
     // streamed zones — the maintenance path must be invisible.
     "st24_stream_semantic_zones" -> TrainingData.oracles("c12_admission_semantic"),
+    // st25: the streamed admission LOOP — c9's slice-tagged replay over
+    // the embedded window's quarters, extended with the per-slice SRP
+    // semantic gate and the slice-2 tombstone subtraction.
+    "st25_stream_admission_loop" -> TrainingData.st25OracleSql,
     // st23: c8's admission replay with the STREAM-DELETED history docs
     // (doc_id % 17 = 3) subtracted from the hist keeper set and the
     // candidate a-side — exactly what the tombstoned zones serve.

@@ -2523,6 +2523,136 @@ object TrainingData {
 
   private lazy val c8AdmissionCtes = admissionCtes(capped = false)
 
+  /** st25's oracle: the streamed three-gate admission LOOP replayed in
+    * one statement — c9's slice-tagged construction (a doc's history =
+    * earlier slices, exact peers = gated docs of its own slice, CC per
+    * slice) over the EMBEDDED window's quarters, extended with c12's
+    * semantic gate PER SLICE (kept survivors SRP-bucket against
+    * earlier-ingested vectors and each other, exact-cosine verified,
+    * second per-slice closure) and st23's tombstone subtraction (every
+    * `doc_id % 17 = 3` ingested before the slice-2 boundary is deleted
+    * WITH batch 2, so it leaves the history of deciders s >= 2 — the
+    * exact-keeper set, the band candidate a-side, and the SRP candidate
+    * a-side alike). A matching hash proves the streamed loop's zone
+    * state after round k answers exactly like a batch computation over
+    * the live corpus through k, for all three modality gates at once.
+    */
+  private[queries] lazy val st25OracleSql =
+    s"""WITH RECURSIVE
+       |ee AS MATERIALIZED (SELECT count(*) AS e FROM embeddings),
+       |sl AS MATERIALIZED (SELECT doc_id, text,
+       |    (CASE WHEN doc_id >= e * 1 // 4 THEN 1 ELSE 0 END
+       |     + CASE WHEN doc_id >= e * 2 // 4 THEN 1 ELSE 0 END
+       |     + CASE WHEN doc_id >= e * 3 // 4 THEN 1 ELSE 0 END) AS s
+       |  FROM documents, ee WHERE doc_id < e),
+       |q0 AS MATERIALIZED (
+       |  SELECT doc_id, text, s,
+       |    length(text) AS n_chars_len,
+       |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+       |  FROM sl WHERE s >= 1),
+       |sc AS MATERIALIZED (SELECT doc_id, text, s,
+       |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+       |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+       |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+       |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+       |      AS quality_score
+       |  FROM q0),
+       |gated AS MATERIALIZED (SELECT doc_id, s, text FROM sc WHERE quality_score > 0),
+       |allm AS MATERIALIZED (SELECT doc_id, s, md5(text) AS m FROM sl),
+       |hist AS MATERIALIZED (SELECT g.doc_id, min(a.doc_id) AS hk
+       |  FROM gated g JOIN allm a ON a.m = md5(g.text) AND a.s < g.s, ee
+       |  WHERE NOT (a.doc_id % 17 = 3 AND a.doc_id < ee.e * 2 // 4 AND g.s >= 2)
+       |  GROUP BY 1),
+       |dmin AS MATERIALIZED (SELECT s, md5(text) AS m, min(doc_id) AS dk
+       |  FROM gated GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT g.doc_id, g.s,
+       |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
+       |  FROM gated g JOIN dmin d ON d.s = g.s AND d.m = md5(g.text)
+       |  LEFT JOIN hist h ON h.doc_id = g.doc_id),
+       |sv AS MATERIALIZED (SELECT doc_id, s FROM ex WHERE eb = doc_id),
+       |$grams3M,
+       |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+       |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+       |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
+       |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+       |  FROM mh GROUP BY doc_id, s // 4),
+       |cand AS MATERIALIZED (SELECT DISTINCT v.s AS s, a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+       |  JOIN sv v ON v.doc_id = b2.doc_id
+       |  JOIN sl sa ON sa.doc_id = a.doc_id
+       |  LEFT JOIN sv va ON va.doc_id = a.doc_id AND va.s = v.s, ee
+       |  WHERE (sa.s < v.s
+       |      AND NOT (a.doc_id % 17 = 3 AND a.doc_id < ee.e * 2 // 4 AND v.s >= 2))
+       |    OR va.doc_id IS NOT NULL),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |common AS MATERIALIZED (SELECT c.s, c.doc_a, c.doc_b, count(*) AS nc
+       |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+       |  GROUP BY 1, 2, 3),
+       |vp AS MATERIALIZED (SELECT s, doc_a, doc_b FROM common
+       |  JOIN sizes sa2 ON sa2.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(nc AS DOUBLE) / (sa2.n + sb.n - nc) >= $jaccardThreshold),
+       |verts AS MATERIALIZED (SELECT s, doc_id FROM sv
+       |  UNION SELECT s, doc_a FROM vp UNION SELECT s, doc_b FROM vp),
+       |edges AS MATERIALIZED (SELECT s, doc_a AS src, doc_b AS dst FROM vp
+       |  UNION ALL SELECT s, doc_b, doc_a FROM vp),
+       |closure(s, a, b) AS (
+       |  SELECT s, doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT c.s, c.a, e.dst FROM closure c JOIN edges e ON e.s = c.s AND e.src = c.b),
+       |comp AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component FROM closure GROUP BY 1, 2),
+       |keptd AS MATERIALIZED (SELECT v.doc_id, v.s FROM sv v
+       |  JOIN sc ON sc.doc_id = v.doc_id
+       |  JOIN comp c ON c.doc_id = v.doc_id AND c.s = v.s
+       |  WHERE sc.quality_score > 0 AND c.component = v.doc_id),
+       |$srpBucketCtes,
+       |scand AS MATERIALIZED (SELECT DISTINCT k.s AS s, a.vec_id AS va, b.vec_id AS vb
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN keptd k ON k.doc_id = b.vec_id
+       |  JOIN sl sa3 ON sa3.doc_id = a.vec_id
+       |  LEFT JOIN keptd ka ON ka.doc_id = a.vec_id AND ka.s = k.s, ee
+       |  WHERE (sa3.s < k.s
+       |      AND NOT (a.vec_id % 17 = 3 AND a.vec_id < ee.e * 2 // 4 AND k.s >= 2))
+       |    OR ka.doc_id IS NOT NULL),
+       |sn AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |svp AS MATERIALIZED (SELECT s, va, vb FROM scand
+       |  JOIN sn a ON a.vec_id = va JOIN sn b ON b.vec_id = vb
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
+       |sverts AS MATERIALIZED (SELECT s, doc_id FROM keptd
+       |  UNION SELECT s, va FROM svp UNION SELECT s, vb FROM svp),
+       |sedges AS MATERIALIZED (SELECT s, va AS src, vb AS dst FROM svp
+       |  UNION ALL SELECT s, vb, va FROM svp),
+       |closure2(s, a, b) AS (
+       |  SELECT s, doc_id, doc_id FROM sverts
+       |  UNION
+       |  SELECT c.s, c.a, e.dst FROM closure2 c JOIN sedges e ON e.s = c.s AND e.src = c.b),
+       |comp2 AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component
+       |  FROM closure2 GROUP BY 1, 2)
+       |SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS round,
+       |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+       |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+       |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+       |       WHEN comp2.component < sc.doc_id THEN 'semantic_dup'
+       |       ELSE 'kept' END AS fate,
+       |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+       |       WHEN ex.eb < sc.doc_id THEN ex.eb
+       |       WHEN comp.component < sc.doc_id THEN comp.component
+       |       WHEN comp2.component < sc.doc_id THEN comp2.component
+       |       ELSE NULL END AS dup_of,
+       |  sc.quality_score
+       |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+       |LEFT JOIN comp ON comp.doc_id = sc.doc_id AND comp.s = sc.s
+       |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id AND comp2.s = sc.s
+       |ORDER BY sc.doc_id""".stripMargin
+
   /** The admission fate SELECT shared by c8 (uncapped), c11 (capped
     * near-dup universe), and st23 (tombstoned history) — only the CTE
     * chain differs.

@@ -1791,6 +1791,159 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st25: the ADMISSION LOOP run FROM the checkpointed stream with all
+    * three gates and tombstone traffic — the composition every prior
+    * entry builds toward, and the production deployment shape: st21/
+    * st24 maintain zones from a stream but decide once post-stream; c9
+    * loops decisions with zone feedback but batch-side and text-gates-
+    * only; st23 streams deletes but decides once. Here EVERY micro-
+    * batch is one closed admission round:
+    *
+    *   1. apply the batch's tombstones to all THREE zones (deletes are
+    *      corpus state as of this batch — its own decisions must not
+    *      see dead history; st23's CDC discipline);
+    *   2. DECIDE the batch's inserts through the three gates
+    *      ([[graft.queries.TrainingData.semanticAdmissionDecisions]] —
+    *      quality, exact-md5, signature near-dup, ANN semantic) against
+    *      the zones AS LEFT BY PRIOR BATCHES, and EMIT the fates as the
+    *      batch's output (written before any feedback — c9's
+    *      write-then-append ordering inside `foreachBatch`: a lazy plan
+    *      must never let a delta doc's own md5 block itself);
+    *   3. feed back: append the batch's md5 rows, band rows, and SRP
+    *      bucket assignments (zone coverage = ingested history
+    *      regardless of fate, the c8/st21 rule).
+    *
+    * Batch 0 is the history backfill (ingest only — nothing decided,
+    * c9's slice-0 rule); batches 1..3 are successive deltas over the
+    * EMBEDDED window quarters (c10/c12's window rule); batch 2
+    * additionally carries st23's delete traffic (every earlier-ingested
+    * `doc_id % 17 = 3`). After the stream all three zones are
+    * OPTIMIZEd (tombstones and the per-batch file storm fold — the
+    * retention GC in the streamed posture, result-invisible because
+    * the fates are already on disk and later probes read the folded
+    * zones identically).
+    *
+    * The oracle replays all three rounds in ONE statement by slice-
+    * tagging every stage (c9's construction) extended with the
+    * slice-tagged SRP chain (c12's semantic gate per slice) and the
+    * tombstone subtraction (st23's live rule, active from slice 2 on)
+    * — the green hash proves the streamed loop's zone state after
+    * round k answers exactly like a batch computation over
+    * live-corpus-through-k, fate for fate, for ALL THREE modality
+    * gates at once. `SemanticLoopSpec` additionally pins the looped
+    * zone STATE itself ≡ batch-built over the live ingested corpus.
+    *
+    * Scale shape: per batch, everything c12 pins (delta-sized scoring
+    * and bucket projection, zone-keyed shuffled-hash probes with the
+    * delta building, candidate-sized verification, edge-touched CC);
+    * deletes are tombstone appends (deletes-sized); the loop is
+    * checkpointed micro-batch orchestration — per-batch cost grows
+    * with the delta and its collisions against history, never with
+    * history size.
+    */
+  def streamSemanticAdmissionLoop(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("st25")
+    try runSemanticAdmissionLoop(spark, dir, root)
+    finally reap(root)
+  }
+
+  /** st25's core against a caller-owned root (the spec inspects the
+    * zones the loop leaves behind; the public entry reaps them).
+    */
+  private[graft] def runSemanticAdmissionLoop(spark: SparkSession,
+      dir: String, root: java.nio.file.Path): DataFrame = {
+    import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val (src, schema) = stagedCdcEmbeddedLoopSource(spark, dir)
+    val sigZone = root.resolve("sig").toString
+    val md5Zone = root.resolve("md5").toString
+    val annZone = root.resolve("ann").toString
+    val fates = root.resolve("fates").toString
+    val docs = graft.core.Tables(spark, dir, "documents")
+    SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
+    AnnIndexZone.create(spark, annZone, expectedCount = embTotal): Unit
+    runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+      val ins = batch.filter(col("op") === "I")
+        .select(col("doc_id"), col("text"))
+      val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // tombstones FIRST: this batch's decisions see the corpus as of
+      // this batch — dead history must not block re-admission
+      SignatureZone.delete(dels, sigZone)
+      Dedup.md5ZoneDelete(dels, md5Zone)
+      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
+      // decide (batch 0 is history backfill — nothing to decide) and
+      // MATERIALIZE the fates before any feedback append; overwrite
+      // makes a checkpoint-replayed batch rewrite identical fates
+      if (id > 0)
+        graft.queries.TrainingData.semanticAdmissionDecisions(
+            spark, docs, emb, ins, md5Zone, sigZone, annZone)
+          .write.mode("overwrite").parquet(s"$fates/round=$id")
+      // ...then feed back: the batch joins ingested history
+      SignatureZone.append(ins, sigZone)
+      Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
+      AnnIndexZone.appendIndex(
+        emb.join(ins.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), annZone)
+      // one round's working set, not K (c9's release discipline)
+      graft.core.Caches.release()
+    }
+    // retention GC in the streamed posture: fold tombstones + the
+    // per-batch file storm for good (result-invisible: fates are on
+    // disk; the folded zones answer later probes identically)
+    val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+    require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
+    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+    val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+    require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
+    spark.read.parquet(fates)
+      .select(col("doc_id"), col("round").cast("long").as("round"),
+        col("fate"), col("dup_of"), col("quality_score"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+  }
+
+  /** st25's staged source: the EMBEDDED window in QUARTERS under an
+    * `op` column — batch a = slice 0 (history backfill), batches b..d =
+    * slices 1..3 (successive deltas); batch c additionally carries the
+    * delete traffic (every earlier-ingested `doc_id % 17 = 3`, i.e.
+    * ids below the slice-2 boundary — rows with op = 'D' and empty
+    * text). File mtimes are pinned ascending so the file source's
+    * timestamp ordering can never tie-break four fast copies out of
+    * slice order.
+    */
+  private def stagedCdcEmbeddedLoopSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st25src:$dir", sourceFingerprint(
+          s"$dir/documents.parquet", s"$dir/embeddings.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val e = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val bounds = (1 to 3).map(k => e * k / 4L)
+      val d = scratchDir("st25src")
+      val a = docs.filter(col("doc_id") < bounds(0)).withColumn("op", lit("I"))
+      val b = docs.filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1))
+        .withColumn("op", lit("I"))
+      val c = docs.filter(col("doc_id") >= bounds(1) && col("doc_id") < bounds(2))
+        .withColumn("op", lit("I"))
+        .unionAll(docs
+          .filter(col("doc_id") < bounds(1) && col("doc_id") % 17 === 3)
+          .select(col("doc_id"), lit("").as("text"), lit("D").as("op")))
+      val dd = docs.filter(col("doc_id") >= bounds(2) && col("doc_id") < e)
+        .withColumn("op", lit("I"))
+      Seq(("a", a), ("b", b), ("c", c), ("d", dd)).zipWithIndex
+        .foreach { case ((n, df), i) =>
+          stageSingleFile(df, d, s"$n.parquet")
+          Files.setLastModifiedTime(d.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + i * 1000L)): Unit
+        }
+      (d.toString, a.schema)
+    }
+
   /** st23's staged source: history in the overlap-replay shape with an
     * `op` column — batch a inserts the first half, batch b re-inserts
     * ALL of history and deletes every `doc_id % 17 = 3` (rows with
