@@ -321,6 +321,14 @@ object SourcesAndStreams {
   def st25StreamAdmissionLoop(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamSemanticAdmissionLoop(spark, dir)
 
+  /** The Hamming-signature zone maintained from a checkpointed stream
+    * (each batch decodes only ITS OWN audio rows), then d26's
+    * incremental audio dedup answered from it — see
+    * [[graft.streaming.EventStream.streamHammingZone]].
+    */
+  def st26StreamHammingZone(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamHammingZone(spark, dir)
+
   /** The lakehouse maintenance weekend as ONE pipeline: checkpointed
     * ingest with per-batch zone-map stats, OPTIMIZE z-order rewrite,
     * the stats rebuild the rewrite forces, and the 2-D box answered
@@ -833,6 +841,7 @@ object SourcesAndStreams {
     "st23_stream_zone_tombstones" -> (st23StreamZoneTombstones _),
     "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
+    "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -998,6 +1007,9 @@ object SourcesAndStreams {
     // the embedded window's quarters, extended with the per-slice SRP
     // semantic gate and the slice-2 tombstone subtraction.
     "st25_stream_admission_loop" -> TrainingData.st25OracleSql,
+    // st26 answers d26's incremental audio dedup from the streamed
+    // Hamming zone — the maintenance path must be invisible.
+    "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),
     // st23: c8's admission replay with the STREAM-DELETED history docs
     // (doc_id % 17 = 3) subtracted from the hist keeper set and the
     // candidate a-side — exactly what the tombstoned zones serve.

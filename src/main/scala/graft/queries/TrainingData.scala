@@ -34,6 +34,12 @@ object TrainingData {
     * Spark paths and the SQL replay cannot desync.
     */
   private[graft] val semanticCosThreshold = 0.4
+  // d26/st26's pigeonhole geometry over m6's 60-bit audio fingerprint:
+  // 6 chunks of 10 bits (1024 buckets per chunk — selective blocking)
+  // with exact recall for hamming <= 5 (chunks > maxHamming)
+  private[graft] val audioHammingBits = 60
+  private[graft] val audioHammingMax = 5
+  private[graft] val audioHammingChunks = 6
 
   /** Stop-shingle cap derived from the corpus size (max(50, ceil(√n)) —
     * rationale at [[Dedup.deriveDocFreqCap]]): 50 at sf0.01 (n=500), 71
@@ -1166,6 +1172,51 @@ object TrainingData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The audio corpus as (doc_id, sig) fingerprint rows — m6's decode,
+    * decode-failures dropped (no signature to index). Shared by d26 and
+    * its streamed twin (st26) so the two derivations cannot drift.
+    */
+  private[graft] def audioSigs(docs: DataFrame): DataFrame =
+    Multimodal.fingerprintAudio(Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text"))))
+      .toDF()
+      .filter(col("decode_ok"))
+      .select(col("doc_id"), col("ahash").as("sig"))
+
+  /** Incremental MULTIMODAL dedup (d26): the third modality family's
+    * incremental posture — text has d22 (band zone), vectors d23 (SRP
+    * index); audio/image Hamming signatures ran batch-only (d16, which
+    * re-derives every signature per session — for media that means
+    * RE-DECODING all of history per delta). Here history audio
+    * fingerprints (m6's integer-exact 60-bit energy hash) live in a
+    * persisted [[graft.operators.HammingZone]] (pigeonhole chunk rows
+    * as the band analog, the full signature stored alongside), and a
+    * delta dedups against all of history by probing stored chunks —
+    * history bytes are never decoded again. Audio, not image, because
+    * m6's hash is integer-exact end-to-end: the oracle rebuilds every
+    * signature bit-for-bit and replays the all-pairs filter (pigeonhole
+    * recall is exact, so zone-served pairs must equal it — d11's
+    * oracle argument, now against a persisted zone).
+    *
+    * Scale shape: delta decode + chunking is narrow per-partition work;
+    * the probe is one (c, v)-keyed shuffled hash join (delta builds);
+    * verification reads stored signatures for candidates only.
+    */
+  def d26IncrementalAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val zones = graft.core.StagedLayouts.once(spark, s"d26zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d26zone")
+      graft.operators.HammingZone.build(spark,
+        audioSigs(docs.filter(col("doc_id") < cut)), s"$z/ham",
+        audioHammingBits, audioHammingMax, audioHammingChunks)
+      z
+    }
+    graft.operators.HammingZone.incrementalPairs(
+        audioSigs(docs.filter(col("doc_id") >= cut)), s"$zones/ham")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Frame sampling over decoded video rows (bounded lateral explode). */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -2170,6 +2221,7 @@ object TrainingData {
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
+    "d26_incremental_audio_dedup" -> (d26IncrementalAudioDedup _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
@@ -3115,6 +3167,36 @@ object TrainingData {
          |       WHEN doc_id % 3 = 1 THEN doc_id % 34 <> 0
          |       ELSE TRUE END AS decode_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // d26: m6's fingerprint chain rebuilt bit-for-bit over decodable
+    // audio docs, then the ALL-PAIRS hamming filter restricted to pairs
+    // with a delta member (doc_a < doc_b and slices are id-ordered, so
+    // doc_b >= cut is exactly "at least one delta member") — pigeonhole
+    // recall is exact, so the zone-probed result must equal it.
+    "d26_incremental_audio_dedup" ->
+      s"""WITH a AS (SELECT doc_id, 256 + doc_id % 1000 AS n FROM documents
+         |           WHERE doc_id % 3 = 1),
+         |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+         |v AS (
+         |  SELECT a.doc_id, (r.i * 61) // a.n AS seg,
+         |         ((r.i * 2654435761 + a.doc_id) % 65536) - 32768 AS s
+         |  FROM a, range(1256) r(i) WHERE r.i < a.n),
+         |e AS (SELECT doc_id, seg, CAST(sum(s * s) AS BIGINT) AS energy
+         |      FROM v GROUP BY 1, 2),
+         |d AS (SELECT doc_id, seg, energy,
+         |        lag(energy) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+         |      FROM e),
+         |h AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN energy > prev THEN (CAST(1 AS BIGINT) << (seg - 1))
+         |                 ELSE 0 END) AS BIGINT) AS ahash
+         |      FROM d WHERE seg >= 1 GROUP BY doc_id),
+         |h2 AS (SELECT h.doc_id, h.ahash FROM h JOIN a USING (doc_id)
+         |       WHERE a.doc_id % 34 <> 0)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         |FROM h2 x JOIN h2 y ON x.doc_id < y.doc_id, cut
+         |WHERE y.doc_id >= cut.c
+         |  AND bit_count(xor(x.ahash, y.ahash)) <= $audioHammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "m6_audio_fingerprint" ->
       """WITH a AS (SELECT doc_id, 256 + doc_id % 1000 AS n FROM documents
         |           WHERE doc_id % 3 = 1),

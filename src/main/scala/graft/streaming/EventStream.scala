@@ -1905,6 +1905,41 @@ object EventStream {
       .localCheckpoint()
   }
 
+  /** st26: the Hamming-signature zone ([[graft.operators.HammingZone]])
+    * maintained FROM THE INGEST STREAM — each micro-batch DECODES ITS
+    * OWN audio rows (m6's fingerprint, delta-only — the whole point of
+    * the zone is that history media is never decoded twice) and appends
+    * their signature chunk rows. The overlap-replay source (st20's
+    * shape) proves structural idempotency: replayed chunk rows and a
+    * zone that already holds the delta are both absorbed by the read
+    * side's DISTINCTed candidates and signature lookup. After the
+    * stream the zone is OPTIMIZEd (replays and the per-batch file storm
+    * genuinely fold) and the query answers d26's incremental audio
+    * dedup from the streamed zone alone, hash-matching d26's oracle.
+    */
+  def streamHammingZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HammingZone
+    import graft.queries.TrainingData.{audioHammingBits, audioHammingChunks, audioHammingMax}
+    val (src, schema, cut) = stagedDocumentSource(spark, dir)
+    val root = scratchDir("st26")
+    val zone = root.resolve("ham").toString
+    try {
+      HammingZone.create(spark, zone,
+        audioHammingBits, audioHammingMax, audioHammingChunks)
+      runForeachBatchStream(spark, src, schema) { batch =>
+        HammingZone.append(graft.queries.TrainingData.audioSigs(batch), zone)
+      }
+      val (fb, fa) = HammingZone.optimize(spark, zone)
+      require(fa <= fb && fa > 0, s"hamming optimize produced $fa of $fb files")
+      val docs = graft.core.Tables(spark, dir, "documents")
+      HammingZone.incrementalPairs(
+          graft.queries.TrainingData.audioSigs(
+            docs.filter(col("doc_id") >= cut)), zone)
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
   /** st25's staged source: the EMBEDDED window in QUARTERS under an
     * `op` column — batch a = slice 0 (history backfill), batches b..d =
     * slices 1..3 (successive deltas); batch c additionally carries the
