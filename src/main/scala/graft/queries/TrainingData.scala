@@ -1941,16 +1941,14 @@ object TrainingData {
     *
     * Output: (doc_id, cid, dist) for every admitted (kept) delta doc.
     */
-  def c10AdmissionClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val emb = Tables(spark, dir, "embeddings")
-    // the admission window is the EMBEDDED sub-corpus (cut = 4/5 of the
-    // embeddings count, delta capped at the embedded range): embeddings
-    // cover a PREFIX of the documents at some SFs, and a documents-based
-    // cut would leave the delta vector-less — a vacuous assignment
-    val embTotal = emb.count()
-    val cut = embTotal * 4L / 5L
-    val zones = graft.core.StagedLayouts.once(spark, s"c10zones|$dir") { () =>
+  /** c10/c14's shared staged layout: the two text zones over the
+    * embedded history slice plus the persisted centroid REFRESH output
+    * (Lloyd fit over history vectors, saved once as a k-row zone) —
+    * one staging serves both queries (same key, identical build).
+    */
+  private def admissionClusterZones(spark: SparkSession, dir: String,
+      docs: DataFrame, emb: DataFrame, cut: Long): String =
+    graft.core.StagedLayouts.once(spark, s"c10zones|$dir") { () =>
       val z = graft.core.Scratch.dir("c10zones")
       val hist = docs.filter(col("doc_id") < cut)
         .select(col("doc_id"), col("text"))
@@ -1963,6 +1961,17 @@ object TrainingData {
         Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), s"$z/cents")
       z
     }
+
+  def c10AdmissionClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    // the admission window is the EMBEDDED sub-corpus (cut = 4/5 of the
+    // embeddings count, delta capped at the embedded range): embeddings
+    // cover a PREFIX of the documents at some SFs, and a documents-based
+    // cut would leave the delta vector-less — a vacuous assignment
+    val embTotal = emb.count()
+    val cut = embTotal * 4L / 5L
+    val zones = admissionClusterZones(spark, dir, docs, emb, cut)
     val kept = admissionDecisions(spark, docs,
         docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
         s"$zones/md5", s"$zones/sig")
@@ -1972,6 +1981,83 @@ object TrainingData {
         emb.join(kept, Seq("vec_id"), "left_semi"),
         Similarity.loadCentroids(spark, s"$zones/cents"))
       .select(col("vec_id").as("doc_id"), col("cid"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Admission-to-training-shard tail (c14): the piece between
+    * per-delta admission (c8-c13 end at fates) and the training
+    * dataloader — c7's tail (cluster-quota'd token-budget mix →
+    * sequence packing) executed INCREMENTALLY per delta, so each
+    * arriving batch lands as a packed shard without a corpus-level
+    * pipeline re-run:
+    *
+    *   1. admit the delta (c8's gates against the persisted zones);
+    *   2. assign the kept docs to the PERSISTED centroids of the last
+    *      refresh (c10's literal-centroid codegen'd projection — zero
+    *      shuffle, no Lloyd re-run);
+    *   3. per-CLUSTER token-budget cut over the delta's kept mass
+    *      (c7's greedy rule applied to the batch: budget = kept tokens
+    *      / 2 / #non-empty clusters — each batch fills its own quota,
+    *      so no topic monopolizes the shard);
+    *   4. sequence-pack the selection (x12's two-level √N prefix sum)
+    *      into 2048-token training rows — the delta's shard.
+    *
+    * The oracle replays every stage per document: the admission chain
+    * (recursive closure included), the integer Lloyd chain over history
+    * embeddings, the quantized argmin assignment, the per-cluster
+    * budget window, and the global prefix sum — c7's per-document
+    * contract scoped to the delta.
+    *
+    * Scale shape: admission as c8 pins it; assignment is a narrow
+    * projection; ONE cid-keyed exchange for the budget window; ONE
+    * doc_id range exchange + √N-bounded windows for packing
+    * (PlanShapeSpec pins the exchange-key set).
+    */
+  def c14AdmissionShard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val cut = embTotal * 4L / 5L
+    val zones = admissionClusterZones(spark, dir, docs, emb, cut)
+    // localCheckpoint, NOT a cache: the kept set feeds four consumers
+    // (assignment semi-join, the token join, the budget scalar, the
+    // final join-back), and a cached plan still NESTS the full
+    // admission subtree in every one — the per-action formatted-explain
+    // pass goes super-linear on that replication (the c12/c9 lineage-
+    // truncation rule; the frame is kept-delta-sized, so the
+    // checkpoint is bounded)
+    val kept = admissionDecisions(spark, docs,
+        docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+        s"$zones/md5", s"$zones/sig")
+      .filter(col("fate") === "kept")
+      .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint()
+    val cids = Similarity.assignToCentroids(
+        emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        Similarity.loadCentroids(spark, s"$zones/cents"))
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    // the clustered kept-delta table feeds the budget scalar, the
+    // quota window, and the final join-back — persist once (c7's
+    // stage-boundary discipline; it is kept-delta-sized)
+    val cl = graft.core.Caches.persistTracked(kept
+      .join(docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+      .join(cids, "doc_id"))
+    val scalars = cl.agg(sum(col("n_tokens")), countDistinct(col("cid"))).head()
+    // an all-rejected delta degrades to an empty shard, not an NPE
+    val budget =
+      if (scalars.isNullAt(0) || scalars.getLong(1) == 0L) -1L
+      else scalars.getLong(0) / (2L * scalars.getLong(1))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mixed = graft.core.Caches.persistTracked(
+      cl.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= budget))
+    sequencePack(docs.join(mixed.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .join(mixed.select(col("doc_id"), col("cid"), col("quality_score")), "doc_id")
+      .select(col("doc_id"), col("cid"), col("quality_score"), col("n_tokens"),
+        col("start_off"), col("seq_start"), col("seq_end"))
       .orderBy(col("doc_id"))
   }
 
@@ -2218,6 +2304,7 @@ object TrainingData {
     "c11_admission_capped" -> (c11AdmissionCapped _),
     "c12_admission_semantic" -> (c12AdmissionSemantic _),
     "c13_admission_calibrated" -> (c13AdmissionCalibrated _),
+    "c14_admission_shard" -> (c14AdmissionShard _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
@@ -3419,6 +3506,55 @@ object TrainingData {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dist, cid) AS rn FROM dd)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // c14: the admission chain (c10's window) feeds the kept docs, the
+    // Lloyd chain over history embeddings the centroids, the quantized
+    // argmin the assignment; then c7's tail verbatim — per-cluster
+    // greedy budget cut over the DELTA's kept token mass, global
+    // doc_id-ordered prefix sum into 2048-token sequences.
+    "c14_admission_shard" ->
+      s"""WITH RECURSIVE
+         |${admissionCtes(capped = false,
+            cutCte = "SELECT (SELECT count(*) FROM embeddings) * 4 // 5 AS c",
+            deltaPred = "doc_id < (SELECT count(*) FROM embeddings)")},
+         |keptd AS MATERIALIZED (SELECT sc.doc_id FROM sc
+         |  JOIN ex ON ex.doc_id = sc.doc_id
+         |  JOIN comp ON comp.doc_id = sc.doc_id
+         |  WHERE sc.quality_score > 0
+         |    AND ex.eb = sc.doc_id AND comp.component = sc.doc_id),
+         |hemb AS MATERIALIZED (SELECT e.vec_id, e.embedding
+         |  FROM embeddings e, cut WHERE e.vec_id < cut.c),
+         |${kmeansCtes("hemb")},
+         |kqd AS MATERIALIZED (SELECT e.vec_id,
+         |    CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS dim,
+         |    CAST(floor((CAST(unnest(e.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+         |  FROM embeddings e JOIN keptd k ON k.doc_id = e.vec_id),
+         |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM kqd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid),
+         |asg AS MATERIALIZED (SELECT vec_id AS doc_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM dd)
+         |  WHERE rn = 1),
+         |cl AS MATERIALIZED (SELECT k.doc_id, asg.cid, sc.quality_score,
+         |    q0.n_tokens
+         |  FROM keptd k JOIN asg USING (doc_id)
+         |  JOIN sc ON sc.doc_id = k.doc_id
+         |  JOIN q0 ON q0.doc_id = k.doc_id),
+         |bud AS MATERIALIZED (SELECT CAST(sum(n_tokens) // (2 * count(DISTINCT cid)) AS BIGINT)
+         |  AS budget FROM cl),
+         |r AS MATERIALIZED (SELECT cl.*, sum(n_tokens) OVER (PARTITION BY cid
+         |    ORDER BY quality_score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cl),
+         |sel AS MATERIALIZED (SELECT r.doc_id, r.cid, r.quality_score, r.n_tokens
+         |  FROM r, bud WHERE r.cum <= bud.budget),
+         |o AS MATERIALIZED (SELECT doc_id, cid, quality_score, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM sel)
+         |SELECT doc_id, cid, quality_score, n_tokens, start_off,
+         |  start_off // 2048 AS seq_start,
+         |  CASE WHEN n_tokens = 0 THEN start_off // 2048
+         |       ELSE (start_off + n_tokens - 1) // 2048 END AS seq_end
+         |FROM o ORDER BY doc_id""".stripMargin,
     // c12: c8's admission chain (over the embedded window, c10's cut)
     // extended with the semantic gate — kept survivors SRP-bucket
     // against history vectors AND each other (the zone's cross pairs

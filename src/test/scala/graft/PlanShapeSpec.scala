@@ -673,6 +673,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c13: the calibrated gate adds NO exchange over c8's admission set") {
+    val p = plan("c13_admission_calibrated")
+    val keys = exchangeKeyTuples(p)
+    val admission = Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5")
+    // the calibration threshold table is #sources rows riding a
+    // BROADCAST join into the gate projection — it must never appear
+    // as an exchange key (a source-keyed shuffle of the delta to meet
+    // its own thresholds would be the wrong shape at any scale)
+    assert(keys.subsetOf(admission),
+      s"unexpected exchange keys beyond admission: ${keys -- admission}\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c14: the shard tail shuffles only on cid (quota window) and bkt (packing)") {
+    val p = plan("c14_admission_shard")
+    // the admission chain runs EAGERLY behind a localCheckpoint (the
+    // lineage-truncation rule), so the served plan is exactly the tail:
+    // kept-id handoffs (doc_id / vec_id hash joins — kept sets scale
+    // with the delta, AQE upgrades small runs to broadcast), ONE
+    // cid-keyed exchange for the per-cluster budget window, and x12's
+    // bkt-keyed packing windows. Any other key means the tail shuffled
+    // the corpus on something its boundary doesn't require.
+    val keys = exchangeKeyTuples(p)
+    assert(keys.subsetOf(Set("doc_id", "vec_id", "cid", "bkt")),
+      s"unexpected exchange keys in the shard tail: $keys\n$p")
+    assert(keys("cid") && keys("bkt"), s"missing tail boundary keys: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d26: the hamming-zone probe is a shuffled hash join with the delta building") {
+    val p = plan("d26_incremental_audio_dedup")
+    val keys = exchangeKeyTuples(p)
+    // chunk-keyed probe (c, v), oriented-pair DISTINCT (doc_a, doc_b),
+    // candidate-id and signature handoffs (doc_id / doc_a / doc_b) —
+    // nothing else may shuffle (signatures are per-partition decode
+    // output; verification is candidate-sized)
+    assert(keys.subsetOf(Set("c,v", "doc_a,doc_b", "doc_id", "doc_a", "doc_b")),
+      s"unexpected exchange keys: $keys\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d25: the zone probe consumes the bucketed band scan with zero zone-side Exchange") {
     val p = plan("d25_incremental_dedup_bucketed")
     // the probe must read the DISK-BUCKETED bands table...
