@@ -227,6 +227,44 @@ object TrainingData {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d22 served from a zone whose geometry was OUTGROWN and REBUILT
+    * (d27): the original k=16/4-band zone is re-indexed side-by-side to
+    * k=32/8 bands (the capacity move every zone's creation guard
+    * points at — banding selectivity re-planned for a grown corpus;
+    * rows-per-band stays 4 so the probe shape is unchanged) and cut
+    * over with [[graft.operators.ZoneRebuild]]'s fingerprint-guarded
+    * rename publish. The delta then dedups against the REBUILT zone.
+    * The oracle is d22's chain under the NEW geometry (32 minhashes,
+    * 8 bands) — proving the cutover zone answers exactly like a zone
+    * freshly built with that geometry, i.e. the swap lost and invented
+    * nothing (ZoneRebuildSpec pins the crash/guard mechanics; this
+    * entry puts the end-to-end answer under the driver's hash).
+    */
+  def d27RebuiltZoneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = incrementalCut(docs)
+    val zones = graft.core.StagedLayouts.once(spark, s"d27zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d27zone")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      // the zone as originally capacity-planned...
+      graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
+        shingleN, minhashK, minhashBands)
+      // ...outgrown: rebuild side-by-side at twice the signature width
+      // and atomically cut over (the old zone serves until the swap)
+      graft.operators.ZoneRebuild.rebuild(spark, s"$z/sig") { staging =>
+        graft.operators.SignatureZone.build(spark, hist, staging,
+          shingleN, minhashK * 2, minhashBands * 2)
+      }
+      z
+    }
+    graft.operators.SignatureZone.incrementalPairs(
+        docs, docs.filter(col("doc_id") >= cut)
+          .select(col("doc_id"), col("text")),
+        s"$zones/sig", jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** d22 served from the OPTIMIZEd, DISK-BUCKETED band zone (d25): the
     * zone is first compacted ([[graft.operators.SignatureZone.optimize]]
     * — replay duplicates folded, per-batch file storm collapsed into
@@ -2309,6 +2347,7 @@ object TrainingData {
     "d24_incremental_dedup_capped" -> (d24IncrementalDedupCapped _),
     "d25_incremental_dedup_bucketed" -> (d25IncrementalDedupBucketed _),
     "d26_incremental_audio_dedup" -> (d26IncrementalAudioDedup _),
+    "d27_rebuilt_zone_dedup" -> (d27RebuiltZoneDedup _),
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
@@ -3381,6 +3420,11 @@ object TrainingData {
     // d25 serves d22's query from the OPTIMIZEd bucketed band zone —
     // the storage layout must be invisible in the result
     "d25_incremental_dedup_bucketed" -> d22OracleSql,
+    // d27 serves d22's query from a zone REBUILT to k=32 / 8 bands —
+    // the oracle is d22's chain under the NEW geometry (rows-per-band
+    // stays 4, so only the hash count changes): the cut-over zone must
+    // answer exactly like a fresh new-geometry build
+    "d27_rebuilt_zone_dedup" -> d22OracleSql.replace("range(16)", "range(32)"),
     // d24: d22 with the stop-shingle cap restored — the drop list is
     // the HISTORY-df hot set (the df zone's coverage at probe time:
     // deltas append their own df only after decisions, the c9
