@@ -2203,6 +2203,77 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML extraction (x24): the ENGINE side of the reference's scrape
+    * sources — S11's Selenium/BS4 pipelines
+    * (ideascale/scrape_applicant_name.py:63-88,
+    * project_catalyst/scrape_team_names.py:54-78) fetch pages with a
+    * browser (driver-side by nature, out of engine scope per SURVEY
+    * §2.1) and then run a pure EXTRACTION dataflow over the HTML:
+    * the applicant-name two-case fallback chain (a single-author
+    * anchor's `title` attribute or text; else the member-dropdown's
+    * first link's `<strong>` text or stripped link text; else None)
+    * and the team-section name list. THAT dataflow is what this
+    * operator re-expresses — regex extraction chains as codegen'd
+    * projections over an HTML column, the shape a 100 TB crawl
+    * corpus actually needs (per-partition, no shuffle except the
+    * output sort).
+    *
+    * The HTML itself is an injected deterministic fixture (x13's PII
+    * discipline: both engines synthesize the identical page from
+    * doc_id/source alone), cycling through all four extraction cases —
+    * single author with/without title attribute, dropdown with/without
+    * strong, and pages with no author markup at all (the None path).
+    */
+  def x24ScrapeExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val applicant = concat(lit("applicant_"), pmod(id, lit(97)))
+    val lead = concat(lit("lead_"), pmod(id, lit(89)))
+    val authorBlock =
+      when(pmod(id, lit(11)) === 7, lit(""))
+        .when(pmod(id, lit(2)) === 0, concat(
+          lit("<a class=\"author-name text-truncate\""),
+          when(pmod(id, lit(5)) === 0,
+            concat(lit(" title=\"Title "), applicant, lit("\"")))
+            .otherwise(lit("")),
+          lit(">"), applicant, lit("</a>")))
+        .otherwise(concat(
+          lit("<div class=\"member-list-dropdown\"><a href=\"#\">"),
+          when(pmod(id, lit(3)) === 0,
+            concat(lit("<strong>"), lead, lit("</strong> (lead)")))
+            .otherwise(lead),
+          lit("</a><a href=\"#\">member_x</a></div>")))
+    val teamBlock = concat(lit("<section id=\"team\">"),
+      array_join(transform(sequence(lit(0), pmod(id, lit(3))),
+        i => concat(lit("<h4>team_"), pmod(id, lit(83)), lit("_"), i,
+          lit("</h4>"))), ""),
+      lit("</section>"))
+    val page = Tables(spark, dir, "documents").select(id, col("source"),
+      concat(lit("<html><head><title>"), col("source"), lit(" proposal "),
+        id, lit("</title></head><body>"), authorBlock, teamBlock,
+        lit("</body></html>")).as("html"))
+    val h = col("html")
+    // the find_author_title fallback chain, case for case
+    val t1 = regexp_extract(h,
+      "<a class=\"author-name text-truncate\" title=\"([^\"]*)\"", 1)
+    val t2 = regexp_extract(h,
+      "<a class=\"author-name text-truncate\"[^>]*>([^<]*)</a>", 1)
+    val firstA = regexp_extract(h,
+      "<div class=\"member-list-dropdown\"><a[^>]*>(.*?)</a>", 1)
+    val strongTxt = regexp_extract(firstA, "<strong>([^<]*)</strong>", 1)
+    val strippedA = trim(regexp_replace(firstA, "<[^>]+>", ""))
+    val teamSec = regexp_extract(h, "<section id=\"team\">(.*?)</section>", 1)
+    val team = regexp_extract_all(teamSec, lit("<h4>([^<]*)</h4>"), lit(1))
+    page.select(id,
+        regexp_extract(h, "<title>([^<]*)</title>", 1).as("page_title"),
+        when(t1 =!= "", t1).when(t2 =!= "", t2)
+          .when(strongTxt =!= "", strongTxt)
+          .when(strippedA =!= "", strippedA)
+          .otherwise(lit(null).cast("string")).as("applicant"),
+        size(team).cast("long").as("n_team"),
+        array_join(team, ",").as("team_csv"))
+      .orderBy(id)
+  }
+
   /** Per-source calibration thresholds over a HISTORY slice — the
     * REFRESH output c13's admission gate consumes (the c10 centroid
     * pattern applied to x23's calibration): for each source, the raw
@@ -2352,6 +2423,7 @@ object TrainingData {
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
+    "x24_scrape_extract" -> (x24ScrapeExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -3770,6 +3842,55 @@ object TrainingData {
     "d19_ann_index_zone" -> lshTopKOracleSql(10),
     // d21: the OPTIMIZEd zone must also be invisible in the result.
     "d21_ann_index_optimized" -> lshTopKOracleSql(10),
+    // x24: both engines synthesize the identical HTML fixture from
+    // doc_id/source, then replay the BS4 fallback chain as regexes —
+    // DuckDB's regexp_extract returns NULL where Spark returns '', so
+    // every chain test coalesces.
+    "x24_scrape_extract" ->
+      """WITH pg AS (SELECT doc_id,
+        |    '<html><head><title>' || source || ' proposal ' || CAST(doc_id AS VARCHAR)
+        |      || '</title></head><body>'
+        |      || CASE WHEN doc_id % 11 = 7 THEN ''
+        |           WHEN doc_id % 2 = 0 THEN
+        |             '<a class="author-name text-truncate"'
+        |               || CASE WHEN doc_id % 5 = 0
+        |                    THEN ' title="Title applicant_' || CAST(doc_id % 97 AS VARCHAR) || '"'
+        |                    ELSE '' END
+        |               || '>applicant_' || CAST(doc_id % 97 AS VARCHAR) || '</a>'
+        |           ELSE '<div class="member-list-dropdown"><a href="#">'
+        |               || CASE WHEN doc_id % 3 = 0
+        |                    THEN '<strong>lead_' || CAST(doc_id % 89 AS VARCHAR) || '</strong> (lead)'
+        |                    ELSE 'lead_' || CAST(doc_id % 89 AS VARCHAR) END
+        |               || '</a><a href="#">member_x</a></div>' END
+        |      || '<section id="team">'
+        |      || (SELECT string_agg('<h4>team_' || CAST(doc_id % 83 AS VARCHAR) || '_'
+        |                              || CAST(i AS VARCHAR) || '</h4>', '' ORDER BY i)
+        |          FROM range(3) r(i) WHERE i <= doc_id % 3)
+        |      || '</section></body></html>' AS html
+        |  FROM documents),
+        |ex AS (SELECT doc_id, html,
+        |    coalesce(regexp_extract(html,
+        |      '<a class="author-name text-truncate" title="([^"]*)"', 1), '') AS t1,
+        |    coalesce(regexp_extract(html,
+        |      '<a class="author-name text-truncate"[^>]*>([^<]*)</a>', 1), '') AS t2,
+        |    coalesce(regexp_extract(html,
+        |      '<div class="member-list-dropdown"><a[^>]*>(.*?)</a>', 1), '') AS fa,
+        |    coalesce(regexp_extract(html, '<section id="team">(.*?)</section>', 1), '') AS ts
+        |  FROM pg),
+        |ex2 AS (SELECT doc_id, html, t1, t2, ts,
+        |    coalesce(regexp_extract(fa, '<strong>([^<]*)</strong>', 1), '') AS st,
+        |    trim(regexp_replace(fa, '<[^>]+>', '', 'g')) AS sa
+        |  FROM ex),
+        |tm AS (SELECT doc_id, regexp_extract_all(ts, '<h4>([^<]*)</h4>', 1) AS team FROM ex2)
+        |SELECT e.doc_id,
+        |  regexp_extract(e.html, '<title>([^<]*)</title>', 1) AS page_title,
+        |  CASE WHEN e.t1 <> '' THEN e.t1 WHEN e.t2 <> '' THEN e.t2
+        |       WHEN e.st <> '' THEN e.st WHEN e.sa <> '' THEN e.sa
+        |       ELSE NULL END AS applicant,
+        |  CAST(len(t.team) AS BIGINT) AS n_team,
+        |  array_to_string(t.team, ',') AS team_csv
+        |FROM ex2 e JOIN tm t USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
     "x23_quality_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source,
