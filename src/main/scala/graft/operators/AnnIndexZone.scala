@@ -209,7 +209,12 @@ object AnnIndexZone {
     * one delta member, `cos_sim >= minCos`.
     */
   def incrementalPairs(corpus: DataFrame, delta: DataFrame, zoneDir: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, maxZoneVecId: Option[Long] = None): DataFrame = {
+    // maxZoneVecId: the admission layer's self-exclusion threshold (the
+    // SignatureZone.incrementalPairs contract): zone rows at or above
+    // the delta's minimum id are replayed copies of the current batch
+    // and must not generate candidates against it — a pushed-down
+    // scalar filter on the index scan, no-op on a clean zone.
     val spark = corpus.sparkSession
     Similarity.ensure(spark)
     val (planes, dims) = meta(spark, zoneDir)
@@ -224,7 +229,8 @@ object AnnIndexZone {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val cand = graft.core.Caches.persistTracked(
       (if (graft.core.Fs.exists(spark, s"$zoneDir/index")) {
-        val zi = liveIndex(spark, zoneDir, spark.read.parquet(s"$zoneDir/index"))
+        val zi0 = liveIndex(spark, zoneDir, spark.read.parquet(s"$zoneDir/index"))
+        val zi = maxZoneVecId.fold(zi0)(m => zi0.filter(col("vec_id") < m))
         // both sides scale with data — shuffled hash, delta builds
         val cross = zi.as("z")
           .join(db.as("d").hint("shuffle_hash"),

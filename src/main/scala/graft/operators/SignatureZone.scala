@@ -344,7 +344,18 @@ object SignatureZone {
     * at least one delta member, `jaccard >= minJaccard`.
     */
   def incrementalPairs(corpus: DataFrame, delta: DataFrame, zoneDir: String,
-      minJaccard: Double, bandsTable: Option[String] = None): DataFrame = {
+      minJaccard: Double, bandsTable: Option[String] = None,
+      maxZoneDocId: Option[Long] = None): DataFrame = {
+    // maxZoneDocId: the admission layer's SELF-EXCLUSION threshold —
+    // under the admission-timeline contract the zone covers strictly
+    // smaller ids than the delta, so any stored band row at or above
+    // the delta's minimum id is a replayed copy of the CURRENT batch
+    // (foreachBatch is at-least-once: a crash after the feedback
+    // appends replays the decide) and must not generate candidates
+    // against it. A pushed-down scalar filter on the zone scan — zero
+    // new exchanges, and a no-op on a clean (history-only) zone.
+    // Direct probes (d22/st20's full-corpus postures) pass None and
+    // keep their zone-may-hold-the-delta invariance semantics.
     val spark = corpus.sparkSession
     val (n, k, b) = meta(spark, zoneDir)
     val drop = dropList(spark, zoneDir)
@@ -367,9 +378,10 @@ object SignatureZone {
         // Tombstones are subtracted LIVE on either path (the tombstone
         // dir is outside the bands fingerprint, so deletes never
         // invalidate a staged table — they are honored on read)
-        val zb = liveBands(spark, zoneDir,
+        val zb0 = liveBands(spark, zoneDir,
           bandsTable.fold(spark.read.parquet(s"$zoneDir/bands"))(
             freshBandsTable(spark, zoneDir, _)))
+        val zb = maxZoneDocId.fold(zb0)(m => zb0.filter(col("doc_id") < m))
         // both sides scale with data (the zone with history, the delta
         // with the batch): shuffled hash join, never a broadcast. The
         // hint sits on the DELTA side so IT builds (per-batch-sized

@@ -1784,6 +1784,18 @@ object TrainingData {
       withPass.select(col("doc_id"), col("text"), col("quality_score"),
         col("q_pass")))
     val gated = scored.filter(col("q_pass"))
+    // CRASH-REPLAY self-exclusion: foreachBatch is at-least-once, so a
+    // replayed batch can re-decide AFTER its own feedback appends
+    // landed — zone rows for THIS batch's ids would then act as
+    // same-batch blockers (a non-kept doc's md5/band/bucket rows
+    // changing a peer's fate — SemanticLoopSpec pins the divergence
+    // this closes). The admission-timeline contract (zones cover
+    // strictly smaller ids than the delta) makes the fix a SCALAR
+    // threshold: ignore zone rows at or above the delta's minimum id.
+    // One 1-row agg (the watermark altitude), pushed into the zone
+    // scans — zero new exchanges, a no-op on clean zones.
+    val minRow = delta.agg(min(col("doc_id"))).head()
+    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     // exact stage: blocking id = min same-md5 id over history-zone
     // keepers and the gated delta (ids are globally unique, so the
     // least() is the global min-keeper rule c2/c7 apply, evaluated
@@ -1798,6 +1810,7 @@ object TrainingData {
       // broadcast; the min-agg collapses per-doc, replayed, and
       // batch-split rows alike into the min live keeper
       .join(Dedup.md5ZoneRead(spark, md5ZoneDir)
+        .filter(col("keeper_id") < selfCut)
         .groupBy(col("text_md5")).agg(min(col("keeper_id")).as("hist_keeper"))
         .hint("shuffle_hash"), Seq("text_md5"), "left")
       .withColumn("exact_block",
@@ -1811,7 +1824,7 @@ object TrainingData {
     val pairs = graft.core.Caches.persistTracked(
       graft.operators.SignatureZone.incrementalPairs(
           docs, survivors.select(col("doc_id"), col("text")),
-          sigZoneDir, jaccardThreshold)
+          sigZoneDir, jaccardThreshold, maxZoneDocId = Some(selfCut))
         .select(col("doc_a"), col("doc_b")))
     val vertices = survivors.select(col("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))
@@ -2180,11 +2193,19 @@ object TrainingData {
       .localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
+    // the same crash-replay self-exclusion threshold as the text gates
+    // (admissionDecisions' scaladoc): the vector gate's probe delta is
+    // the KEPT subset, so without the cut a replayed batch's NON-kept
+    // vectors — already in the index from the pre-crash appends — would
+    // become same-batch semantic blockers the clean timeline never saw
+    val minRow = delta.agg(min(col("doc_id"))).head()
+    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     // the vector gate probes the zone with KEPT survivors only
     val pairs = graft.core.Caches.persistTracked(
       graft.operators.AnnIndexZone.incrementalPairs(
           emb, emb.join(keptIds, Seq("vec_id"), "left_semi"),
-          annZoneDir, minCos = semanticCosThreshold)
+          annZoneDir, minCos = semanticCosThreshold,
+          maxZoneVecId = Some(selfCut))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     val vertices = keptIds.select(col("vec_id").as("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))

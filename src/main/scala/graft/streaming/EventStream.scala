@@ -1840,6 +1840,21 @@ object EventStream {
     * checkpointed micro-batch orchestration — per-batch cost grows
     * with the delta and its collisions against history, never with
     * history size.
+    *
+    * CRASH-REPLAY soundness: `foreachBatch` is at-least-once, so a
+    * crash after the feedback appends but before the checkpoint commit
+    * replays the batch — which then RE-DECIDES against zones already
+    * holding its own rows. Posture-invariance alone does NOT cover
+    * this (the probes' delta is the gated/kept SUBSET, so the batch's
+    * non-kept rows in the zones would become same-batch blockers the
+    * clean timeline never saw); the decide step therefore SELF-EXCLUDES
+    * by the admission-timeline contract — zone rows at or above the
+    * delta's minimum id are ignored (a pushed-down scalar filter in
+    * `admissionDecisions`/`semanticAdmissionDecisions`). With that,
+    * tombstone re-appends no-ops to the anti-join readers, and the
+    * fate write mode=overwrite, a replayed batch rewrites byte-
+    * identical fates — `SemanticLoopSpec` pins the decide step under
+    * exactly that replay.
     */
   def streamSemanticAdmissionLoop(spark: SparkSession, dir: String): DataFrame = {
     val root = scratchDir("st25")

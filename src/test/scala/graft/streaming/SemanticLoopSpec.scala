@@ -76,4 +76,50 @@ class SemanticLoopSpec extends SparkSpec {
     graft.core.Caches.release()
     graft.core.Fs.deleteRecursively(spark, root.toString)
   }
+
+  test("a replayed batch decides identically AFTER its own feedback appends (crash-replay soundness)") {
+    import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    // foreachBatch is at-least-once: a crash AFTER the zone appends but
+    // BEFORE the checkpoint commit replays the batch, which then
+    // re-decides against zones that already contain its OWN rows. The
+    // decision must not change: the exact stage's least(hist, delta_min)
+    // absorbs the delta's own md5 rows (zone ∪ delta minimum ==
+    // least of the two minima), and both probe operators are
+    // posture-invariant to a zone already holding the delta
+    // (SignatureZoneSpec/HammingZoneSpec posture 2). This pins the
+    // whole three-gate DECIDE step under that replay.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val e = emb.count()
+    val cut = e / 2
+    val hist = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut && col("doc_id") < e)
+    val z = tmpDir("replaydecide")
+    SignatureZone.create(spark, s"$z/sig", shingleN, minhashK, minhashBands)
+    SignatureZone.append(hist, s"$z/sig")
+    Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+    AnnIndexZone.create(spark, s"$z/ann", expectedCount = e): Unit
+    AnnIndexZone.appendIndex(
+      emb.join(hist.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      s"$z/ann")
+    def decide() = graft.queries.TrainingData
+      .semanticAdmissionDecisions(spark, docs, emb, delta,
+        s"$z/md5", s"$z/sig", s"$z/ann")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val clean = decide()
+    assert(clean.exists(_._2 != "kept"), "degenerate fixture: nothing gated")
+    // the crash-point state: the batch's own feedback already landed
+    SignatureZone.append(delta, s"$z/sig")
+    Dedup.md5ZoneAppend(delta, col("text"), col("doc_id"), s"$z/md5")
+    AnnIndexZone.appendIndex(
+      emb.join(delta.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      s"$z/ann")
+    assert(decide() == clean,
+      "replayed decide diverged after the batch's own zone appends")
+    graft.core.Caches.release()
+  }
 }
