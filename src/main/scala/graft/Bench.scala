@@ -72,11 +72,18 @@ object Bench {
     // Per-family subtotals so the headline total stops conflating new
     // surface with common-query drift (round-12 verdict #3): multi-zone
     // checkpointed streams (st*) and admission/curation compositions
-    // (c*) carry structural per-entry floors (micro-batch machinery, CC
-    // fixpoint rounds) that batch SQL entries do not.
+    // carry structural per-entry floors (micro-batch machinery, CC
+    // fixpoint rounds) that batch SQL entries do not. Compositions are
+    // tagged EXPLICITLY in the registries (SparkEntry.families) — the
+    // warehouse/lakehouse c* pipelines (c1/c3/c4) are batch work a
+    // prefix match would mis-file; an untagged c* key is refused here
+    // so a new composition must declare its family.
     def family(n: String): String =
       if (n.startsWith("st")) "streaming"
-      else if (n.startsWith("c")) "composition" else "batch"
+      else if (n.startsWith("c")) SparkEntry.families.getOrElse(n,
+        sys.error(s"bench family for composition-prefixed query $n is " +
+          "not declared — tag it in its registry's `families` map"))
+      else "batch"
     val fams = results.groupBy(r => family(r._1))
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
       .map { case (f, v) => s"\"" + f + "\":" + v }.mkString("{", ",", "}")

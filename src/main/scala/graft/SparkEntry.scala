@@ -29,4 +29,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TrainingData.oracles ++ SourcesAndStreams.oracles
+
+  /** Explicit bench-family tags (declared beside the registries) for
+    * entries whose family a name prefix would mis-classify — Bench
+    * refuses an untagged `c*` key so new compositions must declare
+    * theirs.
+    */
+  def families: Map[String, String] =
+    TrainingData.families ++ SourcesAndStreams.families
 }

@@ -80,13 +80,29 @@ object Fs {
     * meantime (a concurrent append's files make the dir-delete fail,
     * which is the point: those files must survive). Missing files are
     * ignored (idempotent re-runs after a crash between publish and
-    * clear).
+    * clear). Now-empty SUBDIRECTORIES are swept first, deepest-first:
+    * a writer can leave an empty scaffold the file snapshot never saw
+    * (an aborted job's `_temporary` tree, a committed job's emptied
+    * one), and without the sweep the non-recursive dir delete would
+    * fail on it forever. Every sweep delete is itself non-recursive,
+    * so a subdirectory holding a concurrent writer's files survives
+    * exactly like the top-level dir does.
     */
   def deleteFilesThenDirIfEmpty(spark: SparkSession, dir: String,
       files: Seq[String]): Unit = {
     val (fs, p) = resolve(spark, dir)
     files.foreach(f => fs.delete(new Path(f), false): Unit)
-    if (fs.exists(p)) { try fs.delete(p, false) catch { case _: java.io.IOException => false }; () }
+    if (!fs.exists(p)) return
+    def subdirs(d: Path): Seq[Path] = {
+      val st = try fs.listStatus(d) catch {
+        case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+      st.toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap(c => subdirs(c) :+ c)
+    }
+    (subdirs(p) :+ p).foreach { d =>
+      try fs.delete(d, false) catch { case _: java.io.IOException => false }; ()
+    }
   }
 
   /** True when `dir` holds at least one parquet part file (recursive).

@@ -55,6 +55,7 @@ object AnnIndexZone {
       minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
     val planes = Similarity.derivePlanes(
       expectedCount, targetBucketSize, minPlanes, maxPlanes)
+    val hasMeta = graft.core.Fs.exists(spark, s"$zoneDir/meta")
     if (graft.core.Fs.exists(spark, s"$zoneDir/index")) {
       // index rows with NO meta is a corrupt zone (e.g. a crash inside
       // meta's delete-then-write overwrite): creating over it would
@@ -72,9 +73,16 @@ object AnnIndexZone {
           s"planes=$planes dims=$dims would orphan every stored bucket " +
           "— drop the zone and re-index to change its geometry")
     }
-    import spark.implicits._
-    Seq((planes, dims)).toDF("n_planes", "dims")
-      .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
+    // Same-geometry re-create is a NO-OP: overwriting meta
+    // (delete-then-write) opens a crash window leaving a populated
+    // zone rows-without-meta — exactly the corrupt state the guard
+    // above refuses. Write only when meta is absent (or an EMPTY zone
+    // changes geometry).
+    if (!(hasMeta && meta(spark, zoneDir) == ((planes, dims)))) {
+      import spark.implicits._
+      Seq((planes, dims)).toDF("n_planes", "dims")
+        .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
+    }
     planes
   }
 

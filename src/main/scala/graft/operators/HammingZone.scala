@@ -58,8 +58,9 @@ object HammingZone {
       bits: Int = 60, maxHamming: Int = 5, chunks: Int = 6): Unit = {
     require(chunks > maxHamming, "pigeonhole guarantee needs chunks > maxHamming")
     require(bits % chunks == 0, s"chunks must divide the $bits-bit signature")
+    val hasMeta = graft.core.Fs.exists(spark, s"$zoneDir/meta")
     if (graft.core.Fs.exists(spark, s"$zoneDir/rows")) {
-      require(graft.core.Fs.exists(spark, s"$zoneDir/meta"),
+      require(hasMeta,
         s"HammingZone $zoneDir holds rows but no meta (corrupt zone — " +
           "likely an interrupted meta write); drop the zone and re-index")
       val (ob, oh, oc) = meta(spark, zoneDir)
@@ -69,6 +70,13 @@ object HammingZone {
           s"max_hamming=$maxHamming chunks=$chunks would orphan every " +
           "stored chunk — drop the zone and re-index to change geometry")
     }
+    // Same-geometry re-create of an existing zone is a NO-OP, not a
+    // rewrite: overwriting meta (delete-then-write) opens a crash
+    // window in which a populated zone holds rows-without-meta — the
+    // exact state the corrupt-zone guard above then refuses as
+    // unrecoverable. Write meta only when it is absent (or when an
+    // EMPTY zone legitimately changes geometry).
+    if (hasMeta && meta(spark, zoneDir) == ((bits, maxHamming, chunks))) return
     import spark.implicits._
     Seq((bits, maxHamming, chunks)).toDF("bits", "max_hamming", "chunks")
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")

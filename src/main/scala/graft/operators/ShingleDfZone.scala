@@ -52,8 +52,9 @@ object ShingleDfZone {
     * refused (mixed-width counts are meaningless — rebuild instead).
     */
   def create(spark: SparkSession, zoneDir: String, shingleN: Int): Unit = {
+    val hasMeta = graft.core.Fs.exists(spark, s"$zoneDir/meta")
     if (graft.core.Fs.exists(spark, s"$zoneDir/rows")) {
-      require(graft.core.Fs.exists(spark, s"$zoneDir/meta"),
+      require(hasMeta,
         s"ShingleDfZone $zoneDir holds rows but no meta (corrupt zone); " +
           "drop and re-index rather than re-stamping a width")
       val n = shingleWidth(spark, zoneDir)
@@ -62,6 +63,9 @@ object ShingleDfZone {
           s"with shingle_n=$shingleN would mix incompatible counts — " +
           "drop the zone and re-index to change its width")
     }
+    // Same-width re-create is a NO-OP — overwriting meta opens the
+    // rows-without-meta crash window the corrupt-zone guard refuses.
+    if (hasMeta && shingleWidth(spark, zoneDir) == shingleN) return
     import spark.implicits._
     Seq(shingleN).toDF("shingle_n")
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")

@@ -61,6 +61,7 @@ object SignatureZone {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       capDf: Option[(Long, String)] = None): Unit = {
     require(k % bands == 0, "k must divide into equal bands")
+    val hasMeta = graft.core.Fs.exists(spark, s"$zoneDir/meta")
     if (graft.core.Fs.exists(spark, s"$zoneDir/bands")) {
       // band rows with NO meta is a corrupt zone (a crash inside meta's
       // delete-then-write overwrite): stamping fresh geometry onto rows
@@ -88,6 +89,13 @@ object SignatureZone {
           s"$capDf would orphan every stored band — drop the zone and " +
           "re-index to change its cap or its df zone")
     }
+    // Same-geometry re-create is a NO-OP: overwriting meta
+    // (delete-then-write) opens a crash window leaving a populated
+    // zone rows-without-meta — the state the corrupt-zone guard above
+    // refuses as unrecoverable. Write only when meta is absent (or an
+    // EMPTY zone changes geometry).
+    if (hasMeta && meta(spark, zoneDir) == ((shingleN, k, bands))
+        && capInfo(spark, zoneDir) == capDf) return
     import spark.implicits._
     Seq((shingleN, k, bands,
         capDf.map(_._1), capDf.map(_._2)))

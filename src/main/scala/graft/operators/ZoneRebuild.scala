@@ -26,12 +26,17 @@ import org.apache.spark.sql.SparkSession
   *   - crash AFTER the second rename: the new zone is live; the
   *     leftover retired copy is dropped by the next run.
   *
-  * The FINGERPRINT GUARD closes the lost-append window: the guard dirs'
-  * listing fingerprints are taken BEFORE the build reads the corpus,
-  * and the swap requires them unchanged — an append or delete landing
-  * mid-rebuild fails the cutover loudly (re-run the rebuild over the
-  * grown corpus) instead of being silently dropped by the swap.
-  * Single-writer per zone is still assumed for the swap itself, as
+  * The FINGERPRINT GUARD narrows the lost-append window to the swap
+  * itself: the guard dirs' listing fingerprints are taken BEFORE the
+  * build reads the corpus, re-checked after the build, and re-checked
+  * once more IMMEDIATELY before the retire rename (after the retired-
+  * dir cleanup, the last slow step) — an append or delete landing
+  * anywhere in the build or pre-publish window fails the cutover
+  * loudly (re-run the rebuild over the grown corpus) instead of being
+  * silently dropped by the swap. What remains uncovered is exactly the
+  * two renames: an append racing THOSE is torn no matter what a
+  * listing check says, so single-writer per zone is REQUIRED for the
+  * publish instant (quiesce appends across [[publishVerified]]), as
   * with every rename publish; a transactional table format replaces
   * the protocol with a metadata commit at deployment.
   */
@@ -56,13 +61,30 @@ object ZoneRebuild {
     val fpBefore = guards.map(graft.core.Fs.fingerprint(spark, _))
     graft.core.Fs.deleteRecursively(spark, staging)
     build(staging)
-    val fpAfter = guards.map(graft.core.Fs.fingerprint(spark, _))
-    require(fpAfter == fpBefore,
+    require(guards.map(graft.core.Fs.fingerprint(spark, _)) == fpBefore,
       s"zone $zoneDir changed while the rebuild was reading it (an " +
         "append or delete landed mid-build); cutting over would lose " +
         "it — re-run the rebuild over the current corpus")
+    publishVerified(spark, zoneDir, staging, guards, fpBefore, retireDirs)
+  }
+
+  /** The cutover tail: clean up any stale retired copy (the slow step),
+    * re-verify the guard fingerprints IMMEDIATELY before the retire
+    * rename — so the unguarded window is the two renames alone, not
+    * build-to-swap — and publish. Factored out of [[rebuild]] so the
+    * last-instant guard is testable in isolation: a failed final check
+    * leaves the OLD zone serving and the staging copy intact.
+    */
+  private[graft] def publishVerified(spark: SparkSession, zoneDir: String,
+      staging: String, guards: Seq[String], fpBefore: Seq[String],
+      retireDirs: Seq[String]): Unit = {
+    val retired = zoneDir + ".retired"
     val (fs, _) = graft.core.Fs.resolve(spark, zoneDir)
     graft.core.Fs.deleteRecursively(spark, retired)
+    require(guards.map(graft.core.Fs.fingerprint(spark, _)) == fpBefore,
+      s"zone $zoneDir changed between the rebuild and the cutover (an " +
+        "append or delete landed pre-publish); swapping would lose it " +
+        "— the old zone is still serving, re-run the rebuild")
     require(fs.rename(new org.apache.hadoop.fs.Path(zoneDir),
       new org.apache.hadoop.fs.Path(retired)), s"retire rename failed: $zoneDir")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging),

@@ -268,6 +268,15 @@ object SourcesAndStreams {
   def st19StreamAnnIndex(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamAnnIndex(spark, dir)
 
+  /** The IVF-flat index zone maintained from a checkpointed ingest
+    * stream (quantizer fitted before the stream opens, delta-only cell
+    * assignments per batch, structural replay idempotency), then d28's
+    * five-query IVF top-10 answered from the STREAMED zone alone —
+    * hash-matching d28's oracle.
+    */
+  def st27StreamIvfIndex(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamIvfIndex(spark, dir)
+
   /** The persisted MinHash signature zone maintained from a
     * checkpointed ingest stream (overlap-replay source, delta-only band
     * appends, structural replay idempotency), then d22's incremental
@@ -842,6 +851,7 @@ object SourcesAndStreams {
     "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
+    "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -853,6 +863,20 @@ object SourcesAndStreams {
     "c1_cardano_backfill_q8" -> (c1CardanoBackfillQ8 _),
     "c1_cardano_output_amount" -> (c1CardanoOutputAmount _),
     "c4_cardano_skipping" -> (c4CardanoSkipping _))
+
+  /** Bench-family tags for this registry's `c*` entries (see
+    * [[graft.queries.TrainingData.families]]): the Cardano warehouse
+    * and lakehouse-maintenance pipelines are BATCH work — plain scans,
+    * joins, and rewrites with none of the admission family's
+    * structural floors — so prefix-matching them into "composition"
+    * would skew the subtotal the split exists to keep honest. c1_* are
+    * correctness-only (never benched) but tagged for completeness.
+    */
+  val families: Map[String, String] = Map(
+    "c1_cardano_backfill_q8" -> "batch",
+    "c1_cardano_output_amount" -> "batch",
+    "c3_lake_maintenance" -> "batch",
+    "c4_cardano_skipping" -> "batch")
 
   /** The (user 3..6) × (2024-01-10..11 UTC) box over the ORIGINAL
     * events table — the oracle both q46 (z-order compaction) and c3
@@ -1010,6 +1034,7 @@ object SourcesAndStreams {
     // st26 answers d26's incremental audio dedup from the streamed
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),
+    "st27_stream_ivf_index" -> TrainingData.oracles("d28_ivf_topk"),
     // st23: c8's admission replay with the STREAM-DELETED history docs
     // (doc_id % 17 = 3) subtracted from the hist keeper set and the
     // candidate a-side — exactly what the tombstoned zones serve.

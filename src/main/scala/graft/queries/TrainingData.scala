@@ -29,6 +29,11 @@ object TrainingData {
   private[graft] val minhashK = 16
   private[graft] val minhashBands = 4
   private val ivfCells = 8
+  /** d28/d29's fitted-quantizer size (and st27's): k cells from d18's
+    * integer Lloyd — shared with the oracle's kmeansCtes k so the two
+    * engines fit the same quantizer.
+    */
+  private[graft] val ivfKmeansK = 8
   /** Exact-cosine verification threshold for the embedding-side dedup
     * family (d7/d15/d23/c12) — shared with the oracle builders so the
     * Spark paths and the SQL replay cannot desync.
@@ -180,6 +185,76 @@ object TrainingData {
     graft.operators.AnnIndexZone.topK(
       Tables(spark, dir, "embeddings"), queryVec(spark, dir),
       annIndexZoneOptimized(spark, dir), 10)
+
+  /** The PERSISTED IVF-flat index for this corpus — fitted-quantizer
+    * ANN, the trained twin of [[annIndexZone]] (SRP hashes the space
+    * blind; IVF's cells are d18's exact integer Lloyd centroids, so
+    * they follow the corpus's density). Built once per (session, dir);
+    * `EventStream.streamIvfIndex` is the streamed maintainer of the
+    * same zone. Spec seam for IvfIndexZoneSpec.
+    */
+  private[graft] def ivfIndexZone(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d28zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d28zone")
+      graft.operators.IvfIndexZone.build(
+        spark, Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")), z,
+        k = ivfKmeansK, iters = 3): Unit
+      z
+    }
+
+  /** A separately staged OPTIMIZEd IVF zone for d29 (its own copy so
+    * d28 keeps measuring the un-optimized scan path — the d19/d21
+    * split).
+    */
+  private[graft] def ivfIndexZoneOptimized(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d29zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d29zone")
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.IvfIndexZone.build(spark, emb, z,
+        k = ivfKmeansK, iters = 3): Unit
+      graft.operators.IvfIndexZone.optimize(
+        spark, z, math.max(1L, emb.count() / 8)): Unit
+      z
+    }
+
+  /** The d28/d29 query batch: the first five vectors, as a FRAME —
+    * multi-query ANN rides one plan (the retrieval-service shape; d5/
+    * d6/d19 are the single-query contract).
+    */
+  private[graft] def ivfQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+
+  /** IVF-flat ANN top-10 from the stored zone (d28): five queries each
+    * probe their `nprobe = 2` nearest fitted cells (of `ivfKmeansK`),
+    * exact cosine re-ranks the probed cells' members. The oracle
+    * replays the full chain — d18's integer Lloyd (shared CTEs), the
+    * (dist, cid)-tiebroken cell assignment and probe ranking, and the
+    * cosine top-k — so unlike sketch-based ANN this approximate
+    * structure is HASH-verifiable end-to-end: approximation lives in
+    * which candidates are scored, not in any nondeterminism.
+    * `nprobe = k` ≡ exact brute force is spec-pinned
+    * (IvfIndexZoneSpec), making recall a knob, not a hope.
+    */
+  def d28IvfTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfIndexZone.topK(
+        Tables(spark, dir, "embeddings"), ivfQueries(spark, dir),
+        ivfIndexZone(spark, dir), k = 10, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank"))
+
+  /** d28 from the OPTIMIZEd zone (d29): cid-clustered lists +
+    * per-file cid stats, so the probe opens ~the files holding probed
+    * cells (≤ k distinct cells regardless of query count) instead of
+    * the table — same oracle; storage must be invisible
+    * (IvfIndexZoneSpec asserts the skipping).
+    */
+  def d29IvfOptimized(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfIndexZone.topK(
+        Tables(spark, dir, "embeddings"), ivfQueries(spark, dir),
+        ivfIndexZoneOptimized(spark, dir), k = 10, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank"))
 
   /** The history/delta boundary every incremental query shares: the
     * first 4/5 of the corpus (by id) is HISTORY, the last 1/5 the
@@ -2443,6 +2518,8 @@ object TrainingData {
     "d20_cc_bucketed" -> (d20CcBucketed _),
     "d19_ann_index_zone" -> (d19AnnIndexZone _),
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
+    "d28_ivf_topk" -> (d28IvfTopk _),
+    "d29_ivf_optimized" -> (d29IvfOptimized _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
@@ -2488,6 +2565,26 @@ object TrainingData {
     "x2_lang_id" -> (x2LangId _),
     "x3_quality_score" -> (x3QualityScore _),
     "x4_fingerprint" -> (x4Fingerprint _))
+
+  /** Bench-family tags for this registry's `c*` entries, declared WITH
+    * the definitions so a new entry cannot silently mis-classify by
+    * name prefix (Bench refuses an untagged `c*` key). The admission/
+    * curation compositions carry structural per-entry floors (CC
+    * fixpoint rounds, persisted-zone staging) that batch SQL entries
+    * do not — the reason the per-family subtotal exists.
+    */
+  val families: Map[String, String] = Map(
+    "c2_training_corpus" -> "composition",
+    "c5_training_mix" -> "composition",
+    "c6_hybrid_retrieval" -> "composition",
+    "c7_curation_pipeline" -> "composition",
+    "c8_incremental_curation" -> "composition",
+    "c9_admission_loop" -> "composition",
+    "c10_admission_clusters" -> "composition",
+    "c11_admission_capped" -> "composition",
+    "c12_admission_semantic" -> "composition",
+    "c13_admission_calibrated" -> "composition",
+    "c14_admission_shard" -> "composition")
 
   /** d6's oracle, k-parameterized: the SRP-LSH bucket/probe derivation
     * with the plane count re-derived from the corpus size, top-k by
@@ -2600,6 +2697,35 @@ object TrainingData {
     s"""WITH ${kmeansCtes("embeddings")}
        |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS ssd
        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** d28/d29's oracle: kmeansCtes' fitted quantizer and home cells —
+    * the zone stores kmeansFit's output, which is the centroid set the
+    * FINAL assignment runs against (a3 assigns against c2: iteration i
+    * scores c_{i-1}), so both the per-query cell ranking (same
+    * (dist, cid) tiebreak) and the stored lists derive from c2. Then
+    * nprobe=2 probing and exact cosine top-10 over probed lists — the
+    * engine's approximation is exactly WHICH candidates are scored, so
+    * the whole structure hash-matches.
+    */
+  private lazy val ivfTopKOracleSql: String =
+    s"""WITH ${kmeansCtes("embeddings", k = ivfKmeansK)},
+       |qd AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS d
+       |  FROM kq q JOIN c2 c USING (dim) WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |probed AS (SELECT q_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM qd) WHERE rn <= 2),
+       |cands AS (SELECT p.q_id, a.vec_id FROM probed p JOIN a3 a USING (cid)),
+       |scored AS (SELECT c.q_id, c.vec_id,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+       |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cos_sim
+       |  FROM cands c JOIN embeddings e USING (vec_id)
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS nn_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+       |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
 
   private val grams3 =
     """tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
@@ -4015,6 +4141,13 @@ object TrainingData {
     // d18: the same three integer Lloyd rounds as a generated CTE chain
     // — one loop bound feeds both engines (the q58 discipline)
     "d18_kmeans" -> kmeansOracleSql,
+    // d28/d29: the IVF chain replayed exactly — d18's Lloyd CTEs give
+    // the fitted cells (c3) and every vector's home list (a3); each
+    // query ranks cells by (integer sqdist, cid) and probes the top
+    // nprobe=2; exact cosine over probed lists; top-10 per query.
+    // One oracle for both storage postures (d21/d19 discipline).
+    "d28_ivf_topk" -> ivfTopKOracleSql,
+    "d29_ivf_optimized" -> ivfTopKOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's

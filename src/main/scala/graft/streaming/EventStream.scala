@@ -1547,6 +1547,46 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st27: the IVF-flat index zone ([[graft.operators.IvfIndexZone]])
+    * maintained FROM THE INGEST STREAM — the trained-quantizer sibling
+    * of st19. The coarse quantizer is FITTED BEFORE the stream opens
+    * (from the corpus the deployment backfills with — the st19/st20
+    * capacity-planning posture: cells are a property of the ZONE, and
+    * a per-batch re-fit would orphan every stored list), then each
+    * micro-batch appends its own cell assignments: k literal-centroid
+    * codegen'd distance folds over the batch, zero shuffle, nothing
+    * rescanned. The source replays the history slice inside the
+    * full-corpus second batch, so the stored lists carry duplicate
+    * rows; each vector has exactly ONE home cell, so the read side's
+    * DISTINCT absorbs them (structural replay idempotency). The query
+    * answers d28's five-query IVF top-10 from the STREAMED zone alone,
+    * hash-matching d28's oracle end-to-end — streamed ≡ batch-built
+    * for the fitted-quantizer index family.
+    */
+  def streamIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfIndexZone, Similarity}
+    val (src, schema, _) = stagedEmbeddingSource(spark, dir)
+    val root = scratchDir("st27")
+    val zone = root.resolve("ivfzone").toString
+    try {
+      // quantizer size comes from TrainingData's shared constant (the
+      // st20 discipline): the streamed zone must fit the same k cells
+      // as the batch twin (d28) and the oracle's kmeansCtes
+      val emb = graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      IvfIndexZone.create(spark, zone,
+        Similarity.kmeansFit(emb, graft.queries.TrainingData.ivfKmeansK, 3))
+      runForeachBatchStream(spark, src, schema) { batch =>
+        IvfIndexZone.append(batch, zone)
+      }
+      IvfIndexZone.topK(graft.core.Tables(spark, dir, "embeddings"),
+          graft.queries.TrainingData.ivfQueries(spark, dir), zone,
+          k = 10, nprobe = 2)
+        .orderBy(col("q_id"), col("nn_rank"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
   /** st20: the persisted MinHash signature zone
     * ([[graft.operators.SignatureZone]]) maintained FROM THE INGEST
     * STREAM — d22 builds the same zone as a batch backfill over history;
@@ -1780,7 +1820,9 @@ object EventStream {
       // the per-batch file storm) for good before serving
       val (sb, sa) = SignatureZone.optimize(spark, sigZone)
       require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
-      require(!graft.core.Fs.exists(spark, s"$sigZone/tombstones"),
+      // no tombstone ROWS may survive the fold; the dir itself may
+      // linger only as an empty scaffold a concurrent marker left
+      require(!graft.core.Fs.hasParquetFiles(spark, s"$sigZone/tombstones"),
         "optimize left the band tombstone list")
       val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
       require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")

@@ -94,6 +94,75 @@ class ZoneMaintenanceSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("same-geometry re-create of a populated zone is a true no-op (no meta rewrite crash window)") {
+    import spark.implicits._
+    val root = tmpDir("recreate")
+    def metaFp(z: String) = graft.core.Fs.fingerprint(spark, s"$z/meta")
+    // a crash inside an Overwrite meta rewrite leaves rows-without-meta
+    // — the state every zone's corrupt-zone guard refuses as
+    // unrecoverable — so an idempotent re-create must not TOUCH meta:
+    // the listing fingerprint (names, sizes, mtimes) must be identical
+    val sig = s"$root/sig"
+    SignatureZone.build(spark, docs.limit(40), sig)
+    val sigFp = metaFp(sig)
+    SignatureZone.create(spark, sig)
+    assert(metaFp(sig) == sigFp, "SignatureZone re-create rewrote meta")
+    val ann = s"$root/ann"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    AnnIndexZone.build(spark, emb, ann): Unit
+    val annFp = metaFp(ann)
+    AnnIndexZone.create(spark, ann, emb.count()): Unit
+    assert(metaFp(ann) == annFp, "AnnIndexZone re-create rewrote meta")
+    val ham = s"$root/ham"
+    HammingZone.create(spark, ham)
+    HammingZone.append(Seq((1L, 37L)).toDF("doc_id", "sig"), ham)
+    val hamFp = metaFp(ham)
+    HammingZone.create(spark, ham)
+    assert(metaFp(ham) == hamFp, "HammingZone re-create rewrote meta")
+    val dfz = s"$root/df"
+    ShingleDfZone.create(spark, dfz, 3)
+    ShingleDfZone.append(docs.limit(10), dfz, batchId = 0L)
+    val dfFp = metaFp(dfz)
+    ShingleDfZone.create(spark, dfz, 3)
+    assert(metaFp(dfz) == dfFp, "ShingleDfZone re-create rewrote meta")
+    // geometry change on an EMPTY zone still legitimately rewrites
+    val ham2 = s"$root/ham2"
+    HammingZone.create(spark, ham2, bits = 60, maxHamming = 5, chunks = 6)
+    HammingZone.create(spark, ham2, bits = 60, maxHamming = 3, chunks = 4)
+    assert(HammingZone.meta(spark, ham2) == ((60, 3, 4)),
+      "empty-zone geometry change was silently ignored")
+  }
+
+  test("snapshot-scoped clear sweeps empty subdirectory scaffolds but spares occupied ones") {
+    val root = tmpDir("sweep")
+    val fsDir = s"$root/tomb"
+    val p = java.nio.file.Paths.get(fsDir)
+    // the state an aborted/committed Spark job can leave: real parquet
+    // files at the top plus a _temporary scaffold the file snapshot
+    // never lists
+    java.nio.file.Files.createDirectories(p.resolve("_temporary/0"))
+    java.nio.file.Files.write(p.resolve("part-0.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(p.resolve("part-1.parquet"), Array[Byte](2))
+    val snap = graft.core.Fs.listFilePaths(spark, fsDir)
+    assert(snap.size == 2, s"snapshot saw $snap")
+    graft.core.Fs.deleteFilesThenDirIfEmpty(spark, fsDir, snap)
+    assert(!graft.core.Fs.exists(spark, fsDir),
+      "empty _temporary scaffold blocked the quiescent clear forever")
+    // occupied subdir: a concurrent writer's in-flight file must
+    // survive, and so must the scaffold holding it
+    java.nio.file.Files.createDirectories(p.resolve("_temporary/0"))
+    java.nio.file.Files.write(p.resolve("part-2.parquet"), Array[Byte](3))
+    val snap2 = graft.core.Fs.listFilePaths(spark, fsDir)
+    java.nio.file.Files.write(
+      p.resolve("_temporary/0/inflight.parquet"), Array[Byte](4))
+    graft.core.Fs.deleteFilesThenDirIfEmpty(spark, fsDir, snap2)
+    assert(graft.core.Fs.exists(spark, s"$fsDir/_temporary/0/inflight.parquet"),
+      "sweep deleted a concurrent writer's in-flight file")
+    assert(!graft.core.Fs.exists(spark, s"$fsDir/part-2.parquet"),
+      "snapshot files were not deleted")
+  }
+
   test("AnnIndexZone.optimize folds replayed duplicate index rows") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -82,6 +82,40 @@ class ZoneRebuildSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("last-instant guard: an append landing AFTER the build but before the swap fails the publish") {
+    // the TOCTOU window the build-window fingerprint alone leaves open:
+    // the build completes clean, and an append lands while the cutover
+    // is still cleaning up the stale retired copy. publishVerified
+    // re-fingerprints immediately before the retire rename, so the
+    // raced append fails the publish instead of vanishing in the swap.
+    val d = docs
+    val cut = d.count() * 4L / 5L
+    val hist = d.filter(col("doc_id") < cut)
+    val delta = d.filter(col("doc_id") >= cut)
+    val z = tmpDir("lastinstant") + "/z"
+    SignatureZone.build(spark, hist, z, shingleN = 3, k = 16, bands = 4)
+    val before = pairsOf(z, delta)
+    val staging = z + ".rebuild"
+    val fpBefore = Seq(graft.core.Fs.fingerprint(spark, z))
+    SignatureZone.build(spark, hist, staging, shingleN = 3, k = 16, bands = 4)
+    // fpBefore is still current here — rebuild()'s post-build check
+    // would pass. NOW the race lands:
+    SignatureZone.append(delta.limit(1), z)
+    val e = intercept[IllegalArgumentException] {
+      ZoneRebuild.publishVerified(spark, z, staging, Seq(z), fpBefore, Nil)
+    }
+    assert(e.getMessage.contains("between the rebuild and the cutover"))
+    // the old zone (with the raced append) is intact and serving, and
+    // the staging copy survives for a retried rebuild to replace
+    assert(graft.core.Fs.exists(spark, staging))
+    assert(spark.read.parquet(s"$z/bands").count() >
+      spark.read.parquet(s"$staging/bands").count(),
+      "the raced append is missing from the old zone")
+    assert(pairsOf(z, delta).toSet.subsetOf(before.toSet) ||
+      before.toSet.subsetOf(pairsOf(z, delta).toSet))
+    graft.core.Caches.release()
+  }
+
   test("md5 zone rebuild folds sibling tombstones and retires them") {
     import spark.implicits._
     val z = tmpDir("md5rebuild") + "/md5"
