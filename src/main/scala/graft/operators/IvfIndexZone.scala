@@ -183,9 +183,14 @@ object IvfIndexZone {
     * `nprobe` trades the boundary-cell recall band for reading only
     * nprobe/k of the corpus — the IVF contract, spec-pinned.
     */
-  def topK(corpus: DataFrame, queries: DataFrame, zoneDir: String,
-      k: Int, nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The probe + candidate stage shared by [[topK]] and the IVF-PQ
+    * composition ([[PqZone.ivfAdcTopK]]): DISTINCT `(q_id, vec_id)`
+    * candidates — each query's probed cells' live members. Returns an
+    * EMPTY frame for a created-but-never-appended zone.
+    */
+  private[operators] def candidateIds(queries: DataFrame, zoneDir: String,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     Similarity.ensure(spark)
     val cents = centroids(spark, zoneDir)
     require(nprobe >= 1 && nprobe <= cents.size,
@@ -195,16 +200,13 @@ object IvfIndexZone {
     // quantize + probe: expression-only per query row (k literal
     // distance folds, one array_sort) — no shuffle, any query count
     val probes = graft.core.Caches.persistTracked(queries
-      .select(col("q_id"), col("qvec"),
+      .select(col("q_id"),
         explode(probeCells(
           expr("transform(qvec, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1048576.0D))"),
           cents, nprobe)).as("p"))
-      .select(col("q_id"), col("qvec"), col("p.cid").as("cid")))
+      .select(col("q_id"), col("p.cid").as("cid")))
     if (!graft.core.Fs.exists(spark, listsDir))
-      return corpus.limit(0).crossJoin(probes.limit(0))
-        .select(col("q_id"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"),
-          lit(1L).as("nn_rank"))
+      return probes.limit(0).select(col("q_id"), lit(0L).as("vec_id"))
     // stats-planned lists read: the probed cell set is ≤ k values no
     // matter how many queries ride the batch (cells, not queries, are
     // the metadata key), so the planning collect is bounded by the
@@ -220,9 +222,14 @@ object IvfIndexZone {
       } else spark.read.parquet(listsDir))
     // candidates: one cid-keyed join, probe side broadcast (nq·nprobe
     // rows); DISTINCT absorbs replayed duplicate list rows
-    val cand = lists
-      .join(broadcast(probes.select(col("q_id"), col("cid"))), Seq("cid"))
+    lists
+      .join(broadcast(probes), Seq("cid"))
       .select(col("q_id"), col("vec_id")).distinct()
+  }
+
+  def topK(corpus: DataFrame, queries: DataFrame, zoneDir: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cand = candidateIds(queries, zoneDir, nprobe)
     // exact cosine over candidate vectors only: corpus streams through
     // one vec_id-keyed shuffled-hash join (candidates build), then the
     // tiny query frame broadcasts back in by q_id

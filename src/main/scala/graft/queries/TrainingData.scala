@@ -34,6 +34,15 @@ object TrainingData {
     * engines fit the same quantizer.
     */
   private[graft] val ivfKmeansK = 8
+  /** d30/d31's PQ geometry: 8 subspaces × 8 codes over the 64-dim
+    * embeddings (8 dims per codebook, 24-bit codes) — shared with the
+    * oracle's per-subspace kmeansCtes chains. Chosen by measurement:
+    * on the unit-norm test embeddings m=8 recovers the planted
+    * near-dup structure (12/50 exact hits vs 9/50 at m=4); larger k
+    * buys nothing (the remaining exact neighbors are noise-level).
+    */
+  private[graft] val pqSubspaces = 8
+  private[graft] val pqCodes = 8
   /** Exact-cosine verification threshold for the embedding-side dedup
     * family (d7/d15/d23/c12) — shared with the oracle builders so the
     * Spark paths and the SQL replay cannot desync.
@@ -254,6 +263,46 @@ object TrainingData {
     graft.operators.IvfIndexZone.topK(
         Tables(spark, dir, "embeddings"), ivfQueries(spark, dir),
         ivfIndexZoneOptimized(spark, dir), k = 10, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank"))
+
+  /** The PERSISTED PQ code zone — the memory side of billion-scale ANN
+    * (8 subspaces × 8 codes, integer-Lloyd codebooks; every vector
+    * stored as 8 code ids). Built once per (session, dir); spec seam
+    * for PqZoneSpec.
+    */
+  private[graft] def pqZone(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d30zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d30zone")
+      graft.operators.PqZone.build(
+        spark, Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")), z,
+        m = pqSubspaces, k = pqCodes, iters = 2): Unit
+      z
+    }
+
+  /** PQ asymmetric-distance top-10 (d30): each of the five queries
+    * builds m·k integer LUTs (expression-only) and every corpus vector
+    * is scored as m table lookups over its stored codes — raw
+    * embeddings are never read after encoding. Training, encoding,
+    * LUTs, and ADC sums are all exact integer arithmetic on the shared
+    * quantization grid, so the ENTIRE approximate structure
+    * hash-matches the SQL replay (four per-subspace Lloyd chains).
+    */
+  def d30PqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PqZone.adcTopK(
+        ivfQueries(spark, dir), pqZone(spark, dir), k = 10)
+      .orderBy(col("q_id"), col("nn_rank"))
+
+  /** The IVF-PQ composition (d31): d28's trained router bounds the
+    * scan to each query's nprobe=2 nearest cells, d30's codes score
+    * the survivors by ADC — the full FAISS-style pipeline, with raw
+    * embeddings touched by NEITHER stage after training. One oracle
+    * replays both trained structures plus the composition.
+    */
+  def d31IvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PqZone.ivfAdcTopK(
+        ivfQueries(spark, dir), pqZone(spark, dir),
+        ivfIndexZone(spark, dir), k = 10, nprobe = 2)
       .orderBy(col("q_id"), col("nn_rank"))
 
   /** The history/delta boundary every incremental query shares: the
@@ -2520,6 +2569,8 @@ object TrainingData {
     "d21_ann_index_optimized" -> (d21AnnIndexOptimized _),
     "d28_ivf_topk" -> (d28IvfTopk _),
     "d29_ivf_optimized" -> (d29IvfOptimized _),
+    "d30_pq_topk" -> (d30PqTopk _),
+    "d31_ivf_pq" -> (d31IvfPq _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
@@ -2642,7 +2693,9 @@ object TrainingData {
     * per-vector assignment lands in CTE `a<iters>` (vec_id, cid,
     * dist); `kq` is the quantized exploded corpus.
     */
-  private[queries] def kmeansCtes(src: String, k: Int = 8, iters: Int = 3): String = {
+  private[queries] def kmeansCtes(src: String, k: Int = 8, iters: Int = 3,
+      prefix: String = ""): String = {
+    val P = prefix
     // the Spark twin accepts any k >= 1; the generated chain must too —
     // k = 1 has an EMPTY seeding segment (ch0 is the full chosen set),
     // which the assembly below handles by dropping that block entirely
@@ -2655,40 +2708,40 @@ object TrainingData {
       // BEFORE the dim join: without it DuckDB may join kq with kq on
       // dim first (corpus² · dims rows — OOM at verify scale) and only
       // then apply the chosen filter
-      s"""cb$i AS MATERIALIZED (SELECT b.vec_id, b.dim, b.v
-         |  FROM kq b JOIN ch${i - 1} c ON c.vec_id = b.vec_id),
-         |nd$i AS MATERIALIZED (SELECT a_vec AS vec_id, min(d) AS nd FROM (
+      s"""${P}cb$i AS MATERIALIZED (SELECT b.vec_id, b.dim, b.v
+         |  FROM ${P}kq b JOIN ${P}ch${i - 1} c ON c.vec_id = b.vec_id),
+         |${P}nd$i AS MATERIALIZED (SELECT a_vec AS vec_id, min(d) AS nd FROM (
          |    SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
          |        sum((a.v - b.v)*(a.v - b.v)) AS d
-         |    FROM kq a JOIN cb$i b ON b.dim = a.dim
+         |    FROM ${P}kq a JOIN ${P}cb$i b ON b.dim = a.dim
          |    GROUP BY a.vec_id, b.vec_id) t GROUP BY a_vec),
-         |s$i AS MATERIALIZED (SELECT vec_id FROM nd$i
+         |${P}s$i AS MATERIALIZED (SELECT vec_id FROM ${P}nd$i
          |  ORDER BY CAST(nd AS DOUBLE) * ${draw(i)} DESC, vec_id LIMIT 1),
-         |ch$i AS MATERIALIZED (SELECT vec_id FROM ch${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+         |${P}ch$i AS MATERIALIZED (SELECT vec_id FROM ${P}ch${i - 1} UNION ALL SELECT vec_id FROM ${P}s$i)""".stripMargin
     }.mkString(",\n")
     val iterations = (1 to iters).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
-         |  FROM kq q JOIN c${i - 1} c USING (dim) GROUP BY q.vec_id, c.cid),
-         |a$i AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+      s"""${P}d$i AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM ${P}kq q JOIN ${P}c${i - 1} c USING (dim) GROUP BY q.vec_id, c.cid),
+         |${P}a$i AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY dist, cid) AS rn FROM d$i)
+         |      ORDER BY dist, cid) AS rn FROM ${P}d$i)
          |  WHERE rn = 1),
-         |c$i AS MATERIALIZED (SELECT c.cid, c.dim, CAST(coalesce(n.s // n.n, c.c) AS BIGINT) AS c
-         |  FROM c${i - 1} c LEFT JOIN (
+         |${P}c$i AS MATERIALIZED (SELECT c.cid, c.dim, CAST(coalesce(n.s // n.n, c.c) AS BIGINT) AS c
+         |  FROM ${P}c${i - 1} c LEFT JOIN (
          |    SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
-         |    FROM a$i a JOIN kq q USING (vec_id) GROUP BY a.cid, q.dim) n
+         |    FROM ${P}a$i a JOIN ${P}kq q USING (vec_id) GROUP BY a.cid, q.dim) n
          |  ON n.cid = c.cid AND n.dim = c.dim)""".stripMargin
     }.mkString(",\n")
     val seedingBlock = if (k > 1) seeding + ",\n" else ""
-    s"""kq AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+    s"""${P}kq AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
        |    CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
        |  FROM $src),
-       |ch0 AS MATERIALIZED (SELECT vec_id FROM $src
+       |${P}ch0 AS MATERIALIZED (SELECT vec_id FROM $src
        |  ORDER BY ${draw(0)} DESC, vec_id LIMIT 1),
-       |${seedingBlock}init AS MATERIALIZED (SELECT DISTINCT vec_id FROM ch${k - 1}),
-       |c0 AS MATERIALIZED (SELECT CAST(dense_rank() OVER (ORDER BY q.vec_id) - 1 AS BIGINT) AS cid,
+       |${seedingBlock}${P}init AS MATERIALIZED (SELECT DISTINCT vec_id FROM ${P}ch${k - 1}),
+       |${P}c0 AS MATERIALIZED (SELECT CAST(dense_rank() OVER (ORDER BY q.vec_id) - 1 AS BIGINT) AS cid,
        |    q.dim, q.v AS c
-       |  FROM kq q JOIN init USING (vec_id)),
+       |  FROM ${P}kq q JOIN ${P}init USING (vec_id)),
        |$iterations""".stripMargin
   }
 
@@ -2726,6 +2779,80 @@ object TrainingData {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
        |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
+
+  /** The PQ structure as CTEs, shared by the d30 and d31 oracles: per
+    * subspace, a sliced-source integer-Lloyd chain (kmeansCtes with a
+    * `p{s}` name prefix; iters=2 ⇒ codebook = p{s}c1, assignment =
+    * p{s}a2 — the kmeansFit contract), then the code table (one row
+    * per vector: its m cell ids) and the five queries' per-subspace
+    * LUTs (distance to EVERY codebook entry). Sums cast to BIGINT —
+    * DuckDB's sum() yields HUGEINT, which pandas would coerce to
+    * float.
+    */
+  private lazy val pqCtes: String = {
+    val m = pqSubspaces
+    val dsub = 64 / m
+    val subs = (0 until m).map { s =>
+      s"sub$s AS MATERIALIZED (SELECT vec_id, " +
+        s"embedding[${s * dsub + 1}:${(s + 1) * dsub}] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val chains = (0 until m).map { s =>
+      kmeansCtes(s"sub$s", k = pqCodes, iters = 2, prefix = s"p$s")
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"a$s.cid AS k$s").mkString(", ")
+    val codeJoin = (1 until m)
+      .map(s => s"JOIN p${s}a2 a$s USING (vec_id)").mkString(" ")
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS MATERIALIZED (SELECT q.vec_id AS q_id, c.cid,
+         |    CAST(sum((q.v - c.c)*(q.v - c.c)) AS BIGINT) AS d
+         |  FROM p${s}kq q JOIN p${s}c1 c USING (dim)
+         |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$subs,
+       |$chains,
+       |pqcodes AS MATERIALIZED (SELECT a0.vec_id, $codeCols FROM p0a2 a0 $codeJoin),
+       |$luts""".stripMargin
+  }
+
+  /** The ADC top-10 select over `pqcodes` × the LUTs, with candidates
+    * restricted by `candJoin` (empty for the full scan).
+    */
+  private def pqAdcSelect(candJoin: String): String = {
+    val m = pqSubspaces
+    val lutJoins = (0 until m).map { s =>
+      if (s == 0 && candJoin.isEmpty) s"JOIN lut0 l0 ON l0.cid = cd.k0"
+      else s"JOIN lut$s l$s ON l$s.q_id = ${if (s == 0) "cn.q_id" else "l0.q_id"} AND l$s.cid = cd.k$s"
+    }.mkString("\n  ")
+    val adc = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""SELECT q_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS nn_rank FROM (
+       |  SELECT l0.q_id, cd.vec_id, CAST($adc AS BIGINT) AS adc_dist,
+       |      row_number() OVER (PARTITION BY l0.q_id
+       |        ORDER BY ($adc), cd.vec_id) AS rn
+       |  FROM ${if (candJoin.isEmpty) "pqcodes cd" else candJoin}
+       |  $lutJoins)
+       |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
+  }
+
+  private lazy val pqTopKOracleSql: String =
+    s"""WITH $pqCtes
+       |${pqAdcSelect("")}""".stripMargin
+
+  /** d31: the d28 router chain (full-dim quantizer + probed cells +
+    * candidate lists) composed with the PQ scoring chain — one replay
+    * of both trained structures.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH ${kmeansCtes("embeddings", k = ivfKmeansK)},
+       |qd AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS d
+       |  FROM kq q JOIN c2 c USING (dim) WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |probed AS (SELECT q_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM qd) WHERE rn <= 2),
+       |cands AS MATERIALIZED (
+       |  SELECT p.q_id, a.vec_id FROM probed p JOIN a3 a USING (cid)),
+       |$pqCtes
+       |${pqAdcSelect("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")}""".stripMargin
 
   private val grams3 =
     """tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
@@ -4148,6 +4275,11 @@ object TrainingData {
     // One oracle for both storage postures (d21/d19 discipline).
     "d28_ivf_topk" -> ivfTopKOracleSql,
     "d29_ivf_optimized" -> ivfTopKOracleSql,
+    // d30/d31: the PQ chain (eight per-subspace Lloyd chains + code
+    // table + query LUTs) replayed exactly; d31 additionally replays
+    // d28's router and restricts the ADC scan to probed cells.
+    "d30_pq_topk" -> pqTopKOracleSql,
+    "d31_ivf_pq" -> ivfPqOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's
