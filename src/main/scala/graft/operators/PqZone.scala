@@ -258,6 +258,30 @@ object PqZone {
       .select(col("q_id"), col("vec_id"), adcExpr(m).as("adc_dist")), k)
   }
 
+  /** The three-stage production retrieval pipeline: IVF routes, ADC
+    * shortlists the routed candidates to the top `r` per query, and
+    * EXACT cosine re-ranks only the shortlist — so the refine stage
+    * reads at most nq·r raw vectors no matter the corpus size (the
+    * shortlist broadcasts into the corpus join). With `r` ≥ the probed
+    * candidate count this degenerates to [[IvfIndexZone.topK]] exactly
+    * (PqZoneSpec pins it). Output `(q_id, vec_id, cos_sim, nn_rank)`.
+    */
+  def refinedTopK(corpus: DataFrame, queries: DataFrame, pqZoneDir: String,
+      ivfZoneDir: String, k: Int, r: Int, nprobe: Int,
+      dims: Int = 64): DataFrame = {
+    val shortlist = ivfAdcTopK(queries, pqZoneDir, ivfZoneDir, r, nprobe,
+      dims).select(col("q_id"), col("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qvec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("nn_rank", row_number().over(
         Window.partitionBy(col("q_id"))

@@ -277,6 +277,15 @@ object SourcesAndStreams {
   def st27StreamIvfIndex(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamIvfIndex(spark, dir)
 
+  /** The PQ code zone maintained from a checkpointed ingest stream
+    * (codebooks trained before the stream opens, delta-only encoding
+    * per batch, structural replay idempotency), then d30's five-query
+    * ADC top-10 answered from the STREAMED zone alone — hash-matching
+    * d30's oracle.
+    */
+  def st28StreamPqCodes(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamPqCodes(spark, dir)
+
   /** The persisted MinHash signature zone maintained from a
     * checkpointed ingest stream (overlap-replay source, delta-only band
     * appends, structural replay idempotency), then d22's incremental
@@ -852,6 +861,7 @@ object SourcesAndStreams {
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
+    "st28_stream_pq_codes" -> (st28StreamPqCodes _),
     "c3_lake_maintenance" -> (c3LakeMaintenance _),
     "st7_stream_sessionize" -> (st7StreamSessionize _),
     "st9_session_window" -> (st9SessionWindow _),
@@ -1035,6 +1045,7 @@ object SourcesAndStreams {
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),
     "st27_stream_ivf_index" -> TrainingData.oracles("d28_ivf_topk"),
+    "st28_stream_pq_codes" -> TrainingData.oracles("d30_pq_topk"),
     // st23: c8's admission replay with the STREAM-DELETED history docs
     // (doc_id % 17 = 3) subtracted from the hist keeper set and the
     // candidate a-side — exactly what the tombstoned zones serve.

@@ -43,6 +43,11 @@ object TrainingData {
     */
   private[graft] val pqSubspaces = 8
   private[graft] val pqCodes = 8
+  /** d32's refine width: exact cosine re-ranks only the top-R ADC
+    * shortlist per query — the knob that bounds how many raw vectors
+    * the refine stage ever touches.
+    */
+  private[graft] val pqRefineR = 50
   /** Exact-cosine verification threshold for the embedding-side dedup
     * family (d7/d15/d23/c12) — shared with the oracle builders so the
     * Spark paths and the SQL replay cannot desync.
@@ -303,6 +308,20 @@ object TrainingData {
     graft.operators.PqZone.ivfAdcTopK(
         ivfQueries(spark, dir), pqZone(spark, dir),
         ivfIndexZone(spark, dir), k = 10, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank"))
+
+  /** The refined pipeline (d32): d31's routed ADC shortlist (top-50
+    * per query), exact cosine over the shortlist ONLY — at 100 TB the
+    * refine stage reads nq·50 raw vectors while routing reads cell
+    * metadata and scoring reads 8-byte codes. The end state of the
+    * retrieval stack: approximate where it is cheap, exact where it
+    * decides.
+    */
+  def d32IvfPqRefined(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PqZone.refinedTopK(
+        Tables(spark, dir, "embeddings"), ivfQueries(spark, dir),
+        pqZone(spark, dir), ivfIndexZone(spark, dir),
+        k = 10, r = pqRefineR, nprobe = 2)
       .orderBy(col("q_id"), col("nn_rank"))
 
   /** The history/delta boundary every incremental query shares: the
@@ -2571,6 +2590,7 @@ object TrainingData {
     "d29_ivf_optimized" -> (d29IvfOptimized _),
     "d30_pq_topk" -> (d30PqTopk _),
     "d31_ivf_pq" -> (d31IvfPq _),
+    "d32_ivf_pq_refined" -> (d32IvfPqRefined _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
@@ -2814,35 +2834,39 @@ object TrainingData {
        |$luts""".stripMargin
   }
 
-  /** The ADC top-10 select over `pqcodes` × the LUTs, with candidates
-    * restricted by `candJoin` (empty for the full scan).
+  /** The ADC scores as a CTE (`adc(q_id, vec_id, adc_dist)`) over
+    * `pqcodes` × the LUTs, with candidates restricted by `candJoin`
+    * (empty for the full scan).
     */
-  private def pqAdcSelect(candJoin: String): String = {
+  private def pqAdcCte(candJoin: String): String = {
     val m = pqSubspaces
     val lutJoins = (0 until m).map { s =>
       if (s == 0 && candJoin.isEmpty) s"JOIN lut0 l0 ON l0.cid = cd.k0"
       else s"JOIN lut$s l$s ON l$s.q_id = ${if (s == 0) "cn.q_id" else "l0.q_id"} AND l$s.cid = cd.k$s"
     }.mkString("\n  ")
     val adc = (0 until m).map(s => s"l$s.d").mkString(" + ")
-    s"""SELECT q_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS nn_rank FROM (
-       |  SELECT l0.q_id, cd.vec_id, CAST($adc AS BIGINT) AS adc_dist,
-       |      row_number() OVER (PARTITION BY l0.q_id
-       |        ORDER BY ($adc), cd.vec_id) AS rn
+    s"""adc AS MATERIALIZED (SELECT l0.q_id, cd.vec_id, CAST($adc AS BIGINT) AS adc_dist
        |  FROM ${if (candJoin.isEmpty) "pqcodes cd" else candJoin}
-       |  $lutJoins)
-       |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
+       |  $lutJoins)""".stripMargin
   }
 
-  private lazy val pqTopKOracleSql: String =
-    s"""WITH $pqCtes
-       |${pqAdcSelect("")}""".stripMargin
+  /** The ADC top-k select over the `adc` CTE. */
+  private def pqAdcSelect(k: Int): String =
+    s"""SELECT q_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS nn_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc_dist, vec_id) AS rn FROM adc)
+       |WHERE rn <= $k ORDER BY q_id, nn_rank""".stripMargin
 
-  /** d31: the d28 router chain (full-dim quantizer + probed cells +
-    * candidate lists) composed with the PQ scoring chain — one replay
-    * of both trained structures.
+  private lazy val pqTopKOracleSql: String =
+    s"""WITH $pqCtes,
+       |${pqAdcCte("")}
+       |${pqAdcSelect(10)}""".stripMargin
+
+  /** d28's router chain as CTEs (`qd`, `probed`, `cands`), shared by
+    * the d31/d32 oracles.
     */
-  private lazy val ivfPqOracleSql: String =
-    s"""WITH ${kmeansCtes("embeddings", k = ivfKmeansK)},
+  private lazy val ivfRouterCtes: String =
+    s"""${kmeansCtes("embeddings", k = ivfKmeansK)},
        |qd AS MATERIALIZED (
        |  SELECT q.vec_id AS q_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS d
        |  FROM kq q JOIN c2 c USING (dim) WHERE q.vec_id < 5 GROUP BY 1, 2),
@@ -2850,9 +2874,40 @@ object TrainingData {
        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
        |    FROM qd) WHERE rn <= 2),
        |cands AS MATERIALIZED (
-       |  SELECT p.q_id, a.vec_id FROM probed p JOIN a3 a USING (cid)),
-       |$pqCtes
-       |${pqAdcSelect("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")}""".stripMargin
+       |  SELECT p.q_id, a.vec_id FROM probed p JOIN a3 a USING (cid))""".stripMargin
+
+  /** d31: the d28 router chain (full-dim quantizer + probed cells +
+    * candidate lists) composed with the PQ scoring chain — one replay
+    * of both trained structures.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $ivfRouterCtes,
+       |$pqCtes,
+       |${pqAdcCte("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")}
+       |${pqAdcSelect(10)}""".stripMargin
+
+  /** d32: d31's routed ADC shortlist (top-$pqRefineR per query by
+    * (adc, vec_id)), then EXACT cosine re-ranks the shortlist — the
+    * three-stage production retrieval pipeline.
+    */
+  private lazy val ivfPqRefinedOracleSql: String =
+    s"""WITH $ivfRouterCtes,
+       |$pqCtes,
+       |${pqAdcCte("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")},
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $pqRefineR),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+       |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cos_sim
+       |  FROM short s JOIN embeddings e USING (vec_id)
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS nn_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+       |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
 
   private val grams3 =
     """tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
@@ -4280,6 +4335,7 @@ object TrainingData {
     // d28's router and restricts the ADC scan to probed cells.
     "d30_pq_topk" -> pqTopKOracleSql,
     "d31_ivf_pq" -> ivfPqOracleSql,
+    "d32_ivf_pq_refined" -> ivfPqRefinedOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's

@@ -1587,6 +1587,41 @@ object EventStream {
     } finally reap(root)
   }
 
+  /** st28: the PQ code zone ([[graft.operators.PqZone]]) maintained
+    * FROM THE INGEST STREAM — the memory-side sibling of st27, closing
+    * the streamed-maintainer symmetry for the whole vector stack
+    * (every persisted vector zone now has batch, OPTIMIZEd, and
+    * streamed postures). Codebooks are TRAINED before the stream opens
+    * (the st27 quantizer argument: books are zone geometry; a
+    * per-batch re-train would orphan every stored code), then each
+    * micro-batch encodes ONLY its own vectors — m·k literal-centroid
+    * codegen'd distance folds, zero shuffle, nothing rescanned. The
+    * overlap-replay source leaves duplicate code rows; encoding is
+    * deterministic (one code row value per vector), so the read side's
+    * DISTINCT absorbs them. Answers d30's five-query ADC top-10 from
+    * the streamed zone alone, hash-matching d30's oracle.
+    */
+  def streamPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PqZone
+    val (src, schema, _) = stagedEmbeddingSource(spark, dir)
+    val root = scratchDir("st28")
+    val zone = root.resolve("pqzone").toString
+    try {
+      val emb = graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      import graft.queries.TrainingData.{pqCodes, pqSubspaces}
+      PqZone.create(spark, zone,
+        PqZone.fit(emb, pqSubspaces, pqCodes, iters = 2))
+      runForeachBatchStream(spark, src, schema) { batch =>
+        PqZone.append(batch, zone)
+      }
+      PqZone.adcTopK(graft.queries.TrainingData.ivfQueries(spark, dir),
+          zone, k = 10)
+        .orderBy(col("q_id"), col("nn_rank"))
+        .localCheckpoint()
+    } finally reap(root)
+  }
+
   /** st20: the persisted MinHash signature zone
     * ([[graft.operators.SignatureZone]]) maintained FROM THE INGEST
     * STREAM — d22 builds the same zone as a batch backfill over history;

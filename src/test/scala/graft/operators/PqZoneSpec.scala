@@ -73,6 +73,20 @@ class PqZoneSpec extends SparkSpec {
     routed2.foreach { case (q, v, d) =>
       assert(fullByQv((q, v)) == d, s"routed ADC($q,$v)=$d != full ${fullByQv((q, v))}")
     }
+    // the refine stage degenerates correctly: with r covering every
+    // routed candidate, route → ADC-shortlist → exact-refine IS the
+    // exact-on-probed-cells search (IvfIndexZone.topK) — ADC decided
+    // nothing, only bounded what exact cosine re-read
+    val qs = queries(5)
+    val refined = PqZone.refinedTopK(emb, qs, pq, ivf, 10,
+        r = Int.MaxValue, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val exact = IvfIndexZone.topK(emb, qs, ivf, 10, nprobe = 2)
+      .orderBy(col("q_id"), col("nn_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(refined == exact,
+      "full-width refine diverged from exact search over the probed cells")
     // measured recall@10 of the full ADC scan against exact cosine
     // (the test embeddings are unit-norm, so cosine and the ADC's L2
     // rank identically) — deterministic on the fixed corpus. 8×8
