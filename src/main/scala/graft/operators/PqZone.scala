@@ -178,6 +178,27 @@ object PqZone {
         .select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
 
+  /** The readable code table with replay dedup SKIPPED when provably
+    * unnecessary: [[optimize]] stamps the compacted listing's
+    * fingerprint under `zoneDir/clean`; while the codes listing still
+    * matches it, the table is exactly the compaction's DISTINCT output
+    * and the read needs no dedup exchange AT ALL (the scan feeds the
+    * ADC scoring directly — the posture a maintained deployment runs).
+    * Any later append changes the listing, the stamp goes stale, and
+    * the read falls back to DISTINCT — never a silent double-count.
+    * Encoding is deterministic, so duplicates can only be bitwise
+    * replays; DISTINCT on (vec_id, codes) is exact dedup.
+    */
+  private def readableCodes(spark: SparkSession, zoneDir: String): DataFrame = {
+    val codes = spark.read.parquet(s"$zoneDir/codes")
+      .select(col("vec_id"), col("codes"))
+    val marker = s"$zoneDir/clean"
+    val clean = graft.core.Fs.hasParquetFiles(spark, marker) &&
+      spark.read.parquet(marker).head().getString(0) ==
+        graft.core.Fs.fingerprint(spark, s"$zoneDir/codes")
+    liveCodes(spark, zoneDir, if (clean) codes else codes.distinct())
+  }
+
   /** OPTIMIZE: rewrite the append-only codes vec_id-clustered (tight
     * per-file id spans for the re-rank point lookups), folding
     * tombstones and replayed duplicates for good.
@@ -191,6 +212,14 @@ object PqZone {
       spark, s"$zoneDir/codes", col("vec_id"), targetRowsPerFile,
       transform = cs => liveCodes(spark, zoneDir, cs).distinct())
     graft.core.Fs.deleteFilesThenDirIfEmpty(spark, s"$zoneDir/tombstones", snap)
+    // stamp the compacted listing: reads skip the dedup exchange while
+    // the stamp is fresh (a crash before the stamp just leaves the
+    // DISTINCT fallback in place — safe either way)
+    import spark.implicits._
+    Seq(graft.core.Fs.fingerprint(spark, s"$zoneDir/codes"))
+      .toDF("codes_fingerprint").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$zoneDir/clean")
     res
   }
 
@@ -226,9 +255,7 @@ object PqZone {
     Similarity.ensure(spark)
     val books = loadBooks(spark, zoneDir)
     val m = books.size
-    val codes = liveCodes(spark, zoneDir,
-      spark.read.parquet(s"$zoneDir/codes").select(col("vec_id"), col("codes"))
-        .distinct())
+    val codes = readableCodes(spark, zoneDir)
     rank(codes.crossJoin(
         broadcast(withLuts(queries, books, dims / m)
           .select(col("q_id") +: (0 until m).map(s => col(s"lut$s")): _*)))
@@ -247,9 +274,7 @@ object PqZone {
     val books = loadBooks(spark, pqZoneDir)
     val m = books.size
     val cand = IvfIndexZone.candidateIds(queries, ivfZoneDir, nprobe)
-    val codes = liveCodes(spark, pqZoneDir,
-      spark.read.parquet(s"$pqZoneDir/codes")
-        .select(col("vec_id"), col("codes")).distinct())
+    val codes = readableCodes(spark, pqZoneDir)
     // codes stream; the candidate set builds (probed-cells-sized)
     rank(codes.hint("shuffle_hash").join(cand, Seq("vec_id"))
       .join(broadcast(withLuts(queries, books, dims / m)

@@ -143,4 +143,27 @@ class PqZoneSpec extends SparkSpec {
       .filter(col("vec_id") === victim).count() == 0)
     graft.core.Caches.release()
   }
+
+  test("the compaction-freshness stamp skips the dedup exchange and goes stale on append") {
+    val zone = tmpDir("pqclean") + "/z"
+    PqZone.build(spark, emb, zone, m = 4, k = 8, iters = 2)
+    val before = adcRows(zone)
+    PqZone.optimize(spark, zone): Unit
+    // fresh stamp: the codes scan feeds ADC with NO dedup aggregate
+    val cleanPlan = PqZone.adcTopK(queries(5), zone, 10)
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("HashAggregate"),
+      s"clean-zone ADC read still pays the dedup exchange:\n$cleanPlan")
+    assert(adcRows(zone) == before)
+    // a post-compaction replay lands duplicate rows AND stales the
+    // stamp — the read must fall back to DISTINCT, never double-count
+    PqZone.append(emb, zone)
+    val dirtyPlan = PqZone.adcTopK(queries(5), zone, 10)
+      .queryExecution.executedPlan.toString
+    assert(dirtyPlan.contains("HashAggregate"),
+      "stale stamp was trusted — replayed duplicates would double-count")
+    assert(adcRows(zone) == before,
+      "post-compaction replay changed the ADC result")
+    graft.core.Caches.release()
+  }
 }
