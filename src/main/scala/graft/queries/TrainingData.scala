@@ -502,7 +502,6 @@ object TrainingData {
     */
   def c6HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val docs = Tables(spark, dir, "documents")
     // round-10: the candidate leg is served from the OPTIMIZED
     // persisted index zone (result-identical to the in-session lshTopK
     // derivation — SimilaritySpec pins both equalities), so the
@@ -511,6 +510,18 @@ object TrainingData {
     // subset of the index — the full production read posture
     val cand = graft.operators.AnnIndexZone.topK(
       emb, queryVec(spark, dir), annIndexZoneOptimized(spark, dir), 20)
+    hybridRetrievalTail(spark, dir, cand)
+  }
+
+  /** c6/c15's shared LEXICAL leg + fusion: data-derived query terms,
+    * x18's chunk tiling over the candidate documents only (behind a
+    * broadcast semi-join), exact integer term hits, hybrid top-10 —
+    * the two compositions differ ONLY in which ANN stack supplies
+    * `cand (vec_id, cos_sim)`.
+    */
+  private def hybridRetrievalTail(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
     val stopWords = TextOps.langMarkers.head._2
     val terms = docs.filter(col("doc_id") === 0)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
@@ -532,6 +543,25 @@ object TrainingData {
       .select(col("doc_id"), col("chunk_idx"), hits.as("hits"), col("cos_sim"))
       .orderBy(col("hits").desc, col("cos_sim").desc, col("doc_id"), col("chunk_idx"))
       .limit(10)
+  }
+
+  /** Hybrid retrieval on the TRAINED vector stack (c15): c6's read
+    * path with the candidate leg served by the route → ADC-shortlist →
+    * exact-refine pipeline (d32, k=20) instead of SRP multi-probe —
+    * the RAG posture once a deployment's index outgrows data-blind
+    * hashing. Per-query vector cost: cell metadata + probed cells'
+    * 8-byte codes + 50 raw vectors; the lexical leg and fusion are
+    * c6's verbatim ([[hybridRetrievalTail]]), so the two compositions
+    * cannot drift.
+    */
+  def c15RetrievalRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cand = graft.operators.PqZone.refinedTopK(
+        emb, ivfQueries(spark, dir).filter(col("q_id") === 0),
+        pqZone(spark, dir), ivfIndexZone(spark, dir),
+        k = 20, r = pqRefineR, nprobe = 2)
+      .select(col("vec_id"), col("cos_sim"))
+    hybridRetrievalTail(spark, dir, cand)
   }
 
   /** Near-dup cluster resolution: connected components over the verified
@@ -2591,6 +2621,7 @@ object TrainingData {
     "d30_pq_topk" -> (d30PqTopk _),
     "d31_ivf_pq" -> (d31IvfPq _),
     "d32_ivf_pq_refined" -> (d32IvfPqRefined _),
+    "c15_retrieval_refined" -> (c15RetrievalRefined _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
@@ -2655,7 +2686,8 @@ object TrainingData {
     "c11_admission_capped" -> "composition",
     "c12_admission_semantic" -> "composition",
     "c13_admission_calibrated" -> "composition",
-    "c14_admission_shard" -> "composition")
+    "c14_admission_shard" -> "composition",
+    "c15_retrieval_refined" -> "composition")
 
   /** d6's oracle, k-parameterized: the SRP-LSH bucket/probe derivation
     * with the plane count re-derived from the corpus size, top-k by
@@ -2886,12 +2918,40 @@ object TrainingData {
        |${pqAdcCte("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")}
        |${pqAdcSelect(10)}""".stripMargin
 
-  /** d32: d31's routed ADC shortlist (top-$pqRefineR per query by
-    * (adc, vec_id)), then EXACT cosine re-ranks the shortlist — the
-    * three-stage production retrieval pipeline.
+  /** c6/c15's shared oracle tail (expects a `cand(vec_id, cos_sim)`
+    * CTE upstream): query terms, chunk tiling over candidates, exact
+    * term hits, hybrid top-10.
     */
-  private lazy val ivfPqRefinedOracleSql: String =
-    s"""WITH $ivfRouterCtes,
+  private lazy val hybridTailSql: String =
+    """qt AS (
+          |  SELECT w FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+          |    FROM documents WHERE doc_id = 0)
+          |  WHERE w NOT IN ('the','and','of','to','in','is')
+          |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 3),
+          |tok AS (SELECT d.doc_id, regexp_extract_all(lower(d.text), '\w+') AS toks
+          |        FROM documents d JOIN cand ON cand.vec_id = d.doc_id),
+          |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          |st AS (SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 24)) AS strt
+          |       FROM s),
+          |ch AS (SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_idx,
+          |         toks[strt + 1 : least(strt + 32, n)] AS chunk_toks
+          |       FROM st),
+          |sc AS (SELECT ch.doc_id, ch.chunk_idx,
+          |         CAST((SELECT coalesce(sum(len(list_filter(ch.chunk_toks, x -> x = qt.w))), 0)
+          |               FROM qt) AS BIGINT) AS hits,
+          |         cand.cos_sim
+          |       FROM ch JOIN cand ON cand.vec_id = ch.doc_id)
+          |SELECT doc_id, chunk_idx, hits, cos_sim
+          |FROM sc ORDER BY hits DESC, cos_sim DESC, doc_id, chunk_idx
+          |LIMIT 10""".stripMargin
+
+  /** The d32 chain up to `scored(q_id, vec_id, cos_sim)` — router +
+    * PQ + routed ADC shortlist (top-$pqRefineR per query) + exact
+    * cosine over the shortlist. Shared by the d32 and c15 oracles.
+    */
+  private lazy val ivfPqRefinedCtes: String =
+    s"""$ivfRouterCtes,
        |$pqCtes,
        |${pqAdcCte("cands cn JOIN pqcodes cd ON cd.vec_id = cn.vec_id")},
        |short AS (SELECT q_id, vec_id FROM (
@@ -2903,7 +2963,11 @@ object TrainingData {
        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
        |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cos_sim
        |  FROM short s JOIN embeddings e USING (vec_id)
-       |  JOIN embeddings qe ON qe.vec_id = s.q_id)
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id)""".stripMargin
+
+  /** d32: the three-stage production retrieval pipeline. */
+  private lazy val ivfPqRefinedOracleSql: String =
+    s"""WITH $ivfPqRefinedCtes
        |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS nn_rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
@@ -4245,28 +4309,17 @@ object TrainingData {
     // hybrid rank reproduces the engine's two-stage retrieval
     "c6_hybrid_retrieval" ->
       ("WITH cand AS (SELECT * FROM (" + lshTopKOracleSql(20) + ")),\n" +
-        """qt AS (
-          |  SELECT w FROM (
-          |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
-          |    FROM documents WHERE doc_id = 0)
-          |  WHERE w NOT IN ('the','and','of','to','in','is')
-          |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 3),
-          |tok AS (SELECT d.doc_id, regexp_extract_all(lower(d.text), '\w+') AS toks
-          |        FROM documents d JOIN cand ON cand.vec_id = d.doc_id),
-          |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
-          |st AS (SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 24)) AS strt
-          |       FROM s),
-          |ch AS (SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_idx,
-          |         toks[strt + 1 : least(strt + 32, n)] AS chunk_toks
-          |       FROM st),
-          |sc AS (SELECT ch.doc_id, ch.chunk_idx,
-          |         CAST((SELECT coalesce(sum(len(list_filter(ch.chunk_toks, x -> x = qt.w))), 0)
-          |               FROM qt) AS BIGINT) AS hits,
-          |         cand.cos_sim
-          |       FROM ch JOIN cand ON cand.vec_id = ch.doc_id)
-          |SELECT doc_id, chunk_idx, hits, cos_sim
-          |FROM sc ORDER BY hits DESC, cos_sim DESC, doc_id, chunk_idx
-          |LIMIT 10""".stripMargin),
+        hybridTailSql),
+    // c15: c6's lexical leg + fusion verbatim, the candidate leg from
+    // the d32 refined chain (top-20 by exact cosine for query 0).
+    "c15_retrieval_refined" ->
+      (s"""WITH $ivfPqRefinedCtes,
+          |cand AS (SELECT vec_id, cos_sim FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+          |  WHERE q_id = 0 AND rn <= 20),
+          |""".stripMargin + hybridTailSql),
+
     "d13_batch_ann" ->
       s"""WITH np AS (
          |  SELECT coalesce(min(p), 24) AS np FROM range(25) r(p)
