@@ -39,7 +39,10 @@ import graft.functions.VectorExpressions
   * Maintenance is DELTA-ONLY ([[append]]: m·k literal-centroid
   * codegen'd distance folds over the batch — zero shuffle, no history
   * reads); replay idempotency is STRUCTURAL (one deterministic code
-  * row per vector; the read side DISTINCTs).
+  * row per vector; the read side DISTINCTs — except on a freshly
+  * compacted zone, where [[optimize]]'s listing-fingerprint stamp
+  * proves the table duplicate-free and the dedup exchange is skipped
+  * entirely; see [[readableCodes]]).
   *
   * Scale shape of [[adcTopK]]: the LUTs are computed ON THE QUERY
   * FRAME (m·k sqdist expressions per query row, before broadcast);

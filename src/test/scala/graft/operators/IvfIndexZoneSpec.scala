@@ -128,6 +128,42 @@ class IvfIndexZoneSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("plan shape: probes broadcast into the lists join; per-query top-k is group-limited before the window exchange") {
+    val zone = tmpDir("ivfplan") + "/z"
+    IvfIndexZone.build(spark, emb, zone, k = 8, iters = 3)
+    val p = IvfIndexZone.topK(emb, queries(5), zone, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the ≤ nq·nprobe probe rows must be the BROADCAST side of the
+    // cid-keyed lists join (a shuffled probe join would exchange the
+    // lists table per query batch)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Spark's rank-limit pushdown must keep per-partition top-k AHEAD
+    // of the q_id window exchange — without it the exchange carries
+    // every scored candidate instead of partitions·nq·k rows
+    assert(p.contains("WindowGroupLimit"), p)
+    graft.core.Caches.release()
+  }
+
+  test("quantizer growth goes through ZoneRebuild: rebuilt zone equals a fresh fit at the new k") {
+    val d = emb
+    val z = tmpDir("ivfrebuild") + "/z"
+    IvfIndexZone.build(spark, d, z, k = 4, iters = 2)
+    // outgrown: create() refuses the re-fit in place...
+    val refit = Similarity.kmeansFit(d, 8, 3)
+    intercept[IllegalArgumentException] { IvfIndexZone.create(spark, z, refit) }
+    // ...so the deployment rebuilds side-by-side and cuts over
+    ZoneRebuild.rebuild(spark, z) { staging =>
+      IvfIndexZone.build(spark, d, staging, k = 8, iters = 3): Unit
+    }
+    val fresh = tmpDir("ivfrebuildref") + "/z"
+    IvfIndexZone.build(spark, d, fresh, k = 8, iters = 3)
+    assert(hits(z, nprobe = 2) == hits(fresh, nprobe = 2),
+      "rebuilt zone diverged from a fresh new-geometry build")
+    assert(!graft.core.Fs.exists(spark, z + ".rebuild") &&
+      !graft.core.Fs.exists(spark, z + ".retired"))
+    graft.core.Caches.release()
+  }
+
   test("a created-but-empty zone answers zero rows with the output shape") {
     val zone = tmpDir("ivfempty") + "/z"
     IvfIndexZone.create(spark, zone, Seq(Array.fill(64)(1048576L)))
