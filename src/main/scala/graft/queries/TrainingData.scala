@@ -48,6 +48,13 @@ object TrainingData {
     * the refine stage ever touches.
     */
   private[graft] val pqRefineR = 50
+  /** d33's exact-substring window: a span counts as duplicated when a
+    * run of this many consecutive tokens occurs verbatim elsewhere in
+    * the corpus (Lee et al.'s exact-substring rule; 20 tokens ≈ the
+    * 50-character scale their 50-token BPE threshold targets on these
+    * short synthetic docs).
+    */
+  private[graft] val ssdedupW = 20
   /** Exact-cosine verification threshold for the embedding-side dedup
     * family (d7/d15/d23/c12) — shared with the oracle builders so the
     * Spark paths and the SQL replay cannot desync.
@@ -901,6 +908,73 @@ object TrainingData {
     */
   def d17PassageDedup(spark: SparkSession, dir: String): DataFrame =
     passageDedup(Tables(spark, dir, "documents"))
+
+  /** EXACT-SUBSTRING dedup (d33) — the remaining member of the dedup
+    * ladder (d1 whole-document, d17 fixed-tile passage, d2/d8 fuzzy
+    * document): find every maximal token SPAN that occurs verbatim
+    * more than once anywhere in the corpus, at ANY alignment — the
+    * Lee et al. "Deduplicating Training Data" rule that catches
+    * boilerplate d17's fixed tiling misses when copies shift by a few
+    * tokens. Sliding [[ssdedupW]]-token windows are hashed per
+    * position; a window duplicated corpus-wide (count ≥ 2 over all
+    * (doc, pos) occurrences — within-doc repeats count, as in the
+    * paper) marks its span, and overlapping/adjacent marked spans
+    * merge into maximal islands (q63's running-max-end rule on token
+    * intervals). Output: one row per maximal duplicated span,
+    * `(doc_id, span_start, span_end, n_windows)`, 1-based inclusive
+    * token positions — the removal list a cleaning pass applies.
+    *
+    * Scale shape: window hashing is a per-document EXPRESSION (one
+    * `transform` over the token array — O(tokens·W) work, no
+    * per-position row blowup until the single posexplode); the
+    * duplicate test is one hash-keyed partial aggregation (a
+    * boilerplate window repeated millions of times collapses map-side
+    * — the d17 skew argument) plus a semi-join back on the same key;
+    * the island merge is a doc-keyed window over MARKED positions
+    * only. Nothing is ever corpus × corpus; suffix arrays (the
+    * paper's tool) don't distribute, sliding hashes do.
+    */
+  def d33SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupSpans(Tables(spark, dir, "documents"), ssdedupW)
+
+  /** Library seam for [[d33SubstringDedup]] (spec fixtures). `docs`
+    * must expose `doc_id` and `text`.
+    */
+  private[graft] def substringDedupSpans(docs: DataFrame, w: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1L, n - ${w - 1}L), i -> " +
+          s"CAST(conv(substring(md5(array_join(slice(t, CAST(i AS INT), $w), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1L).as("s"), col("h"))
+    val winsT = graft.core.Caches.persistTracked(wins)
+    // corpus-wide duplicated window hashes: partial-agg collapses hot
+    // boilerplate map-side; the marked-position semi-join is h-keyed
+    val dupH = winsT.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val marked = winsT.hint("shuffle_hash").join(dupH, Seq("h"))
+      .select(col("doc_id"), col("s"))
+    // maximal islands over spans [s, s+w-1]: new island iff this span
+    // starts past the running max end + 1 (merges overlap AND abutment)
+    val byS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    marked
+      .withColumn("prev_max_end", max(col("s") + lit(w.toLong - 1)).over(
+        byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max_end").isNull ||
+          col("s") > col("prev_max_end") + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + lit(w.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 
   /** Library seam for [[d17PassageDedup]]: passage-dedup a
     * caller-supplied corpus; `passageLen` is the tile width in tokens
@@ -2641,6 +2715,7 @@ object TrainingData {
     "x17_tfidf_keywords" -> (x17TfidfKeywords _),
     "x18_chunk_split" -> (x18ChunkSplit _),
     "d17_passage_dedup" -> (d17PassageDedup _),
+    "d33_substring_dedup" -> (d33SubstringDedup _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -2831,6 +2906,34 @@ object TrainingData {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
        |WHERE rn <= 10 ORDER BY q_id, nn_rank""".stripMargin
+
+  /** d33's oracle: per-position window hashes via the tok self-join
+    * (positions × W rows — fine at oracle scale), HAVING count(*)=W
+    * drops incomplete tails, dup hashes by global occurrence count,
+    * gap-and-island merge with the same running-max rule.
+    */
+  private lazy val substringDedupOracleSql: String = {
+    val w = ssdedupW
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS i, unnest(t) AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)),
+       |win AS MATERIALIZED (SELECT a.doc_id, a.i AS s,
+       |    ${h60sql.format("string_agg(b.w, ' ' ORDER BY b.i)")} AS h
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+       |    AND b.i >= a.i AND b.i < a.i + $w
+       |  GROUP BY a.doc_id, a.i HAVING count(*) = $w),
+       |dup AS MATERIALIZED (SELECT doc_id, s FROM win
+       |  WHERE h IN (SELECT h FROM win GROUP BY h HAVING count(*) >= 2)),
+       |brks AS (SELECT doc_id, s,
+       |    CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$w) + $w
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM dup),
+       |isl AS (SELECT doc_id, s,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM brks)
+       |SELECT doc_id, min(s) AS span_start, max(s) + ${w - 1} AS span_end,
+       |    count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** The PQ structure as CTEs, shared by the d30 and d31 oracles: per
     * subspace, a sliced-source integer-Lloyd chain (kmeansCtes with a
@@ -4389,6 +4492,9 @@ object TrainingData {
     "d30_pq_topk" -> pqTopKOracleSql,
     "d31_ivf_pq" -> ivfPqOracleSql,
     "d32_ivf_pq_refined" -> ivfPqRefinedOracleSql,
+    // d33: sliding-window hashes per position, corpus-wide dup test,
+    // running-max-end island merge — all exact integer arithmetic.
+    "d33_substring_dedup" -> substringDedupOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's
