@@ -937,6 +937,38 @@ object TrainingData {
   def d33SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupSpans(Tables(spark, dir, "documents"), ssdedupW)
 
+  /** The cleaning CONSUMER of d33 (x25): reassemble every document
+    * minus its duplicated spans — the pass that actually applies the
+    * removal list. A document whose every token sits inside a
+    * duplicated span drops out entirely (the Gopher-style fate of
+    * pure-boilerplate docs); a document with no spans passes through
+    * verbatim. Output `(doc_id, n_kept, clean_text)`.
+    *
+    * Scale shape: d33's span derivation (see there) plus one
+    * doc-keyed anti join — the span list is islands-sized (≪ corpus,
+    * broadcast), the token side is one narrow pass, and reassembly is
+    * the d17 sort_array/collect_list idiom inside a doc-keyed agg.
+    */
+  def x25SubstringClean(spark: SparkSession, dir: String): DataFrame =
+    substringClean(Tables(spark, dir, "documents"), ssdedupW)
+
+  private[graft] def substringClean(docs: DataFrame, w: Int): DataFrame = {
+    val spans = substringDedupSpans(docs, w)
+      .select(col("doc_id"), col("span_start"), col("span_end")).as("sp")
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "w")))
+      .select(col("doc_id"), (col("p") + 1L).as("i"), col("w")).as("tk")
+    toks.join(broadcast(spans),
+        col("tk.doc_id") === col("sp.doc_id") &&
+          col("i").between(col("span_start"), col("span_end")), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("i"), col("w")))),
+          s => s.getField("w"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Library seam for [[d33SubstringDedup]] (spec fixtures). `docs`
     * must expose `doc_id` and `text`.
     */
@@ -2716,6 +2748,7 @@ object TrainingData {
     "x18_chunk_split" -> (x18ChunkSplit _),
     "d17_passage_dedup" -> (d17PassageDedup _),
     "d33_substring_dedup" -> (d33SubstringDedup _),
+    "x25_substring_clean" -> (x25SubstringClean _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -2912,9 +2945,12 @@ object TrainingData {
     * drops incomplete tails, dup hashes by global occurrence count,
     * gap-and-island merge with the same running-max rule.
     */
-  private lazy val substringDedupOracleSql: String = {
+  /** d33/x25's shared chain through `isl` (doc, marked position,
+    * island id) — `tok` stays visible for x25's reassembly.
+    */
+  private lazy val substringSpanCtes: String = {
     val w = ssdedupW
-    s"""WITH tok AS MATERIALIZED (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS i, unnest(t) AS w
+    s"""tok AS MATERIALIZED (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS i, unnest(t) AS w
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)),
        |win AS MATERIALIZED (SELECT a.doc_id, a.i AS s,
        |    ${h60sql.format("string_agg(b.w, ' ' ORDER BY b.i)")} AS h
@@ -2928,12 +2964,30 @@ object TrainingData {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$w) + $w
        |      THEN 1 ELSE 0 END AS brk
        |  FROM dup),
-       |isl AS (SELECT doc_id, s,
-       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM brks)
-       |SELECT doc_id, min(s) AS span_start, max(s) + ${w - 1} AS span_end,
+       |isl AS MATERIALIZED (SELECT doc_id, s,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM brks)""".stripMargin
+  }
+
+  private lazy val substringDedupOracleSql: String =
+    s"""WITH $substringSpanCtes
+       |SELECT doc_id, min(s) AS span_start, max(s) + ${ssdedupW - 1} AS span_end,
        |    count(*) AS n_windows
        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
-  }
+
+  /** x25: the span chain, then every token OUTSIDE a span reassembled
+    * in position order (docs fully covered drop out — no kept rows).
+    */
+  private lazy val substringCleanOracleSql: String =
+    s"""WITH $substringSpanCtes,
+       |spans AS MATERIALIZED (SELECT doc_id, min(s) AS st,
+       |    max(s) + ${ssdedupW - 1} AS en
+       |  FROM isl GROUP BY doc_id, island)
+       |SELECT t.doc_id, count(*) AS n_kept,
+       |    string_agg(t.w, ' ' ORDER BY t.i) AS clean_text
+       |FROM tok t
+       |WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |  WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.st AND sp.en)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** The PQ structure as CTEs, shared by the d30 and d31 oracles: per
     * subspace, a sliced-source integer-Lloyd chain (kmeansCtes with a
@@ -4495,6 +4549,7 @@ object TrainingData {
     // d33: sliding-window hashes per position, corpus-wide dup test,
     // running-max-end island merge — all exact integer arithmetic.
     "d33_substring_dedup" -> substringDedupOracleSql,
+    "x25_substring_clean" -> substringCleanOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's

@@ -67,4 +67,19 @@ class SubstringDedupSpec extends SparkSpec {
   test("a corpus with no repeated window emits nothing") {
     assert(spans(Seq(1L -> words("qa", 30), 2L -> words("qb", 30))).isEmpty)
   }
+
+  test("clean: spans are cut, untouched docs pass verbatim, fully-duplicated docs drop out") {
+    import spark.implicits._
+    val passage = words("dup", 8)
+    val clean = TrainingData.substringClean(Seq(
+        1L -> s"${words("ua", 3)} $passage ${words("ub", 4)}",
+        2L -> passage, // nothing but the shared passage → dropped
+        3L -> words("uz", 12)) // untouched → verbatim
+      .toDF("doc_id", "text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // doc 1 keeps its unique flanks; positions 4..11 are cut
+    assert(clean == Seq(
+      (1L, 7L, s"${words("ua", 3)} ${words("ub", 4)}"),
+      (3L, 12L, words("uz", 12))), clean.toString)
+  }
 }
