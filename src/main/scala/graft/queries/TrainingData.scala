@@ -987,7 +987,9 @@ object TrainingData {
     // boilerplate map-side; the marked-position semi-join is h-keyed
     val dupH = winsT.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
-    val marked = winsT.hint("shuffle_hash").join(dupH, Seq("h"))
+    // the duplicated-hash set builds (duplication is the exception, so
+    // it is orders smaller than the window table, which streams)
+    val marked = winsT.join(dupH.hint("shuffle_hash"), Seq("h"))
       .select(col("doc_id"), col("s"))
     // maximal islands over spans [s, s+w-1]: new island iff this span
     // starts past the running max end + 1 (merges overlap AND abutment)
