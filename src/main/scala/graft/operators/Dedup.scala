@@ -103,6 +103,52 @@ object Dedup {
     withToks.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
+  /** Per-POSITION sliding window hashes for exact-substring dedup
+    * (d33/d34): `(doc_id, s, h)` with `s` the 1-based token start and
+    * `h` the 60-bit hash of the `w` space-joined tokens from `s`.
+    * Unlike [[shingles]] this keeps EVERY position (within-doc repeats
+    * are duplication under the exact-substring rule) — the whole
+    * derivation is one `transform` expression over the token array, so
+    * no per-position rows exist before the single posexplode. Docs
+    * shorter than `w` contribute nothing.
+    */
+  def windowHashes(df: DataFrame, idCol: Column, text: Column,
+      w: Int): DataFrame =
+    df.select(idCol.as("doc_id"), tokens(text).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1L, n - ${w - 1}L), i -> " +
+          s"CAST(conv(substring(md5(array_join(slice(t, CAST(i AS INT), $w), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1L).as("s"), col("h"))
+
+  /** Merge MARKED window positions into maximal duplicated spans:
+    * overlapping or abutting `[s, s+w-1]` extents collapse (new island
+    * iff a start lands past the running max end + 1 — q63's rule on
+    * token intervals). `marked` must expose `doc_id` and `s`; output
+    * `(doc_id, span_start, span_end, n_windows)` ordered. The window
+    * runs over marked positions only (duplication-sized, ≪ corpus).
+    */
+  def mergeWindowSpans(marked: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    marked
+      .withColumn("prev_max_end", max(col("s") + lit(w.toLong - 1)).over(
+        byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max_end").isNull ||
+          col("s") > col("prev_max_end") + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + lit(w.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Stop-shingle document-frequency cap: drop shingles appearing in more
     * than `maxDocFreq` documents BEFORE any pairwise work. This is the
     * guard that keeps shingle self-joins from going quadratic at scale: a

@@ -969,20 +969,42 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** The persisted window-count zone over the HISTORY slice — d33's
+    * incremental posture ([[graft.operators.WindowZone]]); built once
+    * per (session, dir). Spec seam for SubstringDedupSpec.
+    */
+  private[graft] def windowZone(spark: SparkSession, dir: String): String =
+    graft.core.StagedLayouts.once(spark, s"d34zone|$dir") { () =>
+      val z = graft.core.Scratch.dir("d34zone")
+      val docs = Tables(spark, dir, "documents")
+      graft.operators.WindowZone.create(spark, z, ssdedupW)
+      graft.operators.WindowZone.append(
+        docs.filter(col("doc_id") < incrementalCut(docs)), z, batchId = 0L)
+      z
+    }
+
+  /** Incremental exact-substring dedup (d34): the arriving delta (last
+    * 1/5 by id) finds its duplicated spans against history∪delta by
+    * probing the STORED window counts — history text is never re-read
+    * or re-hashed (d22's posture applied to d33). The incremental rule
+    * (stored count + delta count ≥ 2) is exactly d33's corpus-wide
+    * rule, so the output provably equals the batch recompute
+    * restricted to delta documents — the oracle IS d33's chain with a
+    * delta filter, and SubstringDedupSpec pins the equality engine-side.
+    */
+  def d34IncrementalSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+      .select(col("doc_id"), col("text"))
+    graft.operators.WindowZone.incrementalSpans(delta, windowZone(spark, dir))
+  }
+
   /** Library seam for [[d33SubstringDedup]] (spec fixtures). `docs`
     * must expose `doc_id` and `text`.
     */
   private[graft] def substringDedupSpans(docs: DataFrame, w: Int): DataFrame = {
-    val wins = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .withColumn("n", size(col("t")).cast("long"))
-      .filter(col("n") >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1L, n - ${w - 1}L), i -> " +
-          s"CAST(conv(substring(md5(array_join(slice(t, CAST(i AS INT), $w), ' ')), 1, 15), 16, 10) AS BIGINT))"))
-        .as(Seq("p", "h")))
-      .select(col("doc_id"), (col("p") + 1L).as("s"), col("h"))
-    val winsT = graft.core.Caches.persistTracked(wins)
+    val winsT = graft.core.Caches.persistTracked(
+      graft.operators.Dedup.windowHashes(docs, col("doc_id"), col("text"), w))
     // corpus-wide duplicated window hashes: partial-agg collapses hot
     // boilerplate map-side; the marked-position semi-join is h-keyed
     val dupH = winsT.groupBy(col("h"))
@@ -991,23 +1013,7 @@ object TrainingData {
     // it is orders smaller than the window table, which streams)
     val marked = winsT.join(dupH.hint("shuffle_hash"), Seq("h"))
       .select(col("doc_id"), col("s"))
-    // maximal islands over spans [s, s+w-1]: new island iff this span
-    // starts past the running max end + 1 (merges overlap AND abutment)
-    val byS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    marked
-      .withColumn("prev_max_end", max(col("s") + lit(w.toLong - 1)).over(
-        byS.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prev_max_end").isNull ||
-          col("s") > col("prev_max_end") + 1L, 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("s")).as("span_start"),
-        (max(col("s")) + lit(w.toLong - 1)).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
-      .orderBy(col("doc_id"), col("span_start"))
+    graft.operators.Dedup.mergeWindowSpans(marked, w)
   }
 
   /** Library seam for [[d17PassageDedup]]: passage-dedup a
@@ -2751,6 +2757,7 @@ object TrainingData {
     "d17_passage_dedup" -> (d17PassageDedup _),
     "d33_substring_dedup" -> (d33SubstringDedup _),
     "x25_substring_clean" -> (x25SubstringClean _),
+    "d34_incremental_substring" -> (d34IncrementalSubstring _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
     "x9_decontaminate" -> (x9Decontaminate _),
@@ -2975,6 +2982,18 @@ object TrainingData {
        |SELECT doc_id, min(s) AS span_start, max(s) + ${ssdedupW - 1} AS span_end,
        |    count(*) AS n_windows
        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
+  /** d34's oracle: d33's chain with the final select restricted to
+    * the delta slice (doc_id >= the 4/5 cut) — the incremental zone
+    * probe must answer exactly like the batch recompute there.
+    */
+  private lazy val incrSubstringOracleSql: String =
+    s"""WITH $substringSpanCtes,
+       |cut AS (SELECT count(*) * 4 // 5 AS c FROM documents)
+       |SELECT doc_id, min(s) AS span_start, max(s) + ${ssdedupW - 1} AS span_end,
+       |    count(*) AS n_windows
+       |FROM isl, cut WHERE doc_id >= cut.c
+       |GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
 
   /** x25: the span chain, then every token OUTSIDE a span reassembled
     * in position order (docs fully covered drop out — no kept rows).
@@ -4552,6 +4571,9 @@ object TrainingData {
     // running-max-end island merge — all exact integer arithmetic.
     "d33_substring_dedup" -> substringDedupOracleSql,
     "x25_substring_clean" -> substringCleanOracleSql,
+    // d34: the same span chain, restricted to delta documents — the
+    // incremental rule (stored + delta counts >= 2) IS d33's rule.
+    "d34_incremental_substring" -> incrSubstringOracleSql,
     // c7: every stage replayed — x3 scoring, exact-dedup window,
     // survivor-scoped IVF pairs + recursive closure, the seeded k-means
     // chain over keepers, the per-cluster budget window, and x12's

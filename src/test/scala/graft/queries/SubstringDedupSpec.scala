@@ -68,6 +68,40 @@ class SubstringDedupSpec extends SparkSpec {
     assert(spans(Seq(1L -> words("qa", 30), 2L -> words("qb", 30))).isEmpty)
   }
 
+  test("incremental spans from the window zone equal the batch recompute restricted to the delta") {
+    import spark.implicits._
+    import graft.operators.WindowZone
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.count() * 4L / 5L
+    val zone = tmpDir("winzone") + "/z"
+    val wBig = 20 // the d33/d34 production width on real data
+    WindowZone.create(spark, zone, wBig)
+    WindowZone.append(docs.filter(col("doc_id") < cut), zone, batchId = 0L)
+    val delta = docs.filter(col("doc_id") >= cut)
+    val incr = WindowZone.incrementalSpans(delta, zone)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = TrainingData.substringDedupSpans(docs, wBig)
+      .filter(col("doc_id") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(incr == batch,
+      s"incremental (${incr.size} spans) diverged from the batch recompute (${batch.size})")
+    assert(incr.nonEmpty, "fixture lost its delta-crossing duplication signal")
+    // replayed batch append (same batch id, byte-identical rows) is
+    // absorbed by the reader's DISTINCT
+    WindowZone.append(docs.filter(col("doc_id") < cut), zone, batchId = 0L)
+    assert(WindowZone.incrementalSpans(delta, zone)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == incr,
+      "replayed zone batch changed the incremental spans")
+    // width is geometry: same-width re-create is a no-op, change refused
+    val fp = graft.core.Fs.fingerprint(spark, s"$zone/meta")
+    WindowZone.create(spark, zone, wBig)
+    assert(graft.core.Fs.fingerprint(spark, s"$zone/meta") == fp)
+    val e = intercept[IllegalArgumentException] { WindowZone.create(spark, zone, 10) }
+    assert(e.getMessage.contains("incompatible"))
+    graft.core.Caches.release()
+  }
+
   test("clean: spans are cut, untouched docs pass verbatim, fully-duplicated docs drop out") {
     import spark.implicits._
     val passage = words("dup", 8)
