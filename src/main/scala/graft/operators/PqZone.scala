@@ -251,6 +251,15 @@ object PqZone {
     * candidate costs m integer lookups against the query's LUTs —
     * the corpus's raw vectors are never read. Output
     * `(q_id, vec_id, adc_dist, nn_rank)`, ranked (adc asc, vec_id).
+    *
+    * CONTRACT — this is the flat-scan posture (FAISS IndexPQ): the
+    * crossJoin scores the ENTIRE code table per query, by definition.
+    * It is for SMALL corpora (the codes fit a few partitions) and for
+    * re-ranking an already-bounded candidate set — never the corpus
+    * read path at scale. Corpus-scale callers MUST route first:
+    * [[ivfAdcTopK]] bounds the scan to the probed cells' codes and is
+    * the production posture ([[refinedTopK]] for the exact-refined
+    * one). PqZoneSpec pins this requirement.
     */
   def adcTopK(queries: DataFrame, zoneDir: String, k: Int,
       dims: Int = 64): DataFrame = {

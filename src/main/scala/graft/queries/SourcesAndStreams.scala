@@ -339,6 +339,16 @@ object SourcesAndStreams {
   def st25StreamAdmissionLoop(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamSemanticAdmissionLoop(spark, dir)
 
+  /** The FULL streamed production pipeline — per micro-batch:
+    * calibrated four-gate decide → fates → persisted-centroid cluster
+    * assignment → per-cluster token-budget cut → packed shard emit,
+    * with zone feedback; the terminal deployment shape of the
+    * admission stack — see
+    * [[graft.streaming.EventStream.streamProductionPipeline]].
+    */
+  def st29StreamProduction(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamProductionPipeline(spark, dir)
+
   /** The Hamming-signature zone maintained from a checkpointed stream
     * (each batch decodes only ITS OWN audio rows), then d26's
     * incremental audio dedup answered from it — see
@@ -859,6 +869,7 @@ object SourcesAndStreams {
     "st23_stream_zone_tombstones" -> (st23StreamZoneTombstones _),
     "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
+    "st29_stream_production" -> (st29StreamProduction _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
     "st28_stream_pq_codes" -> (st28StreamPqCodes _),
@@ -1041,6 +1052,9 @@ object SourcesAndStreams {
     // the embedded window's quarters, extended with the per-slice SRP
     // semantic gate and the slice-2 tombstone subtraction.
     "st25_stream_admission_loop" -> TrainingData.st25OracleSql,
+    // st29: st25's slice-tagged loop replay with c13's threshold CTE in
+    // the gate and c14's assignment/quota/packing chain per slice.
+    "st29_stream_production" -> TrainingData.st29OracleSql,
     // st26 answers d26's incremental audio dedup from the streamed
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),

@@ -945,9 +945,16 @@ object TrainingData {
     * verbatim. Output `(doc_id, n_kept, clean_text)`.
     *
     * Scale shape: d33's span derivation (see there) plus one
-    * doc-keyed anti join — the span list is islands-sized (≪ corpus,
-    * broadcast), the token side is one narrow pass, and reassembly is
-    * the d17 sort_array/collect_list idiom inside a doc-keyed agg.
+    * doc-keyed anti join. The span list is the OUTPUT of a corpus-wide
+    * aggregation and grows with the corpus (web-scale boilerplate ⇒
+    * billions of span rows at 100 TB), so it must never broadcast —
+    * the d17 keeper-table rule applies here too. The join has a
+    * `doc_id` equi-component, so a doc_id-keyed shuffled-hash join
+    * with the spans side building (spans per doc ≪ tokens per doc) is
+    * the scale-safe plan; the range predicate evaluates post-probe.
+    * Reassembly is the d17 sort_array/collect_list idiom inside a
+    * doc-keyed agg. Plan pinned in PlanShapeSpec ("x25: span removal
+    * join never broadcasts the spans side").
     */
   def x25SubstringClean(spark: SparkSession, dir: String): DataFrame =
     substringClean(Tables(spark, dir, "documents"), ssdedupW)
@@ -958,7 +965,7 @@ object TrainingData {
     val toks = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "w")))
       .select(col("doc_id"), (col("p") + 1L).as("i"), col("w")).as("tk")
-    toks.join(broadcast(spans),
+    toks.join(spans.hint("shuffle_hash"),
         col("tk.doc_id") === col("sp.doc_id") &&
           col("i").between(col("span_start"), col("span_end")), "left_anti")
       .groupBy(col("doc_id"))
@@ -2374,6 +2381,27 @@ object TrainingData {
         emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
         Similarity.loadCentroids(spark, s"$zones/cents"))
       .select(col("vec_id").as("doc_id"), col("cid"))
+    admissionShardTail(docs, kept, cids)
+  }
+
+  /** c14's budget-cut + packing tail, factored out so the batch
+    * posture (c14) and st29's per-micro-batch production loop run the
+    * SAME code and cannot drift (the c15 `hybridRetrievalTail` rule):
+    * per-cluster greedy token-budget cut over the kept delta (budget =
+    * kept tokens / 2 / #non-empty clusters — each batch fills its own
+    * quota), then x12's two-level √N sequence packing of the
+    * selection into 2048-token training rows. `kept` must expose
+    * `(doc_id, quality_score)` (lineage-truncated by the caller),
+    * `cids` `(doc_id, cid)`. Output one row per SELECTED document:
+    * `(doc_id, cid, quality_score, n_tokens, start_off, seq_start,
+    * seq_end)`.
+    *
+    * Scale shape: ONE cid-keyed exchange for the budget window; ONE
+    * doc_id range exchange + √N-bounded windows for packing
+    * (PlanShapeSpec pins the exchange-key set via c14).
+    */
+  private[graft] def admissionShardTail(docs: DataFrame, kept: DataFrame,
+      cids: DataFrame): DataFrame = {
     // the clustered kept-delta table feeds the budget scalar, the
     // quota window, and the final join-back — persist once (c7's
     // stage-boundary discipline; it is kept-delta-sized)
@@ -2464,11 +2492,15 @@ object TrainingData {
     * contract as [[admissionDecisions]] plus: `emb` supplies candidate
     * VECTORS for semantic verification (read per-candidate via
     * semi-join, never scanned), and every delta doc must be inside the
-    * embedded range (the caller's window rule).
+    * embedded range (the caller's window rule). `calThresholds`
+    * threads the c13 per-source calibrated quality gate through
+    * unchanged (st29's production loop supplies it; when given, the
+    * delta must expose `source`).
     */
   private[graft] def semanticAdmissionDecisions(spark: SparkSession,
       docs: DataFrame, emb: DataFrame, delta: DataFrame,
-      md5ZoneDir: String, sigZoneDir: String, annZoneDir: String): DataFrame = {
+      md5ZoneDir: String, sigZoneDir: String, annZoneDir: String,
+      calThresholds: Option[DataFrame] = None): DataFrame = {
     // text-stage fates feed two consumers (kept filter + final join) AND
     // sit under the whole vector-gate lineage — localCheckpoint (not a
     // cache) because a cached plan still NESTS the full admission
@@ -2476,8 +2508,8 @@ object TrainingData {
     // pass goes super-linear on that replication (the c9/CC lineage-
     // truncation rule; the frame is delta-sized, so the checkpoint is
     // bounded)
-    val fates = admissionDecisions(spark, docs, delta, md5ZoneDir, sigZoneDir)
-      .localCheckpoint()
+    val fates = admissionDecisions(spark, docs, delta, md5ZoneDir, sigZoneDir,
+        calThresholds).localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
     // the same crash-replay self-exclusion threshold as the text gates
@@ -2580,6 +2612,55 @@ object TrainingData {
         size(team).cast("long").as("n_team"),
         array_join(team, ",").as("team_csv"))
       .orderBy(id)
+  }
+
+  /** GitHub-profile extraction (x26): the LITERAL replay of the
+    * reference's one pure-Python column transform in the scrape
+    * subsystem — `get_github_profile`
+    * (project_catalyst/get_github_profile.py:4-23): strip leading/
+    * trailing whitespace; if the url starts with the exact prefix
+    * `github.com/`, drop the prefix; return the first `/`-separated
+    * segment; null/blank input yields the empty string. The reference
+    * runs it as a pandas list comprehension over a scraped company
+    * column — here it is one codegen'd projection (trim + prefix test
+    * + split_part), per-partition with no shuffle except the output
+    * sort, which is how a 100 TB link corpus would run it.
+    *
+    * The company-link column is an injected deterministic fixture
+    * (x24's PII discipline — both engines synthesize identical links
+    * from doc_id alone) cycling through every branch of the reference
+    * function: user/repo, bare user, trailing slash (all three
+    * docstring examples), a scheme-prefixed url that misses the
+    * prefix test (the reference returns `https:` — replayed verbatim,
+    * quirk included), padded whitespace, empty, and NULL.
+    */
+  def x26GithubProfile(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val user = concat(lit("user_"), pmod(id, lit(53)))
+    val link = when(pmod(id, lit(7)) === 0,
+        concat(lit("github.com/"), user, lit("/repo_"), pmod(id, lit(13))))
+      .when(pmod(id, lit(7)) === 1, concat(lit("github.com/"), user))
+      .when(pmod(id, lit(7)) === 2, concat(lit("github.com/"), user, lit("/")))
+      .when(pmod(id, lit(7)) === 3, concat(lit("https://github.com/"), user))
+      .when(pmod(id, lit(7)) === 4, concat(lit("  github.com/"), user, lit("  ")))
+      .when(pmod(id, lit(7)) === 5, lit(""))
+      .otherwise(lit(null).cast("string"))
+    Tables(spark, dir, "documents")
+      .select(id, link.as("company_link"))
+      .select(id, col("company_link"),
+        githubProfile(col("company_link")).as("github_profile"))
+      .orderBy(id)
+  }
+
+  /** The extraction chain itself (library seam for the spec, which
+    * replays the reference docstring's examples verbatim).
+    */
+  private[graft] def githubProfile(url: Column): Column = {
+    val u = trim(url)
+    val rest = when(u.startsWith("github.com/"),
+      substring(u, 12, Int.MaxValue)).otherwise(u)
+    when(url.isNull || u === "", lit(""))
+      .otherwise(split_part(rest, lit("/"), lit(1)))
   }
 
   /** Per-source calibration thresholds over a HISTORY slice — the
@@ -2738,6 +2819,7 @@ object TrainingData {
     "c15_retrieval_refined" -> (c15RetrievalRefined _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
+    "x26_github_profile" -> (x26GithubProfile _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -3473,6 +3555,197 @@ object TrainingData {
        |LEFT JOIN comp ON comp.doc_id = sc.doc_id AND comp.s = sc.s
        |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id AND comp2.s = sc.s
        |ORDER BY sc.doc_id""".stripMargin
+
+  /** st29's oracle: st25's slice-tagged three-gate loop replay with
+    * (a) c13's calibration-threshold CTE swapped into the quality gate
+    * (thresholds trained over the slice-0 history — the refresh the
+    * engine persists before the stream opens), and (b) c14's
+    * assignment + per-cluster quota + packing chain appended PER SLICE
+    * (centroids likewise slice-0-trained; each round packs its own
+    * kept-and-budgeted docs from offset 0 — the per-batch shard). One
+    * hash-compared relation: every decided doc's fate plus its shard
+    * row (NULLs when not selected).
+    */
+  private[queries] lazy val st29OracleSql =
+    s"""WITH RECURSIVE
+       |ee AS MATERIALIZED (SELECT count(*) AS e FROM embeddings),
+       |sl AS MATERIALIZED (SELECT doc_id, source, text,
+       |    (CASE WHEN doc_id >= e * 1 // 4 THEN 1 ELSE 0 END
+       |     + CASE WHEN doc_id >= e * 2 // 4 THEN 1 ELSE 0 END
+       |     + CASE WHEN doc_id >= e * 3 // 4 THEN 1 ELSE 0 END) AS s
+       |  FROM documents, ee WHERE doc_id < e),
+       |hq AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    length(text) AS n_chars_len,
+       |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+       |  FROM sl WHERE s = 0),
+       |hsc AS MATERIALIZED (SELECT doc_id, source,
+       |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+       |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+       |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+       |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+       |      AS quality_score
+       |  FROM hq),
+       |calth AS MATERIALIZED (SELECT source, quality_score AS thr FROM (
+       |    SELECT source, quality_score,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY quality_score, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM hsc WHERE quality_score IS NOT NULL) t
+       |  WHERE rn = (n + 1) // 2),
+       |q0 AS MATERIALIZED (
+       |  SELECT doc_id, source, text, s,
+       |    length(text) AS n_chars_len,
+       |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+       |  FROM sl WHERE s >= 1),
+       |sc AS MATERIALIZED (SELECT doc_id, source, text, s,
+       |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+       |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+       |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+       |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+       |      AS quality_score
+       |  FROM q0),
+       |qp AS MATERIALIZED (SELECT sc.doc_id,
+       |    coalesce(CASE WHEN t.thr IS NULL THEN sc.quality_score > 0
+       |                  ELSE sc.quality_score >= t.thr END, FALSE) AS q_pass
+       |  FROM sc LEFT JOIN calth t ON t.source = sc.source),
+       |gated AS MATERIALIZED (SELECT sc.doc_id, sc.s, sc.text
+       |  FROM sc JOIN qp ON qp.doc_id = sc.doc_id WHERE qp.q_pass),
+       |allm AS MATERIALIZED (SELECT doc_id, s, md5(text) AS m FROM sl),
+       |hist AS MATERIALIZED (SELECT g.doc_id, min(a.doc_id) AS hk
+       |  FROM gated g JOIN allm a ON a.m = md5(g.text) AND a.s < g.s, ee
+       |  WHERE NOT (a.doc_id % 17 = 3 AND a.doc_id < ee.e * 2 // 4 AND g.s >= 2)
+       |  GROUP BY 1),
+       |dmin AS MATERIALIZED (SELECT s, md5(text) AS m, min(doc_id) AS dk
+       |  FROM gated GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT g.doc_id, g.s,
+       |    CASE WHEN h.hk IS NULL THEN d.dk ELSE least(h.hk, d.dk) END AS eb
+       |  FROM gated g JOIN dmin d ON d.s = g.s AND d.m = md5(g.text)
+       |  LEFT JOIN hist h ON h.doc_id = g.doc_id),
+       |sv AS MATERIALIZED (SELECT doc_id, s FROM ex WHERE eb = doc_id),
+       |$grams3M,
+       |hashed AS MATERIALIZED (SELECT doc_id, ${h60sql.format("shingle")} % 1073741824 AS h FROM grams),
+       |mh AS MATERIALIZED (SELECT doc_id, s, min((h * (2 * s + 1) + (s * 12345 + 678)) % 1073741824) AS m
+       |  FROM hashed, range(16) r(s) GROUP BY 1, 2),
+       |bands AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, ':' ORDER BY s)) AS bh
+       |  FROM mh GROUP BY doc_id, s // 4),
+       |cand AS MATERIALIZED (SELECT DISTINCT v.s AS s, a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+       |  JOIN sv v ON v.doc_id = b2.doc_id
+       |  JOIN sl sa ON sa.doc_id = a.doc_id
+       |  LEFT JOIN sv va ON va.doc_id = a.doc_id AND va.s = v.s, ee
+       |  WHERE (sa.s < v.s
+       |      AND NOT (a.doc_id % 17 = 3 AND a.doc_id < ee.e * 2 // 4 AND v.s >= 2))
+       |    OR va.doc_id IS NOT NULL),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |common AS MATERIALIZED (SELECT c.s, c.doc_a, c.doc_b, count(*) AS nc
+       |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+       |  GROUP BY 1, 2, 3),
+       |vp AS MATERIALIZED (SELECT s, doc_a, doc_b FROM common
+       |  JOIN sizes sa2 ON sa2.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(nc AS DOUBLE) / (sa2.n + sb.n - nc) >= $jaccardThreshold),
+       |verts AS MATERIALIZED (SELECT s, doc_id FROM sv
+       |  UNION SELECT s, doc_a FROM vp UNION SELECT s, doc_b FROM vp),
+       |edges AS MATERIALIZED (SELECT s, doc_a AS src, doc_b AS dst FROM vp
+       |  UNION ALL SELECT s, doc_b, doc_a FROM vp),
+       |closure(s, a, b) AS (
+       |  SELECT s, doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT c.s, c.a, e.dst FROM closure c JOIN edges e ON e.s = c.s AND e.src = c.b),
+       |comp AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component FROM closure GROUP BY 1, 2),
+       |keptd AS MATERIALIZED (SELECT v.doc_id, v.s FROM sv v
+       |  JOIN qp ON qp.doc_id = v.doc_id
+       |  JOIN comp c ON c.doc_id = v.doc_id AND c.s = v.s
+       |  WHERE qp.q_pass AND c.component = v.doc_id),
+       |$srpBucketCtes,
+       |scand AS MATERIALIZED (SELECT DISTINCT k.s AS s, a.vec_id AS va, b.vec_id AS vb
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN keptd k ON k.doc_id = b.vec_id
+       |  JOIN sl sa3 ON sa3.doc_id = a.vec_id
+       |  LEFT JOIN keptd ka ON ka.doc_id = a.vec_id AND ka.s = k.s, ee
+       |  WHERE (sa3.s < k.s
+       |      AND NOT (a.vec_id % 17 = 3 AND a.vec_id < ee.e * 2 // 4 AND k.s >= 2))
+       |    OR ka.doc_id IS NOT NULL),
+       |sn AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |svp AS MATERIALIZED (SELECT s, va, vb FROM scand
+       |  JOIN sn a ON a.vec_id = va JOIN sn b ON b.vec_id = vb
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
+       |sverts AS MATERIALIZED (SELECT s, doc_id FROM keptd
+       |  UNION SELECT s, va FROM svp UNION SELECT s, vb FROM svp),
+       |sedges AS MATERIALIZED (SELECT s, va AS src, vb AS dst FROM svp
+       |  UNION ALL SELECT s, vb, va FROM svp),
+       |closure2(s, a, b) AS (
+       |  SELECT s, doc_id, doc_id FROM sverts
+       |  UNION
+       |  SELECT c.s, c.a, e.dst FROM closure2 c JOIN sedges e ON e.s = c.s AND e.src = c.b),
+       |comp2 AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component
+       |  FROM closure2 GROUP BY 1, 2),
+       |ft AS MATERIALIZED (SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS round, sc.s,
+       |  CASE WHEN NOT qp.q_pass THEN 'low_quality'
+       |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+       |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+       |       WHEN comp2.component < sc.doc_id THEN 'semantic_dup'
+       |       ELSE 'kept' END AS fate,
+       |  CASE WHEN NOT qp.q_pass THEN NULL
+       |       WHEN ex.eb < sc.doc_id THEN ex.eb
+       |       WHEN comp.component < sc.doc_id THEN comp.component
+       |       WHEN comp2.component < sc.doc_id THEN comp2.component
+       |       ELSE NULL END AS dup_of,
+       |  sc.quality_score
+       |FROM sc JOIN qp ON qp.doc_id = sc.doc_id
+       |LEFT JOIN ex ON ex.doc_id = sc.doc_id
+       |LEFT JOIN comp ON comp.doc_id = sc.doc_id AND comp.s = sc.s
+       |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id AND comp2.s = sc.s),
+       |keptf AS MATERIALIZED (SELECT doc_id, s, quality_score FROM ft
+       |  WHERE fate = 'kept'),
+       |hemb AS MATERIALIZED (SELECT e2.vec_id, e2.embedding
+       |  FROM embeddings e2, ee WHERE e2.vec_id < ee.e // 4),
+       |${kmeansCtes("hemb")},
+       |kqd AS MATERIALIZED (SELECT e3.vec_id,
+       |    CAST(generate_subscripts(e3.embedding, 1) AS BIGINT) AS dim,
+       |    CAST(floor((CAST(unnest(e3.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+       |  FROM embeddings e3 JOIN keptf k ON k.doc_id = e3.vec_id),
+       |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+       |  FROM kqd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid),
+       |asg AS MATERIALIZED (SELECT vec_id AS doc_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM dd)
+       |  WHERE rn = 1),
+       |clx AS MATERIALIZED (SELECT k.doc_id, k.s, asg.cid, k.quality_score,
+       |    q0.n_tokens
+       |  FROM keptf k JOIN asg USING (doc_id)
+       |  JOIN q0 ON q0.doc_id = k.doc_id),
+       |bud AS MATERIALIZED (SELECT s,
+       |    CAST(sum(n_tokens) // (2 * count(DISTINCT cid)) AS BIGINT) AS budget
+       |  FROM clx GROUP BY s),
+       |sel AS MATERIALIZED (SELECT rw.doc_id, rw.s, rw.cid, rw.n_tokens FROM (
+       |    SELECT clx.*, sum(n_tokens) OVER (PARTITION BY s, cid
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM clx) rw
+       |  JOIN bud ON bud.s = rw.s WHERE rw.cum <= bud.budget),
+       |o AS MATERIALIZED (SELECT doc_id, s, cid, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY s ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM sel)
+       |SELECT ft.doc_id, ft.round, ft.fate, ft.dup_of, ft.quality_score,
+       |  o.cid, o.n_tokens, o.start_off,
+       |  o.start_off // 2048 AS seq_start,
+       |  CASE WHEN o.n_tokens = 0 THEN o.start_off // 2048
+       |       ELSE (o.start_off + o.n_tokens - 1) // 2048 END AS seq_end
+       |FROM ft LEFT JOIN o ON o.doc_id = ft.doc_id
+       |ORDER BY ft.doc_id""".stripMargin
 
   /** The admission fate SELECT shared by c8 (uncapped), c11 (capped
     * near-dup universe), and st23 (tombstoned history) — only the CTE
@@ -4462,6 +4735,28 @@ object TrainingData {
         |  array_to_string(t.team, ',') AS team_csv
         |FROM ex2 e JOIN tm t USING (doc_id)
         |ORDER BY e.doc_id""".stripMargin,
+    // x26: identical fixture links from doc_id; the reference chain
+    // (strip → prefix test → first segment) replayed in SQL, including
+    // the scheme-prefixed quirk ('https://…' → 'https:').
+    "x26_github_profile" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'github.com/user_' || CAST(doc_id % 53 AS VARCHAR)
+        |                    || '/repo_' || CAST(doc_id % 13 AS VARCHAR)
+        |      WHEN 1 THEN 'github.com/user_' || CAST(doc_id % 53 AS VARCHAR)
+        |      WHEN 2 THEN 'github.com/user_' || CAST(doc_id % 53 AS VARCHAR) || '/'
+        |      WHEN 3 THEN 'https://github.com/user_' || CAST(doc_id % 53 AS VARCHAR)
+        |      WHEN 4 THEN '  github.com/user_' || CAST(doc_id % 53 AS VARCHAR) || '  '
+        |      WHEN 5 THEN ''
+        |      ELSE NULL END AS company_link
+        |  FROM documents)
+        |SELECT doc_id, company_link,
+        |  CASE WHEN company_link IS NULL OR trim(company_link) = '' THEN ''
+        |       ELSE split_part(
+        |         CASE WHEN starts_with(trim(company_link), 'github.com/')
+        |              THEN substring(trim(company_link), 12)
+        |              ELSE trim(company_link) END, '/', 1) END AS github_profile
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x23_quality_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source,

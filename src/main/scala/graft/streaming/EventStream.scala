@@ -1997,6 +1997,192 @@ object EventStream {
       .localCheckpoint()
   }
 
+  /** st29: the FULL STREAMED PRODUCTION PIPELINE — the terminal
+    * deployment shape of the whole admission stack, the reference's
+    * watermark ingest loop
+    * (s3_to_db_cardano_blocks_pipeline.py:64-127) generalized to
+    * training-data curation: every micro-batch runs one closed
+    * curation round END TO END, from CDC traffic to a packed training
+    * shard on disk.
+    *
+    * Per micro-batch:
+    *   1. tombstones to all three zones (st25's CDC discipline);
+    *   2. CALIBRATED four-gate decide — c13's per-source thresholds on
+    *      the quality gate, then exact-md5, signature near-dup, and
+    *      ANN semantic against the zones as left by prior batches
+    *      ([[graft.queries.TrainingData.semanticAdmissionDecisions]]
+    *      with `calThresholds` — the same code c13 gates with);
+    *   3. fates written (overwrite — replay rewrites byte-identical);
+    *   4. the batch's kept docs assign to the PERSISTED centroids of
+    *      the last refresh (c10's literal-centroid codegen'd
+    *      projection — zero shuffle, zero history reads);
+    *   5. per-cluster token-budget cut + sequence packing
+    *      ([[graft.queries.TrainingData.admissionShardTail]] — the
+    *      SAME code c14 runs batch-side) and the round's SHARD written
+    *      (overwrite, replay-idempotent);
+    *   6. zone feedback: md5/band/SRP-bucket appends for every
+    *      ingested row regardless of fate (the c8/st21 coverage rule).
+    *
+    * The DECISION state is refresh output trained BEFORE the stream
+    * opens, over the batch-0 history slice (the st27/st28 rule —
+    * thresholds and centroids are properties of the last refresh, not
+    * of a batch; per-batch re-fits would make fates depend on replay
+    * timing): c13's calibration thresholds and c10's Lloyd centroids,
+    * both persisted and read back per batch.
+    *
+    * Batch 0 is history backfill (ingest only); batches 1..3 decide
+    * the embedded window's quarters; batch 2 carries st23's delete
+    * traffic. Post-stream, all three zones are OPTIMIZEd
+    * (result-invisible — fates and shards are on disk).
+    *
+    * Output: one row per DECIDED document — the fates LEFT JOINed with
+    * its shard row (cid/n_tokens/start_off/seq_start/seq_end NULL for
+    * docs not selected into their round's shard). The oracle replays
+    * the whole thing in one statement: st25's slice-tagged three-gate
+    * loop with c13's threshold CTE swapped into the gate, then c14's
+    * assignment + quota + packing chain PER SLICE — a green hash
+    * proves the streamed pipeline's zone state, calibrated decisions,
+    * and per-round shards all equal the batch semantics, round for
+    * round.
+    *
+    * Scale shape: decide as c12/c13 pin it (delta-sized scoring, the
+    * #sources-row threshold broadcast, zone-keyed shuffled-hash probes
+    * with the delta building, candidate-sized verification); assign is
+    * a narrow kept-delta projection; the shard tail is c14's pinned
+    * exchange set (ONE cid exchange, ONE doc_id range exchange) over
+    * the kept delta only. Per-batch cost ∝ delta + its collisions
+    * against history — history text, vectors, and shards are never
+    * re-read.
+    */
+  def streamProductionPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("st29")
+    try runProductionPipeline(spark, dir, root)
+    finally reap(root)
+  }
+
+  /** st29's core against a caller-owned root (the spec inspects zones
+    * and per-round shards; the public entry reaps them).
+    */
+  private[graft] def runProductionPipeline(spark: SparkSession,
+      dir: String, root: java.nio.file.Path): DataFrame = {
+    import graft.operators.{AnnIndexZone, Dedup, SignatureZone, Similarity}
+    import graft.queries.TrainingData
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val (src, schema) = stagedCdcProductionSource(spark, dir)
+    val sigZone = root.resolve("sig").toString
+    val md5Zone = root.resolve("md5").toString
+    val annZone = root.resolve("ann").toString
+    val fates = root.resolve("fates").toString
+    val shards = root.resolve("shards").toString
+    val docs = graft.core.Tables(spark, dir, "documents")
+    SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
+    AnnIndexZone.create(spark, annZone, expectedCount = embTotal): Unit
+    // the REFRESH outputs, trained over the batch-0 history slice
+    // BEFORE the stream opens and persisted (decision state belongs to
+    // the last refresh; a per-batch re-fit would tie fates to replay
+    // timing and orphan prior rounds' shards)
+    val histCut = embTotal / 4L
+    TrainingData.calibrationThresholds(
+        docs.filter(col("doc_id") < histCut)
+          .select(col("doc_id"), col("source"), col("text")))
+      .write.parquet(s"$root/cal")
+    Similarity.saveCentroids(spark,
+      Similarity.kmeansFit(emb.filter(col("vec_id") < histCut)),
+      s"$root/cents")
+    val cal = spark.read.parquet(s"$root/cal")
+    val cents = Similarity.loadCentroids(spark, s"$root/cents")
+    runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+      val ins = batch.filter(col("op") === "I")
+        .select(col("doc_id"), col("source"), col("text"))
+      val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // tombstones FIRST (st25's rule: this batch's decisions see the
+      // corpus as of this batch)
+      SignatureZone.delete(dels, sigZone)
+      Dedup.md5ZoneDelete(dels, md5Zone)
+      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
+      if (id > 0) {
+        // decide with the calibrated gate and MATERIALIZE the fates
+        // before any feedback append (c9's write-then-append ordering)
+        TrainingData.semanticAdmissionDecisions(
+            spark, docs, emb, ins, md5Zone, sigZone, annZone,
+            calThresholds = Some(cal))
+          .write.mode("overwrite").parquet(s"$fates/round=$id")
+        // the shard tail reads the fates BACK from disk — lineage
+        // truncation (the c14 localCheckpoint rule: the tail's four
+        // consumers must not each nest the full admission subtree)
+        val kept = spark.read.parquet(s"$fates/round=$id")
+          .filter(col("fate") === "kept")
+          .select(col("doc_id"), col("quality_score"))
+        val cids = Similarity.assignToCentroids(
+            emb.join(kept.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), cents)
+          .select(col("vec_id").as("doc_id"), col("cid"))
+        TrainingData.admissionShardTail(docs, kept, cids)
+          .write.mode("overwrite").parquet(s"$shards/round=$id")
+      }
+      // ...then feed back: the batch joins ingested history
+      SignatureZone.append(ins.select(col("doc_id"), col("text")), sigZone)
+      Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
+      AnnIndexZone.appendIndex(
+        emb.join(ins.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), annZone)
+      graft.core.Caches.release()
+    }
+    // retention GC in the streamed posture (st25's closing discipline)
+    val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+    require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
+    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+    val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+    require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
+    spark.read.parquet(fates)
+      .select(col("doc_id"), col("round").cast("long").as("round"),
+        col("fate"), col("dup_of"), col("quality_score"))
+      .join(spark.read.parquet(shards)
+        .select(col("doc_id"), col("cid"), col("n_tokens"),
+          col("start_off"), col("seq_start"), col("seq_end")),
+        Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+  }
+
+  /** st29's staged source: st25's CDC-over-embedded-quarters shape
+    * (see [[stagedCdcEmbeddedLoopSource]]) carrying the `source`
+    * column the calibrated gate keys on.
+    */
+  private def stagedCdcProductionSource(
+      spark: SparkSession, dir: String): (String, StructType) =
+    stageSourceOnce(
+        s"st29src:$dir", sourceFingerprint(
+          s"$dir/documents.parquet", s"$dir/embeddings.parquet")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val e = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val bounds = (1 to 3).map(k => e * k / 4L)
+      val d = scratchDir("st29src")
+      val a = docs.filter(col("doc_id") < bounds(0)).withColumn("op", lit("I"))
+      val b = docs.filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1))
+        .withColumn("op", lit("I"))
+      val c = docs.filter(col("doc_id") >= bounds(1) && col("doc_id") < bounds(2))
+        .withColumn("op", lit("I"))
+        .unionAll(docs
+          .filter(col("doc_id") < bounds(1) && col("doc_id") % 17 === 3)
+          .select(col("doc_id"), lit("").as("source"), lit("").as("text"),
+            lit("D").as("op")))
+      val dd = docs.filter(col("doc_id") >= bounds(2) && col("doc_id") < e)
+        .withColumn("op", lit("I"))
+      Seq(("a", a), ("b", b), ("c", c), ("d", dd)).zipWithIndex
+        .foreach { case ((n, df), i) =>
+          stageSingleFile(df, d, s"$n.parquet")
+          Files.setLastModifiedTime(d.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + i * 1000L)): Unit
+        }
+      (d.toString, a.schema)
+    }
+
   /** st26: the Hamming-signature zone ([[graft.operators.HammingZone]])
     * maintained FROM THE INGEST STREAM — each micro-batch DECODES ITS
     * OWN audio rows (m6's fingerprint, delta-only — the whole point of

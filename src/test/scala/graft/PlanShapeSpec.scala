@@ -167,6 +167,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
   }
 
+  test("x25: span removal join never broadcasts the spans side") {
+    // The span list is the output of a corpus-wide aggregation and
+    // grows with the corpus (web-scale boilerplate ⇒ billions of span
+    // rows at 100 TB) — broadcasting it is the d17 keeper-table trap.
+    // The anti join must be a doc_id-keyed shuffled-hash join.
+    val p = plan("x25_substring_clean")
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"), p)
+    assert("ShuffledHashJoin \\[doc_id#\\d+L?\\], \\[doc_id#\\d+L?\\], LeftAnti, BuildRight".r
+      .findFirstIn(p).isDefined, p)
+    graft.core.Caches.release()
+  }
+
   test("d4: simhash is a shuffle-free projection (no aggregate, no exchange before the sort)") {
     // SimHash60 collapsed the explode/vote aggregation pipeline; the
     // only exchange left is the presentation orderBy's range partition.

@@ -110,6 +110,27 @@ class PqZoneSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("contract: adcTopK is the flat-scan posture; ivfAdcTopK bounds the code scan with equi-joins") {
+    // adcTopK's scaladoc REQUIRES corpus-scale callers to route via
+    // ivfAdcTopK — pin the structural difference so the contract can't
+    // silently rot: the flat path cartesians codes × query LUTs (its
+    // definition), the routed path must reach the score through
+    // equi-joins only (vec_id candidates, q_id LUT attach).
+    val pq = tmpDir("pqposture") + "/pq"
+    val ivf = tmpDir("pqposture") + "/ivf"
+    PqZone.build(spark, emb, pq, m = 4, k = 8, iters = 1)
+    IvfIndexZone.build(spark, emb, ivf, k = 8, iters = 1)
+    val flat = PqZone.adcTopK(queries(2), pq, 5)
+      .queryExecution.executedPlan.toString
+    assert(flat.contains("BroadcastNestedLoopJoin") ||
+      flat.contains("CartesianProduct"), flat)
+    val routed = PqZone.ivfAdcTopK(queries(2), pq, ivf, 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!routed.contains("BroadcastNestedLoopJoin") &&
+      !routed.contains("CartesianProduct"), routed)
+    graft.core.Caches.release()
+  }
+
   test("codebook geometry guard; replay folding; OPTIMIZE; tombstoned deletes") {
     import spark.implicits._
     val zone = tmpDir("pqmaint") + "/z"
