@@ -2543,6 +2543,93 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Media admission gate (c17): c12's admission with the FOURTH dedup
+    * modality wired in — documents that survive quality, exact-md5,
+    * text near-dup, AND vector semantic-dup still pass their MEDIA
+    * signatures through the persisted Hamming zone (d26's
+    * [[graft.operators.HammingZone]] over m6's integer-exact audio
+    * fingerprints): a kept survivor Hamming-near history audio or
+    * another survivor resolves through the same connected-components
+    * pass to a `media_dup` fate. Audio (not image) because m6's hash
+    * is integer-exact end-to-end, so the oracle rebuilds every
+    * signature bit-for-bit and the fate chain stays hash-comparable —
+    * the cross-modal point of d16/d26 carried into admission: once a
+    * modality yields a Hamming signature, the gate is modality-blind.
+    *
+    * Scale shape: everything c12 pins, plus — the media gate DECODES
+    * ONLY the kept survivors' payloads (delta-kept-sized; history
+    * media is never re-decoded — its signatures live in the zone), the
+    * probe is one (c, v)-keyed shuffled-hash join with the survivor
+    * side building, and verification touches stored signatures for
+    * candidate docs only.
+    */
+  def c17AdmissionMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val embTotal = emb.count()
+    val cut = embTotal * 4L / 5L
+    val zones = graft.core.StagedLayouts.once(spark, s"c17zones|$dir") { () =>
+      val z = graft.core.Scratch.dir("c17zones")
+      val hist = docs.filter(col("doc_id") < cut)
+        .select(col("doc_id"), col("text"))
+      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+      graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
+        shingleN, minhashK, minhashBands)
+      graft.operators.AnnIndexZone.create(spark, s"$z/ann",
+        expectedCount = embTotal): Unit
+      graft.operators.AnnIndexZone.appendIndex(
+        emb.filter(col("vec_id") < cut), s"$z/ann")
+      // the media zone: history audio decoded ONCE at build time
+      graft.operators.HammingZone.build(spark, audioSigs(hist), s"$z/ham",
+        audioHammingBits, audioHammingMax, audioHammingChunks)
+      z
+    }
+    mediaAdmissionDecisions(spark, docs, emb,
+      docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
+      s"$zones/md5", s"$zones/sig", s"$zones/ann", s"$zones/ham")
+  }
+
+  /** c17's decision core: [[semanticAdmissionDecisions]]' fates with
+    * the media gate appended — kept survivors' audio fingerprints
+    * (decoded here, survivor-only) probe the Hamming zone; verified
+    * pairs resolve through the same CC minimum. The zone must cover
+    * strictly smaller ids than the delta (the admission-timeline
+    * contract).
+    */
+  private[graft] def mediaAdmissionDecisions(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame, delta: DataFrame,
+      md5ZoneDir: String, sigZoneDir: String, annZoneDir: String,
+      hamZoneDir: String,
+      calThresholds: Option[DataFrame] = None): DataFrame = {
+    // four-gate fates feed the kept filter and the final join — the
+    // c12 lineage-truncation rule (a cached plan would nest the full
+    // admission subtree in every consumer)
+    val fates = semanticAdmissionDecisions(spark, docs, emb, delta,
+        md5ZoneDir, sigZoneDir, annZoneDir, calThresholds)
+      .localCheckpoint()
+    val keptIds = fates.filter(col("fate") === "kept").select(col("doc_id"))
+    // decode ONLY the survivors' media — the zone answers for history
+    val keptSigs = audioSigs(docs.join(keptIds, Seq("doc_id"), "left_semi"))
+    val pairs = graft.core.Caches.persistTracked(
+      graft.operators.HammingZone.incrementalPairs(keptSigs, hamZoneDir)
+        .select(col("doc_a"), col("doc_b")))
+    val vertices = keptIds
+      .union(pairs.select(col("doc_a").as("doc_id")))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = Dedup.connectedComponents(vertices, pairs)
+      .select(col("doc_id"), col("component").as("med_component"))
+    fates
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fate") === "kept" && col("med_component") < col("doc_id"),
+          lit("media_dup")).otherwise(col("fate")).as("fate"),
+        when(col("fate") === "kept" && col("med_component") < col("doc_id"),
+          col("med_component")).otherwise(col("dup_of")).as("dup_of"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML extraction (x24): the ENGINE side of the reference's scrape
     * sources — S11's Selenium/BS4 pipelines
     * (ideascale/scrape_applicant_name.py:63-88,
@@ -2801,6 +2888,7 @@ object TrainingData {
     "c10_admission_clusters" -> (c10AdmissionClusters _),
     "c11_admission_capped" -> (c11AdmissionCapped _),
     "c12_admission_semantic" -> (c12AdmissionSemantic _),
+    "c17_admission_media" -> (c17AdmissionMedia _),
     "c13_admission_calibrated" -> (c13AdmissionCalibrated _),
     "c14_admission_shard" -> (c14AdmissionShard _),
     "d22_incremental_dedup" -> (d22IncrementalDedup _),
@@ -2884,6 +2972,7 @@ object TrainingData {
     "c10_admission_clusters" -> "composition",
     "c11_admission_capped" -> "composition",
     "c12_admission_semantic" -> "composition",
+    "c17_admission_media" -> "composition",
     "c13_admission_calibrated" -> "composition",
     "c14_admission_shard" -> "composition",
     "c15_retrieval_refined" -> "composition")
@@ -4569,6 +4658,98 @@ object TrainingData {
          |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
          |LEFT JOIN comp ON comp.doc_id = sc.doc_id
          |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
+    // c17: c12's chain + the media gate — m6's fingerprint chain
+    // rebuilt bit-for-bit over decodable audio docs in the window,
+    // all-pairs hamming filter restricted to pairs with a SEMANTIC-kept
+    // member (pigeonhole recall is exact, d26's argument), a third
+    // recursive closure, and media_dup appended to the fate CASE.
+    "c17_admission_media" ->
+      s"""WITH RECURSIVE
+         |${admissionCtes(capped = false,
+            cutCte = "SELECT (SELECT count(*) FROM embeddings) * 4 // 5 AS c",
+            deltaPred = "doc_id < (SELECT count(*) FROM embeddings)")},
+         |keptd AS MATERIALIZED (SELECT sc.doc_id FROM sc
+         |  JOIN ex ON ex.doc_id = sc.doc_id
+         |  JOIN comp ON comp.doc_id = sc.doc_id
+         |  WHERE sc.quality_score > 0
+         |    AND ex.eb = sc.doc_id AND comp.component = sc.doc_id),
+         |$srpBucketCtes,
+         |scand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id, cut
+         |  WHERE b.vec_id IN (SELECT doc_id FROM keptd)
+         |    AND (a.vec_id < cut.c OR a.vec_id IN (SELECT doc_id FROM keptd))),
+         |sn AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |svp AS MATERIALIZED (SELECT va, vb FROM scand
+         |  JOIN sn a ON a.vec_id = va JOIN sn b ON b.vec_id = vb
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semanticCosThreshold),
+         |sverts AS MATERIALIZED (SELECT doc_id FROM keptd
+         |  UNION SELECT va FROM svp UNION SELECT vb FROM svp),
+         |sedges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM svp
+         |  UNION ALL SELECT vb, va FROM svp),
+         |closure2(a, b) AS (
+         |  SELECT doc_id, doc_id FROM sverts
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure2 c JOIN sedges e ON c.b = e.src),
+         |comp2 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component
+         |  FROM closure2 GROUP BY a),
+         |keptm AS MATERIALIZED (SELECT k.doc_id FROM keptd k
+         |  JOIN comp2 c2m ON c2m.doc_id = k.doc_id
+         |  WHERE c2m.component = k.doc_id),
+         |aud AS MATERIALIZED (SELECT d2a.doc_id, 256 + d2a.doc_id % 1000 AS n
+         |  FROM documents d2a, (SELECT count(*) AS e FROM embeddings) ee
+         |  WHERE d2a.doc_id % 3 = 1 AND d2a.doc_id % 34 <> 0
+         |    AND d2a.doc_id < ee.e),
+         |audv AS MATERIALIZED (
+         |  SELECT aud.doc_id, (r.i * 61) // aud.n AS seg,
+         |         ((r.i * 2654435761 + aud.doc_id) % 65536) - 32768 AS s
+         |  FROM aud, range(1256) r(i) WHERE r.i < aud.n),
+         |aude AS MATERIALIZED (SELECT doc_id, seg, CAST(sum(s * s) AS BIGINT) AS energy
+         |  FROM audv GROUP BY 1, 2),
+         |audd AS MATERIALIZED (SELECT doc_id, seg, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+         |  FROM aude),
+         |audh AS MATERIALIZED (SELECT doc_id,
+         |    CAST(sum(CASE WHEN energy > prev THEN (CAST(1 AS BIGINT) << (seg - 1))
+         |             ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM audd WHERE seg >= 1 GROUP BY doc_id),
+         |mp AS MATERIALIZED (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM audh x JOIN audh y ON x.doc_id < y.doc_id, cut
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $audioHammingMax
+         |    AND y.doc_id IN (SELECT doc_id FROM keptm)
+         |    AND (x.doc_id < cut.c OR x.doc_id IN (SELECT doc_id FROM keptm))),
+         |mverts AS MATERIALIZED (SELECT doc_id FROM keptm
+         |  UNION SELECT doc_a FROM mp UNION SELECT doc_b FROM mp),
+         |medges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM mp
+         |  UNION ALL SELECT doc_b, doc_a FROM mp),
+         |closure3(a, b) AS (
+         |  SELECT doc_id, doc_id FROM mverts
+         |  UNION
+         |  SELECT c.a, e.dst FROM closure3 c JOIN medges e ON c.b = e.src),
+         |comp3 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS component
+         |  FROM closure3 GROUP BY a)
+         |SELECT sc.doc_id,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN 'low_quality'
+         |       WHEN ex.eb < sc.doc_id THEN 'exact_dup'
+         |       WHEN comp.component < sc.doc_id THEN 'near_dup'
+         |       WHEN comp2.component < sc.doc_id THEN 'semantic_dup'
+         |       WHEN comp3.component < sc.doc_id THEN 'media_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN sc.quality_score IS NULL OR sc.quality_score <= 0 THEN NULL
+         |       WHEN ex.eb < sc.doc_id THEN ex.eb
+         |       WHEN comp.component < sc.doc_id THEN comp.component
+         |       WHEN comp2.component < sc.doc_id THEN comp2.component
+         |       WHEN comp3.component < sc.doc_id THEN comp3.component
+         |       ELSE NULL END AS dup_of,
+         |  sc.quality_score
+         |FROM sc LEFT JOIN ex ON ex.doc_id = sc.doc_id
+         |LEFT JOIN comp ON comp.doc_id = sc.doc_id
+         |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id
+         |LEFT JOIN comp3 ON comp3.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin,
     // c9: all K rounds of the admission loop replayed in ONE statement
     // by slice-tagging every stage — a doc's history is every doc in an

@@ -96,6 +96,36 @@ class AdmissionSpec extends SparkSpec {
       got(0).getLong(2) == 0L, got.mkString(";"))
   }
 
+  test("media gate (c17) is a monotone refinement of c12: only kept docs become media_dup") {
+    // The fourth dedup modality must change NOTHING upstream: every
+    // doc's c17 fate equals its c12 fate except kept → media_dup
+    // rewrites (with dup_of = the media component minimum, an id
+    // strictly below the doc's). And the gate must BIND on the
+    // fixture: at least one survivor is media-deduped, proving the
+    // Hamming-zone probe is live, not a vacuous pass-through.
+    val dir = "/root/testdata/sf0.001"
+    def fates(f: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame) =
+      f(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val c12 = fates(TrainingData.c12AdmissionSemantic _)
+    val c17 = fates(TrainingData.c17AdmissionMedia _)
+    assert(c12.keySet == c17.keySet)
+    var rewrites = 0
+    c12.foreach { case (id, (f12, d12)) =>
+      val (f17, d17x) = c17(id)
+      if (f17 == "media_dup") {
+        assert(f12 == "kept", s"doc $id: media_dup must rewrite a kept fate, was $f12")
+        assert(d17x >= 0 && d17x < id, s"doc $id: media dup_of $d17x must be an older id")
+        rewrites += 1
+      } else assert((f12, d12) == (f17, d17x),
+        s"doc $id: c17 changed a non-media fate $f12/$d12 -> $f17/$d17x")
+    }
+    assert(rewrites > 0, "fixture lost its media-dup signal — the gate never fired")
+    graft.core.Caches.release()
+  }
+
   test("calibrated gate (c13) equalizes admission across disjoint-score-band sources") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
