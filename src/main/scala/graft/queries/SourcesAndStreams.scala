@@ -349,6 +349,15 @@ object SourcesAndStreams {
   def st29StreamProduction(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamProductionPipeline(spark, dir)
 
+  /** st29 with the decision-state refresh closed into the loop: at the
+    * batch-3 trigger, c13's thresholds and c10's centroids re-fit over
+    * the grown live history and land through ZoneRebuild's atomic
+    * cutover — round 3 decides and packs with the refreshed state; see
+    * [[graft.streaming.EventStream.streamRefreshLoop]].
+    */
+  def st30StreamRefreshLoop(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamRefreshLoop(spark, dir)
+
   /** The Hamming-signature zone maintained from a checkpointed stream
     * (each batch decodes only ITS OWN audio rows), then d26's
     * incremental audio dedup answered from it — see
@@ -870,6 +879,7 @@ object SourcesAndStreams {
     "st24_stream_semantic_zones" -> (st24StreamSemanticZones _),
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
     "st29_stream_production" -> (st29StreamProduction _),
+    "st30_stream_refresh_loop" -> (st30StreamRefreshLoop _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
     "st28_stream_pq_codes" -> (st28StreamPqCodes _),
@@ -1055,6 +1065,9 @@ object SourcesAndStreams {
     // st29: st25's slice-tagged loop replay with c13's threshold CTE in
     // the gate and c14's assignment/quota/packing chain per slice.
     "st29_stream_production" -> TrainingData.st29OracleSql,
+    // st30: the same replay with the second (live slices 0-2) threshold
+    // table and prefix-r Lloyd chain routed to round 3.
+    "st30_stream_refresh_loop" -> TrainingData.st30OracleSql,
     // st26 answers d26's incremental audio dedup from the streamed
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),

@@ -3645,17 +3645,99 @@ object TrainingData {
        |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id AND comp2.s = sc.s
        |ORDER BY sc.doc_id""".stripMargin
 
-  /** st29's oracle: st25's slice-tagged three-gate loop replay with
-    * (a) c13's calibration-threshold CTE swapped into the quality gate
-    * (thresholds trained over the slice-0 history — the refresh the
-    * engine persists before the stream opens), and (b) c14's
+  /** st29/st30's oracle: st25's slice-tagged three-gate loop replay
+    * with (a) c13's calibration-threshold CTE swapped into the quality
+    * gate (thresholds trained over the slice-0 history — the refresh
+    * the engine persists before the stream opens), and (b) c14's
     * assignment + per-cluster quota + packing chain appended PER SLICE
     * (centroids likewise slice-0-trained; each round packs its own
     * kept-and-budgeted docs from offset 0 — the per-batch shard). One
     * hash-compared relation: every decided doc's fate plus its shard
     * row (NULLs when not selected).
+    *
+    * `refresh = true` (st30): the scheduled mid-loop re-fit replayed —
+    * a SECOND threshold table and a SECOND (prefix-`r`) Lloyd chain,
+    * both over the grown LIVE history (slices 0-2 minus batch-2
+    * tombstones), routed by slice: rounds 1-2 gate and assign with the
+    * slice-0 fit, round 3 with the refreshed one. A green hash proves
+    * exactly which fit served which round.
     */
-  private[queries] lazy val st29OracleSql =
+  private[queries] lazy val st29OracleSql = productionOracleSql(refresh = false)
+  private[queries] lazy val st30OracleSql = productionOracleSql(refresh = true)
+
+  private def productionOracleSql(refresh: Boolean): String = {
+    val calth1 = if (!refresh) "" else
+      s"""hq1 AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    length(text) AS n_chars_len,
+         |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS BIGINT) AS stop_cnt
+         |  FROM sl, ee WHERE s <= 2
+         |    AND NOT (doc_id % 17 = 3 AND doc_id < ee.e * 2 // 4)),
+         |hsc1 AS MATERIALIZED (SELECT doc_id, source,
+         |    (CAST(stop_cnt AS DOUBLE) / n_tokens) * 5.0
+         |      - (CAST(punct_cnt AS DOUBLE) / n_chars_len) * 3.0
+         |      - (CAST(digit_cnt AS DOUBLE) / n_chars_len) * 2.0
+         |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
+         |      AS quality_score
+         |  FROM hq1),
+         |calth1 AS MATERIALIZED (SELECT source, quality_score AS thr FROM (
+         |    SELECT source, quality_score,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY quality_score, doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY source) AS n
+         |    FROM hsc1 WHERE quality_score IS NOT NULL) t
+         |  WHERE rn = (n + 1) // 2),
+         |""".stripMargin
+    val qpCte = if (!refresh)
+      s"""qp AS MATERIALIZED (SELECT sc.doc_id,
+         |    coalesce(CASE WHEN t.thr IS NULL THEN sc.quality_score > 0
+         |                  ELSE sc.quality_score >= t.thr END, FALSE) AS q_pass
+         |  FROM sc LEFT JOIN calth t ON t.source = sc.source)""".stripMargin
+    else
+      s"""qp AS MATERIALIZED (SELECT sc.doc_id,
+         |    coalesce(CASE WHEN sc.s >= 3 THEN
+         |        CASE WHEN t1.thr IS NULL THEN sc.quality_score > 0
+         |             ELSE sc.quality_score >= t1.thr END
+         |      ELSE
+         |        CASE WHEN t0.thr IS NULL THEN sc.quality_score > 0
+         |             ELSE sc.quality_score >= t0.thr END END, FALSE) AS q_pass
+         |  FROM sc LEFT JOIN calth t0 ON t0.source = sc.source
+         |  LEFT JOIN calth1 t1 ON t1.source = sc.source)""".stripMargin
+    val asgCtes = if (!refresh)
+      s"""kqd AS MATERIALIZED (SELECT e3.vec_id,
+         |    CAST(generate_subscripts(e3.embedding, 1) AS BIGINT) AS dim,
+         |    CAST(floor((CAST(unnest(e3.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+         |  FROM embeddings e3 JOIN keptf k ON k.doc_id = e3.vec_id),
+         |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM kqd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid),
+         |asg AS MATERIALIZED (SELECT vec_id AS doc_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM dd)
+         |  WHERE rn = 1)""".stripMargin
+    else
+      s"""hembr AS MATERIALIZED (SELECT e4.vec_id, e4.embedding
+         |  FROM embeddings e4, ee WHERE e4.vec_id < ee.e * 3 // 4
+         |    AND NOT (e4.vec_id % 17 = 3 AND e4.vec_id < ee.e * 2 // 4)),
+         |${kmeansCtes("hembr", prefix = "r")},
+         |kqd AS MATERIALIZED (SELECT e3.vec_id, k.s,
+         |    CAST(generate_subscripts(e3.embedding, 1) AS BIGINT) AS dim,
+         |    CAST(floor((CAST(unnest(e3.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
+         |  FROM embeddings e3 JOIN keptf k ON k.doc_id = e3.vec_id),
+         |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM kqd q JOIN c2 c USING (dim) WHERE q.s <= 2 GROUP BY q.vec_id, c.cid),
+         |ddr AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+         |  FROM kqd q JOIN rc2 c USING (dim) WHERE q.s >= 3 GROUP BY q.vec_id, c.cid),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM dd) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT vec_id AS doc_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM ddr) WHERE rn = 1)""".stripMargin
     s"""WITH RECURSIVE
        |ee AS MATERIALIZED (SELECT count(*) AS e FROM embeddings),
        |sl AS MATERIALIZED (SELECT doc_id, source, text,
@@ -3685,7 +3767,7 @@ object TrainingData {
        |      count(*) OVER (PARTITION BY source) AS n
        |    FROM hsc WHERE quality_score IS NOT NULL) t
        |  WHERE rn = (n + 1) // 2),
-       |q0 AS MATERIALIZED (
+       |${calth1}q0 AS MATERIALIZED (
        |  SELECT doc_id, source, text, s,
        |    length(text) AS n_chars_len,
        |    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
@@ -3700,10 +3782,7 @@ object TrainingData {
        |      + (CASE WHEN n_chars_len BETWEEN 100 AND 400 THEN 0.5 ELSE 0.0 END)
        |      AS quality_score
        |  FROM q0),
-       |qp AS MATERIALIZED (SELECT sc.doc_id,
-       |    coalesce(CASE WHEN t.thr IS NULL THEN sc.quality_score > 0
-       |                  ELSE sc.quality_score >= t.thr END, FALSE) AS q_pass
-       |  FROM sc LEFT JOIN calth t ON t.source = sc.source),
+       |$qpCte,
        |gated AS MATERIALIZED (SELECT sc.doc_id, sc.s, sc.text
        |  FROM sc JOIN qp ON qp.doc_id = sc.doc_id WHERE qp.q_pass),
        |allm AS MATERIALIZED (SELECT doc_id, s, md5(text) AS m FROM sl),
@@ -3802,16 +3881,7 @@ object TrainingData {
        |hemb AS MATERIALIZED (SELECT e2.vec_id, e2.embedding
        |  FROM embeddings e2, ee WHERE e2.vec_id < ee.e // 4),
        |${kmeansCtes("hemb")},
-       |kqd AS MATERIALIZED (SELECT e3.vec_id,
-       |    CAST(generate_subscripts(e3.embedding, 1) AS BIGINT) AS dim,
-       |    CAST(floor((CAST(unnest(e3.embedding) AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT) AS v
-       |  FROM embeddings e3 JOIN keptf k ON k.doc_id = e3.vec_id),
-       |dd AS MATERIALIZED (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
-       |  FROM kqd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid),
-       |asg AS MATERIALIZED (SELECT vec_id AS doc_id, cid FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY dist, cid) AS rn FROM dd)
-       |  WHERE rn = 1),
+       |$asgCtes,
        |clx AS MATERIALIZED (SELECT k.doc_id, k.s, asg.cid, k.quality_score,
        |    q0.n_tokens
        |  FROM keptf k JOIN asg USING (doc_id)
@@ -3835,6 +3905,7 @@ object TrainingData {
        |       ELSE (o.start_off + o.n_tokens - 1) // 2048 END AS seq_end
        |FROM ft LEFT JOIN o ON o.doc_id = ft.doc_id
        |ORDER BY ft.doc_id""".stripMargin
+  }
 
   /** The admission fate SELECT shared by c8 (uncapped), c11 (capped
     * near-dup universe), and st23 (tombstoned history) — only the CTE

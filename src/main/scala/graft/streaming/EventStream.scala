@@ -2060,11 +2060,47 @@ object EventStream {
     finally reap(root)
   }
 
-  /** st29's core against a caller-owned root (the spec inspects zones
-    * and per-round shards; the public entry reaps them).
+  /** st30: st29 with the DECISION-STATE REFRESH closed into the loop —
+    * the missing half of the refresh discipline (zone GEOMETRY already
+    * grows through [[graft.operators.ZoneRebuild]]; the decision state
+    * — c13's calibration thresholds and c10's centroids — previously
+    * never refreshed inside any loop, so at 100 TB both drift with the
+    * corpus). Here the loop runs a SCHEDULED re-fit at the batch-3
+    * trigger, BEFORE that batch decides: both refresh outputs are
+    * re-fitted over the GROWN live history (derived from the md5
+    * zone's own keeper rows — ingested minus tombstoned, the state the
+    * zones actually cover) and land through `ZoneRebuild.rebuild`'s
+    * fingerprint-guarded atomic cutover. Rounds 1-2 decide and pack
+    * with the slice-0 fit; round 3 provably uses the refreshed state
+    * (the oracle replays BOTH threshold tables and BOTH centroid fits,
+    * slice-routed — a green hash proves which fit served which round).
+    *
+    * Refresh-at-trigger-start, not at previous-batch-end, for REPLAY
+    * soundness: the re-fit is deterministic over the zone-covered live
+    * corpus (exact integer medians, integer Lloyd), so a
+    * checkpoint-replayed batch 3 re-runs the rebuild into a
+    * value-identical swap and re-decides identically; a
+    * previous-batch-end refresh would let a replayed batch 2 see state
+    * fitted AFTER its clean-timeline decide. RefreshLoopSpec pins the
+    * swap-instant invariant (same-history rebuild changes no decision)
+    * and that round 3 diverges from the unrefreshed posture (the
+    * refresh BINDS).
+    */
+  def streamRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("st30")
+    try runProductionPipeline(spark, dir, root, refreshAtBatch = Some(3L))
+    finally reap(root)
+  }
+
+  /** st29/st30's core against a caller-owned root (the specs inspect
+    * zones and per-round shards; the public entries reap them).
+    * `refreshAtBatch`: run the scheduled decision-state refresh at the
+    * start of this batch id (st30); None = the slice-0 fit serves the
+    * whole loop (st29).
     */
   private[graft] def runProductionPipeline(spark: SparkSession,
-      dir: String, root: java.nio.file.Path): DataFrame = {
+      dir: String, root: java.nio.file.Path,
+      refreshAtBatch: Option[Long] = None): DataFrame = {
     import graft.operators.{AnnIndexZone, Dedup, SignatureZone, Similarity}
     import graft.queries.TrainingData
     import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
@@ -2091,9 +2127,33 @@ object EventStream {
     Similarity.saveCentroids(spark,
       Similarity.kmeansFit(emb.filter(col("vec_id") < histCut)),
       s"$root/cents")
-    val cal = spark.read.parquet(s"$root/cal")
-    val cents = Similarity.loadCentroids(spark, s"$root/cents")
     runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+      if (refreshAtBatch.contains(id)) {
+        // the scheduled re-fit, at trigger START (before this batch's
+        // decide — replay-idempotent: deterministic over the live
+        // corpus the zones cover, which a replay sees unchanged). The
+        // live history is read from the md5 zone's OWN keeper rows:
+        // ingested minus tombstoned, exactly the state every gate
+        // probes — no side-channel corpus knowledge.
+        val live = graft.core.Caches.persistTracked(
+          Dedup.md5ZoneRead(spark, md5Zone)
+            .select(col("keeper_id").as("doc_id")).distinct())
+        graft.operators.ZoneRebuild.rebuild(spark, s"$root/cal") { staging =>
+          TrainingData.calibrationThresholds(
+              docs.join(live, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("source"), col("text")))
+            .write.parquet(staging)
+        }
+        graft.operators.ZoneRebuild.rebuild(spark, s"$root/cents") { staging =>
+          Similarity.saveCentroids(spark, Similarity.kmeansFit(
+            emb.join(live.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")), staging)
+        }
+      }
+      // decision state re-read per trigger: the last refresh's output,
+      // whichever trigger it landed at (k-row reads — negligible)
+      val cal = spark.read.parquet(s"$root/cal")
+      val cents = Similarity.loadCentroids(spark, s"$root/cents")
       val ins = batch.filter(col("op") === "I")
         .select(col("doc_id"), col("source"), col("text"))
       val dels = batch.filter(col("op") === "D").select(col("doc_id"))
