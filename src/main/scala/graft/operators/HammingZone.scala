@@ -184,8 +184,16 @@ object HammingZone {
     * degrades to delta-internal pairs. `delta` must expose `doc_id`
     * and `sig`. Output: (doc_a, doc_b, hamming), hamming ≤ the zone's
     * max_hamming, at least one delta member per pair.
+    *
+    * `maxZoneDocId`: the admission layer's SELF-EXCLUSION threshold
+    * (the [[SignatureZone.incrementalPairs]] contract verbatim) —
+    * stored rows at or above it are ignored, so a checkpoint-replayed
+    * batch whose own chunk rows already landed decides as if they had
+    * not. A pushed-down scalar filter on the zone scan; a no-op on
+    * zones covering strictly smaller ids.
     */
-  def incrementalPairs(delta: DataFrame, zoneDir: String): DataFrame = {
+  def incrementalPairs(delta: DataFrame, zoneDir: String,
+      maxZoneDocId: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
     val (bits, maxH, chunks) = meta(spark, zoneDir)
     // delta chunks feed the zone probe AND both internal self-join
@@ -199,7 +207,10 @@ object HammingZone {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val zoneLive =
       if (graft.core.Fs.exists(spark, s"$zoneDir/rows"))
-        Some(liveRows(spark, zoneDir, spark.read.parquet(s"$zoneDir/rows")))
+        Some(maxZoneDocId.fold(
+          liveRows(spark, zoneDir, spark.read.parquet(s"$zoneDir/rows")))(m =>
+          liveRows(spark, zoneDir, spark.read.parquet(s"$zoneDir/rows"))
+            .filter(col("doc_id") < m)))
       else None
     val cand = graft.core.Caches.persistTracked(
       zoneLive.fold(internal) { zc =>

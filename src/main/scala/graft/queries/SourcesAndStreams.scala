@@ -358,6 +358,14 @@ object SourcesAndStreams {
   def st30StreamRefreshLoop(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamRefreshLoop(spark, dir)
 
+  /** st29 with the MEDIA modality closed into the loop — the five-gate
+    * terminal shape: each micro-batch decodes its own audio once, kept
+    * survivors probe the streamed Hamming zone to media_dup fates; see
+    * [[graft.streaming.EventStream.streamMediaLoop]].
+    */
+  def st31StreamMediaLoop(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamMediaLoop(spark, dir)
+
   /** The Hamming-signature zone maintained from a checkpointed stream
     * (each batch decodes only ITS OWN audio rows), then d26's
     * incremental audio dedup answered from it — see
@@ -880,6 +888,7 @@ object SourcesAndStreams {
     "st25_stream_admission_loop" -> (st25StreamAdmissionLoop _),
     "st29_stream_production" -> (st29StreamProduction _),
     "st30_stream_refresh_loop" -> (st30StreamRefreshLoop _),
+    "st31_stream_media_loop" -> (st31StreamMediaLoop _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
     "st28_stream_pq_codes" -> (st28StreamPqCodes _),
@@ -1068,6 +1077,9 @@ object SourcesAndStreams {
     // st30: the same replay with the second (live slices 0-2) threshold
     // table and prefix-r Lloyd chain routed to round 3.
     "st30_stream_refresh_loop" -> TrainingData.st30OracleSql,
+    // st31: the five-gate replay — c17's media chain per slice with
+    // st25's tombstone live-rule, shard stages over five-gate kept.
+    "st31_stream_media_loop" -> TrainingData.st31OracleSql,
     // st26 answers d26's incremental audio dedup from the streamed
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),

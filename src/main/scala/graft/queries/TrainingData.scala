@@ -2591,16 +2591,20 @@ object TrainingData {
 
   /** c17's decision core: [[semanticAdmissionDecisions]]' fates with
     * the media gate appended — kept survivors' audio fingerprints
-    * (decoded here, survivor-only) probe the Hamming zone; verified
-    * pairs resolve through the same CC minimum. The zone must cover
-    * strictly smaller ids than the delta (the admission-timeline
-    * contract).
+    * (decoded here survivor-only, unless the caller already decoded
+    * the batch at ingest and passes `deltaSigs` — st31's reuse seam)
+    * probe the Hamming zone; verified pairs resolve through the same
+    * CC minimum. The zone must cover strictly smaller ids than the
+    * delta (the admission-timeline contract); the media probe
+    * self-excludes at the delta's minimum id like every other gate
+    * (a no-op on clean zones, crash-replay soundness on looped ones).
     */
   private[graft] def mediaAdmissionDecisions(spark: SparkSession,
       docs: DataFrame, emb: DataFrame, delta: DataFrame,
       md5ZoneDir: String, sigZoneDir: String, annZoneDir: String,
       hamZoneDir: String,
-      calThresholds: Option[DataFrame] = None): DataFrame = {
+      calThresholds: Option[DataFrame] = None,
+      deltaSigs: Option[DataFrame] = None): DataFrame = {
     // four-gate fates feed the kept filter and the final join — the
     // c12 lineage-truncation rule (a cached plan would nest the full
     // admission subtree in every consumer)
@@ -2609,9 +2613,14 @@ object TrainingData {
       .localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept").select(col("doc_id"))
     // decode ONLY the survivors' media — the zone answers for history
-    val keptSigs = audioSigs(docs.join(keptIds, Seq("doc_id"), "left_semi"))
+    val keptSigs = deltaSigs
+      .getOrElse(audioSigs(docs.join(keptIds, Seq("doc_id"), "left_semi")))
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    val minRow = delta.agg(min(col("doc_id"))).head()
+    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     val pairs = graft.core.Caches.persistTracked(
-      graft.operators.HammingZone.incrementalPairs(keptSigs, hamZoneDir)
+      graft.operators.HammingZone.incrementalPairs(keptSigs, hamZoneDir,
+          maxZoneDocId = Some(selfCut))
         .select(col("doc_a"), col("doc_b")))
     val vertices = keptIds
       .union(pairs.select(col("doc_a").as("doc_id")))
@@ -3665,7 +3674,63 @@ object TrainingData {
   private[queries] lazy val st29OracleSql = productionOracleSql(refresh = false)
   private[queries] lazy val st30OracleSql = productionOracleSql(refresh = true)
 
-  private def productionOracleSql(refresh: Boolean): String = {
+  /** st31: the five-gate variant — c17's media chain inserted PER
+    * SLICE between the four-gate fates and the shard stages (audio
+    * fingerprints rebuilt bit-for-bit, slice-tagged pairs with st25's
+    * tombstone live-rule, a third recursive closure, kept→media_dup
+    * rewrite) — the shard tail then packs the five-gate survivors.
+    */
+  private[queries] lazy val st31OracleSql =
+    productionOracleSql(refresh = false, media = true)
+
+  private def productionOracleSql(refresh: Boolean,
+      media: Boolean = false): String = {
+    val ftName = if (media) "ftm" else "ft"
+    val mediaCtes = if (!media) "" else
+      s"""keptp AS MATERIALIZED (SELECT doc_id, s FROM ft WHERE fate = 'kept'),
+         |aud AS MATERIALIZED (SELECT d2a.doc_id, 256 + d2a.doc_id % 1000 AS n
+         |  FROM documents d2a, ee WHERE d2a.doc_id % 3 = 1
+         |    AND d2a.doc_id % 34 <> 0 AND d2a.doc_id < ee.e),
+         |audv AS MATERIALIZED (
+         |  SELECT aud.doc_id, (r.i * 61) // aud.n AS seg,
+         |         ((r.i * 2654435761 + aud.doc_id) % 65536) - 32768 AS sm
+         |  FROM aud, range(1256) r(i) WHERE r.i < aud.n),
+         |aude AS MATERIALIZED (SELECT doc_id, seg, CAST(sum(sm * sm) AS BIGINT) AS energy
+         |  FROM audv GROUP BY 1, 2),
+         |audd AS MATERIALIZED (SELECT doc_id, seg, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+         |  FROM aude),
+         |audh AS MATERIALIZED (SELECT doc_id,
+         |    CAST(sum(CASE WHEN energy > prev THEN (CAST(1 AS BIGINT) << (seg - 1))
+         |             ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM audd WHERE seg >= 1 GROUP BY doc_id),
+         |mp AS MATERIALIZED (SELECT DISTINCT k.s AS s, x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM audh x JOIN audh y ON x.doc_id < y.doc_id
+         |  JOIN keptp k ON k.doc_id = y.doc_id
+         |  JOIN sl sx ON sx.doc_id = x.doc_id
+         |  LEFT JOIN keptp kx ON kx.doc_id = x.doc_id AND kx.s = k.s, ee
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $audioHammingMax
+         |    AND ((sx.s < k.s
+         |        AND NOT (x.doc_id % 17 = 3 AND x.doc_id < ee.e * 2 // 4 AND k.s >= 2))
+         |      OR kx.doc_id IS NOT NULL)),
+         |mverts AS MATERIALIZED (SELECT s, doc_id FROM keptp
+         |  UNION SELECT s, doc_a FROM mp UNION SELECT s, doc_b FROM mp),
+         |medges AS MATERIALIZED (SELECT s, doc_a AS src, doc_b AS dst FROM mp
+         |  UNION ALL SELECT s, doc_b, doc_a FROM mp),
+         |closure3(s, a, b) AS (
+         |  SELECT s, doc_id, doc_id FROM mverts
+         |  UNION
+         |  SELECT c.s, c.a, e.dst FROM closure3 c JOIN medges e ON e.s = c.s AND e.src = c.b),
+         |comp3 AS MATERIALIZED (SELECT s, a AS doc_id, min(b) AS component
+         |  FROM closure3 GROUP BY 1, 2),
+         |ftm AS MATERIALIZED (SELECT f.doc_id, f.round, f.s,
+         |    CASE WHEN f.fate = 'kept' AND c3.component < f.doc_id
+         |         THEN 'media_dup' ELSE f.fate END AS fate,
+         |    CASE WHEN f.fate = 'kept' AND c3.component < f.doc_id
+         |         THEN c3.component ELSE f.dup_of END AS dup_of,
+         |    f.quality_score
+         |  FROM ft f LEFT JOIN comp3 c3 ON c3.doc_id = f.doc_id AND c3.s = f.s),
+         |""".stripMargin
     val calth1 = if (!refresh) "" else
       s"""hq1 AS MATERIALIZED (
          |  SELECT doc_id, source,
@@ -3876,7 +3941,7 @@ object TrainingData {
        |LEFT JOIN ex ON ex.doc_id = sc.doc_id
        |LEFT JOIN comp ON comp.doc_id = sc.doc_id AND comp.s = sc.s
        |LEFT JOIN comp2 ON comp2.doc_id = sc.doc_id AND comp2.s = sc.s),
-       |keptf AS MATERIALIZED (SELECT doc_id, s, quality_score FROM ft
+       |${mediaCtes}keptf AS MATERIALIZED (SELECT doc_id, s, quality_score FROM $ftName
        |  WHERE fate = 'kept'),
        |hemb AS MATERIALIZED (SELECT e2.vec_id, e2.embedding
        |  FROM embeddings e2, ee WHERE e2.vec_id < ee.e // 4),
@@ -3903,7 +3968,7 @@ object TrainingData {
        |  o.start_off // 2048 AS seq_start,
        |  CASE WHEN o.n_tokens = 0 THEN o.start_off // 2048
        |       ELSE (o.start_off + o.n_tokens - 1) // 2048 END AS seq_end
-       |FROM ft LEFT JOIN o ON o.doc_id = ft.doc_id
+       |FROM $ftName ft LEFT JOIN o ON o.doc_id = ft.doc_id
        |ORDER BY ft.doc_id""".stripMargin
   }
 

@@ -2092,15 +2092,38 @@ object EventStream {
     finally reap(root)
   }
 
-  /** st29/st30's core against a caller-owned root (the specs inspect
-    * zones and per-round shards; the public entries reap them).
-    * `refreshAtBatch`: run the scheduled decision-state refresh at the
-    * start of this batch id (st30); None = the slice-0 fit serves the
-    * whole loop (st29).
+  /** st31: st29 with the MEDIA modality closed into the loop — the
+    * five-gate terminal shape (calibrated quality, exact-md5, text
+    * near-dup, ANN semantic, Hamming media). The
+    * [[graft.operators.HammingZone]] joins the per-batch zone set:
+    * tombstones apply to it first like the others, each micro-batch
+    * decodes ITS OWN audio rows exactly once (st26's rule — the
+    * fingerprints feed both the survivors' gate probe and the feedback
+    * append, so no row is decoded twice even within a batch), kept
+    * survivors probe stored history signatures to `media_dup` fates
+    * via the same CC pass (c17's gate), and the zone is OPTIMIZEd with
+    * the rest post-stream. The media probe self-excludes at the
+    * delta's minimum id, so a checkpoint-replayed batch whose own
+    * chunk rows already landed decides identically (the st25
+    * crash-replay contract extended to the fourth modality).
+    */
+  def streamMediaLoop(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("st31")
+    try runProductionPipeline(spark, dir, root, mediaGate = true)
+    finally reap(root)
+  }
+
+  /** st29/st30/st31's core against a caller-owned root (the specs
+    * inspect zones and per-round shards; the public entries reap
+    * them). `refreshAtBatch`: run the scheduled decision-state refresh
+    * at the start of this batch id (st30); None = the slice-0 fit
+    * serves the whole loop (st29). `mediaGate`: maintain the Hamming
+    * zone and decide with the fifth (media) gate (st31).
     */
   private[graft] def runProductionPipeline(spark: SparkSession,
       dir: String, root: java.nio.file.Path,
-      refreshAtBatch: Option[Long] = None): DataFrame = {
+      refreshAtBatch: Option[Long] = None,
+      mediaGate: Boolean = false): DataFrame = {
     import graft.operators.{AnnIndexZone, Dedup, SignatureZone, Similarity}
     import graft.queries.TrainingData
     import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
@@ -2113,8 +2136,13 @@ object EventStream {
     val fates = root.resolve("fates").toString
     val shards = root.resolve("shards").toString
     val docs = graft.core.Tables(spark, dir, "documents")
+    val hamZone = root.resolve("ham").toString
     SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
     AnnIndexZone.create(spark, annZone, expectedCount = embTotal): Unit
+    if (mediaGate)
+      graft.operators.HammingZone.create(spark, hamZone,
+        TrainingData.audioHammingBits, TrainingData.audioHammingMax,
+        TrainingData.audioHammingChunks)
     // the REFRESH outputs, trained over the batch-0 history slice
     // BEFORE the stream opens and persisted (decision state belongs to
     // the last refresh; a per-batch re-fit would tie fates to replay
@@ -2162,13 +2190,25 @@ object EventStream {
       SignatureZone.delete(dels, sigZone)
       Dedup.md5ZoneDelete(dels, md5Zone)
       AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
+      if (mediaGate)
+        graft.operators.HammingZone.delete(dels, hamZone)
+      // the batch's audio decoded EXACTLY ONCE (st26's rule): these
+      // fingerprints feed both the survivors' media probe and the
+      // feedback append below
+      val batchSigs = if (!mediaGate) None else Some(
+        graft.core.Caches.persistTracked(TrainingData.audioSigs(ins)))
       if (id > 0) {
-        // decide with the calibrated gate and MATERIALIZE the fates
-        // before any feedback append (c9's write-then-append ordering)
-        TrainingData.semanticAdmissionDecisions(
+        // decide with the calibrated gate (and the media gate when the
+        // Hamming zone rides along) and MATERIALIZE the fates before
+        // any feedback append (c9's write-then-append ordering)
+        val decided =
+          if (mediaGate) TrainingData.mediaAdmissionDecisions(
+            spark, docs, emb, ins, md5Zone, sigZone, annZone, hamZone,
+            calThresholds = Some(cal), deltaSigs = batchSigs)
+          else TrainingData.semanticAdmissionDecisions(
             spark, docs, emb, ins, md5Zone, sigZone, annZone,
             calThresholds = Some(cal))
-          .write.mode("overwrite").parquet(s"$fates/round=$id")
+        decided.write.mode("overwrite").parquet(s"$fates/round=$id")
         // the shard tail reads the fates BACK from disk — lineage
         // truncation (the c14 localCheckpoint rule: the tail's four
         // consumers must not each nest the full admission subtree)
@@ -2188,6 +2228,7 @@ object EventStream {
       AnnIndexZone.appendIndex(
         emb.join(ins.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi"), annZone)
+      batchSigs.foreach(graft.operators.HammingZone.append(_, hamZone))
       graft.core.Caches.release()
     }
     // retention GC in the streamed posture (st25's closing discipline)
@@ -2197,6 +2238,10 @@ object EventStream {
     require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
     val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
     require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
+    if (mediaGate) {
+      val (hb, ha) = graft.operators.HammingZone.optimize(spark, hamZone)
+      require(ha <= hb && ha > 0, s"hamming optimize produced $ha of $hb files")
+    }
     spark.read.parquet(fates)
       .select(col("doc_id"), col("round").cast("long").as("round"),
         col("fate"), col("dup_of"), col("quality_score"))

@@ -94,4 +94,53 @@ class ProductionPipelineSpec extends SparkSpec {
     graft.core.Caches.release()
     graft.core.Fs.deleteRecursively(spark, root.toString)
   }
+
+  test("five-gate decide (st31's core) is replay-sound after its own feedback appends") {
+    // The media gate joined the loop, so it must honor the same
+    // crash-replay contract as the other four: a replayed batch whose
+    // OWN zone rows (including its audio chunk rows) already landed
+    // decides identically — the Hamming probe self-excludes at the
+    // delta's minimum id. Pins the whole five-gate decide under that
+    // replay, the SemanticLoopSpec argument extended to modality four.
+    import graft.operators.{AnnIndexZone, Dedup, HammingZone, SignatureZone}
+    import graft.queries.TrainingData
+    import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val e = emb.count()
+    val cut = e / 2
+    val hist = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut && col("doc_id") < e)
+    val z = tmpDir("mediareplay")
+    SignatureZone.create(spark, s"$z/sig", shingleN, minhashK, minhashBands)
+    SignatureZone.append(hist, s"$z/sig")
+    Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
+    AnnIndexZone.create(spark, s"$z/ann", expectedCount = e): Unit
+    AnnIndexZone.appendIndex(
+      emb.join(hist.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      s"$z/ann")
+    HammingZone.build(spark, TrainingData.audioSigs(hist), s"$z/ham",
+      TrainingData.audioHammingBits, TrainingData.audioHammingMax,
+      TrainingData.audioHammingChunks)
+    def decide() = TrainingData.mediaAdmissionDecisions(spark, docs, emb, delta,
+        s"$z/md5", s"$z/sig", s"$z/ann", s"$z/ham")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val clean = decide()
+    assert(clean.exists(_._2 == "media_dup"),
+      "fixture lost its media-dup signal — the fifth gate never fired")
+    // the crash-point state: the batch's own feedback already landed,
+    // INCLUDING its audio chunk rows
+    SignatureZone.append(delta, s"$z/sig")
+    Dedup.md5ZoneAppend(delta, col("text"), col("doc_id"), s"$z/md5")
+    AnnIndexZone.appendIndex(
+      emb.join(delta.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      s"$z/ann")
+    HammingZone.append(TrainingData.audioSigs(delta), s"$z/ham")
+    assert(decide() == clean,
+      "replayed five-gate decide diverged after the batch's own zone appends")
+    graft.core.Caches.release()
+  }
 }
