@@ -2759,6 +2759,80 @@ object TrainingData {
       .otherwise(split_part(rest, lit("/"), lit(1)))
   }
 
+  /** Company extraction (x27): the scrape subsystem's OTHER pure
+    * column transform — `extract_company`
+    * (project_catalyst/extract_company_from_company_link.py:3-76):
+    * strip whitespace; remove the FIRST matching prefix of
+    * `https://www.` / `https://` (in that order, break on match);
+    * remove the FIRST matching suffix from the reference's ordered
+    * TLD list (break on match); null/blank → empty string. Replayed
+    * quirks included: the reference's suffix list has a missing comma
+    * after `".xyz/"`, so Python string concatenation fuses it with
+    * `".earth"` into the single dead entry `".xyz/.earth"` — a URL
+    * ending `.xyz/` or bare `.earth` therefore NEVER strips, and this
+    * replay preserves exactly that. List order is also semantic
+    * (`.co.jp/` precedes `.co` and `.jp`; `.com/en/` is reachable only
+    * because `.com` fails on a trailing path) — both engines derive
+    * their first-match chains from the SAME [[companySuffixes]] Seq,
+    * so the 55-arm order cannot drift between them. One codegen'd
+    * CASE projection, shuffle-free except the output sort.
+    */
+  def x27CompanyExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val name = concat(lit("corp"), pmod(id, lit(47)))
+    val link = when(pmod(id, lit(11)) === 0, concat(lit("https://www."), name, lit(".com")))
+      .when(pmod(id, lit(11)) === 1, concat(lit("https://"), name, lit(".io/")))
+      .when(pmod(id, lit(11)) === 2,
+        concat(lit("https://github.com/"), name, lit("/")))
+      .when(pmod(id, lit(11)) === 3, concat(lit("https://www."), name, lit(".com/en/")))
+      .when(pmod(id, lit(11)) === 4, concat(lit("https://www."), name, lit(".com.br/")))
+      .when(pmod(id, lit(11)) === 5, concat(name, lit(".xyz/")))
+      .when(pmod(id, lit(11)) === 6, concat(name, lit(".earth")))
+      .when(pmod(id, lit(11)) === 7, concat(lit("  https://"), name, lit(".ai  ")))
+      .when(pmod(id, lit(11)) === 8, concat(name, lit(".co.jp")))
+      .when(pmod(id, lit(11)) === 9, lit(""))
+      .otherwise(lit(null).cast("string"))
+    Tables(spark, dir, "documents")
+      .select(id, link.as("company_link"))
+      .select(id, col("company_link"),
+        extractCompany(col("company_link")).as("company"))
+      .orderBy(id)
+  }
+
+  /** The reference's suffix list IN ITS EFFECTIVE PYTHON ORDER —
+    * including the fused `".xyz/.earth"` the missing comma produces.
+    * Single source for the Spark chain and the oracle CASE.
+    */
+  private[graft] val companySuffixes: Seq[String] = Seq(
+    ".com", ".com/", ".io", ".io/", ".fi", ".fi/", ".rest", ".rest/",
+    ".net", ".net/", ".city", ".city/", ".org", ".org/", ".co.jp/",
+    ".co.jp", ".id", ".id/", ".vn", ".vn/", ".dev", ".dev/",
+    ".network", ".network/", ".xyz", ".xyz/.earth", ".earth/", ".art",
+    ".art/", ".co", ".co/", ".de", ".de/", ".com/en/", ".com.br/",
+    ".com.br", ".ca", ".ca/", ".ac.in/", ".ch", ".ch/", ".ae", ".ae/",
+    ".li", ".li/", ".jp", ".jp/", ".me", ".me/", ".gg", ".gg/", ".pt",
+    ".pt/", ".ai", ".ai/")
+
+  /** Library seam for [[x27CompanyExtract]] (spec fixtures). */
+  private[graft] def extractCompany(url: Column): Column = {
+    val u = trim(url)
+    val c = when(u.startsWith("https://www."), substring(u, 13, Int.MaxValue))
+      .when(u.startsWith("https://"), substring(u, 9, Int.MaxValue))
+      .otherwise(u)
+    val stripped = companySuffixes.foldLeft(when(lit(false), c)) { (acc, suf) =>
+      acc.when(c.endsWith(suf), c.substr(lit(1), length(c) - lit(suf.length)))
+    }.otherwise(c)
+    when(url.isNull || u === "", lit("")).otherwise(stripped)
+  }
+
+  /** x27's oracle tail: the same first-match suffix CASE, generated
+    * from the same Seq.
+    */
+  private[graft] lazy val companySuffixCaseSql: String =
+    "CASE " + companySuffixes.map(s =>
+      s"WHEN ends_with(c, '$s') THEN left(c, length(c) - ${s.length})")
+      .mkString("\n         ") + "\n         ELSE c END"
+
   /** Per-source calibration thresholds over a HISTORY slice — the
     * REFRESH output c13's admission gate consumes (the c10 centroid
     * pattern applied to x23's calibration): for each source, the raw
@@ -2917,6 +2991,7 @@ object TrainingData {
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "x26_github_profile" -> (x26GithubProfile _),
+    "x27_company_extract" -> (x27CompanyExtract _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -5074,6 +5149,35 @@ object TrainingData {
         |              THEN substring(trim(company_link), 12)
         |              ELSE trim(company_link) END, '/', 1) END AS github_profile
         |FROM f ORDER BY doc_id""".stripMargin,
+    // x27: identical fixture links; the prefix chain and the 55-arm
+    // first-match suffix CASE generated from the same Seq the engine
+    // folds — quirks (the fused '.xyz/.earth' dead entry) included.
+    "x27_company_extract" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CASE doc_id % 11
+         |      WHEN 0 THEN 'https://www.corp' || CAST(doc_id % 47 AS VARCHAR) || '.com'
+         |      WHEN 1 THEN 'https://corp' || CAST(doc_id % 47 AS VARCHAR) || '.io/'
+         |      WHEN 2 THEN 'https://github.com/corp' || CAST(doc_id % 47 AS VARCHAR) || '/'
+         |      WHEN 3 THEN 'https://www.corp' || CAST(doc_id % 47 AS VARCHAR) || '.com/en/'
+         |      WHEN 4 THEN 'https://www.corp' || CAST(doc_id % 47 AS VARCHAR) || '.com.br/'
+         |      WHEN 5 THEN 'corp' || CAST(doc_id % 47 AS VARCHAR) || '.xyz/'
+         |      WHEN 6 THEN 'corp' || CAST(doc_id % 47 AS VARCHAR) || '.earth'
+         |      WHEN 7 THEN '  https://corp' || CAST(doc_id % 47 AS VARCHAR) || '.ai  '
+         |      WHEN 8 THEN 'corp' || CAST(doc_id % 47 AS VARCHAR) || '.co.jp'
+         |      WHEN 9 THEN ''
+         |      ELSE NULL END AS company_link
+         |  FROM documents),
+         |p AS (SELECT doc_id, company_link,
+         |    CASE WHEN starts_with(trim(company_link), 'https://www.')
+         |           THEN substring(trim(company_link), 13)
+         |         WHEN starts_with(trim(company_link), 'https://')
+         |           THEN substring(trim(company_link), 9)
+         |         ELSE trim(company_link) END AS c
+         |  FROM f)
+         |SELECT doc_id, company_link,
+         |  CASE WHEN company_link IS NULL OR trim(company_link) = '' THEN ''
+         |       ELSE $companySuffixCaseSql END AS company
+         |FROM p ORDER BY doc_id""".stripMargin,
     "x23_quality_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -46,4 +46,43 @@ class ScrapeExtractSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("company extraction matches the reference function, fused-suffix quirk included") {
+    import spark.implicits._
+    val cases = Seq(
+      // the reference file's own "totest" URLs
+      ("https://github.com/Anastasia-Labs/", "github.com/Anastasia-Labs/"),
+      ("https://www.scaleway.com/en/", "scaleway"),
+      ("https://www.adapix.com.br/", "adapix"),
+      // prefix order: https://www. wins before https://
+      ("https://www.x.com", "x"),
+      ("https://x.com", "x"),
+      // suffix order is semantic: .co.jp/ and .co.jp precede .co/.jp
+      ("https://foo.co.jp/", "foo"),
+      ("https://foo.co.jp", "foo"),
+      // the missing-comma quirk: '.xyz/' and bare '.earth' fused into
+      // the dead entry '.xyz/.earth' — neither ever strips
+      ("corp.xyz/", "corp.xyz/"),
+      ("corp.earth", "corp.earth"),
+      ("corp.xyz", "corp"),    // '.xyz' itself still works
+      ("corp.earth/", "corp"), // as does '.earth/'
+      // whitespace strips before everything; blank guard
+      ("  https://corp.ai  ", "corp"),
+      ("", ""),
+      ("   ", ""))
+    val out = cases.toDF("url", "want")
+      .select(col("want"), TrainingData.extractCompany(col("url")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (want, got) => assert(want == got, s"want=$want got=$got") }
+    val n = Seq(Tuple1(Option.empty[String])).toDF("url")
+      .select(TrainingData.extractCompany(col("url")).as("got"))
+      .collect().head.getString(0)
+    assert(n == "")
+    // the replayed list must stay the reference's effective one: 55
+    // arms with the fused entry present and its two halves absent
+    assert(TrainingData.companySuffixes.size == 55)
+    assert(TrainingData.companySuffixes.contains(".xyz/.earth"))
+    assert(!TrainingData.companySuffixes.contains(".xyz/"))
+    assert(!TrainingData.companySuffixes.contains(".earth"))
+  }
 }
