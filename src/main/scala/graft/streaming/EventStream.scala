@@ -2076,15 +2076,21 @@ object EventStream {
     * slice-routed — a green hash proves which fit served which round).
     *
     * Refresh-at-trigger-start, not at previous-batch-end, for REPLAY
-    * soundness: the re-fit is deterministic over the zone-covered live
-    * corpus (exact integer medians, integer Lloyd), so a
-    * checkpoint-replayed batch 3 re-runs the rebuild into a
-    * value-identical swap and re-decides identically; a
-    * previous-batch-end refresh would let a replayed batch 2 see state
-    * fitted AFTER its clean-timeline decide. RefreshLoopSpec pins the
-    * swap-instant invariant (same-history rebuild changes no decision)
-    * and that round 3 diverges from the unrefreshed posture (the
-    * refresh BINDS).
+    * soundness: the re-fit is deterministic (exact integer medians,
+    * integer Lloyd) over the zone-covered live corpus BELOW the
+    * delta's minimum id — the batch's own inserts are self-excluded
+    * and the batch's tombstones are applied first, so a
+    * checkpoint-replayed batch 3 whose zone feedback appends already
+    * landed re-runs the rebuild into a value-identical swap and
+    * re-decides identically (the id filter strips the replayed
+    * appends; re-applied tombstones are no-ops under the zone
+    * readers' anti-joins). A previous-batch-end refresh would instead
+    * let a replayed batch 2 see state fitted AFTER its clean-timeline
+    * decide. RefreshLoopSpec pins the swap-instant invariant
+    * (same-history rebuild changes no decision), that round 3
+    * diverges from the unrefreshed posture (the refresh BINDS), and
+    * that a replayed batch-3 refresh+decide over crash-point zones
+    * reproduces round 3's recorded fates exactly.
     */
   def streamRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
     val root = scratchDir("st30")
@@ -2156,16 +2162,37 @@ object EventStream {
       Similarity.kmeansFit(emb.filter(col("vec_id") < histCut)),
       s"$root/cents")
     runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+      val ins = batch.filter(col("op") === "I")
+        .select(col("doc_id"), col("source"), col("text"))
+      val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // tombstones FIRST (st25's rule: this batch's decisions see the
+      // corpus as of this batch)
+      SignatureZone.delete(dels, sigZone)
+      Dedup.md5ZoneDelete(dels, md5Zone)
+      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
+      if (mediaGate)
+        graft.operators.HammingZone.delete(dels, hamZone)
       if (refreshAtBatch.contains(id)) {
-        // the scheduled re-fit, at trigger START (before this batch's
-        // decide — replay-idempotent: deterministic over the live
-        // corpus the zones cover, which a replay sees unchanged). The
-        // live history is read from the md5 zone's OWN keeper rows:
-        // ingested minus tombstoned, exactly the state every gate
-        // probes — no side-channel corpus knowledge.
+        // The scheduled re-fit, at trigger START (before this batch's
+        // decide), AFTER this batch's tombstones, SELF-EXCLUDING this
+        // batch's own inserts at the delta's minimum id — the
+        // HammingZone.incrementalPairs rule applied to the refresh.
+        // That makes the re-fit replay-deterministic in both
+        // directions a crash can skew it: a checkpoint-replayed batch
+        // whose zone feedback appends already landed re-fits WITHOUT
+        // its own keeper rows (the id filter, a no-op on the clean
+        // timeline where every prior slice sits below the delta's
+        // min), and re-applied tombstones are absorbed by the zone
+        // reader's anti-join (append-only tombstones are idempotent).
+        // The live history is read from the md5 zone's OWN keeper
+        // rows: ingested minus tombstoned, exactly the state every
+        // gate probes — no side-channel corpus knowledge.
+        val minIns = ins.agg(min(col("doc_id"))).head.get(0)
+        val liveAll = Dedup.md5ZoneRead(spark, md5Zone)
+          .select(col("keeper_id").as("doc_id")).distinct()
         val live = graft.core.Caches.persistTracked(
-          Dedup.md5ZoneRead(spark, md5Zone)
-            .select(col("keeper_id").as("doc_id")).distinct())
+          if (minIns == null) liveAll
+          else liveAll.filter(col("doc_id") < lit(minIns)))
         graft.operators.ZoneRebuild.rebuild(spark, s"$root/cal") { staging =>
           TrainingData.calibrationThresholds(
               docs.join(live, Seq("doc_id"), "left_semi")
@@ -2182,16 +2209,6 @@ object EventStream {
       // whichever trigger it landed at (k-row reads — negligible)
       val cal = spark.read.parquet(s"$root/cal")
       val cents = Similarity.loadCentroids(spark, s"$root/cents")
-      val ins = batch.filter(col("op") === "I")
-        .select(col("doc_id"), col("source"), col("text"))
-      val dels = batch.filter(col("op") === "D").select(col("doc_id"))
-      // tombstones FIRST (st25's rule: this batch's decisions see the
-      // corpus as of this batch)
-      SignatureZone.delete(dels, sigZone)
-      Dedup.md5ZoneDelete(dels, md5Zone)
-      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
-      if (mediaGate)
-        graft.operators.HammingZone.delete(dels, hamZone)
       // the batch's audio decoded EXACTLY ONCE (st26's rule): these
       // fingerprints feed both the survivors' media probe and the
       // feedback append below
