@@ -331,6 +331,88 @@ object TrainingData {
         k = 10, r = pqRefineR, nprobe = 2)
       .orderBy(col("q_id"), col("nn_rank"))
 
+  /** ANN REINDEX loop (c16): the retrain-and-re-encode maintenance op
+    * that closes the vector stack's refresh discipline — st30
+    * refreshes DECISION state (calibration thresholds, assignment
+    * centroids); this entry refreshes INDEX GEOMETRY, the FAISS
+    * retrain analog. Round 1: the IVF zone and the PQ zone are built
+    * over the HISTORY slice (first 3/4 by vec_id) and the arriving
+    * delta appends under that now-STALE geometry (cell assignments /
+    * code words against the old fit — the delta-sized move every
+    * batch makes, and the recall drift this op exists to repay). The
+    * five-query probe answers from the stale zone (`ivf_stale`). Then
+    * the scheduled REINDEX: re-fit the coarse quantizer and all m
+    * codebooks over the FULL live corpus and re-encode EVERY vector,
+    * each zone landing through [[graft.operators.ZoneRebuild]]'s
+    * fingerprint-guarded two-rename cutover — readers are served the
+    * old geometry until the swap instant, and an append racing the
+    * rebuild fails the cutover loudly instead of being dropped. Round
+    * 2 probes the re-fitted zones (`ivf_reindexed`, `pq_reindexed`):
+    * d28's and d30's query chains served from REBUILT zones.
+    *
+    * The oracle replays BOTH fits — the history-slice Lloyd chain and
+    * the full-corpus one — phase-routed, so a green hash proves which
+    * geometry served which round (st30's refresh-binds argument
+    * applied to the index). ReindexLoopSpec pins that the phases
+    * genuinely diverge on this corpus (round 2 provably probes the
+    * re-fitted index) and the swap-instant no-op (a same-corpus
+    * rebuild changes no answer; the rebuilt zone answers exactly like
+    * d28's batch-built twin).
+    *
+    * Scale shape: the retrain costs the same as the original backfill
+    * build (k·iters narrow corpus passes + one encode pass) but runs
+    * BESIDE the serving zone at a staging path, never against it;
+    * between reindexes every delta still pays only the zero-shuffle
+    * literal-centroid append. At 100 TB the reindex cadence is the
+    * recall-decay budget — a scheduled maintenance window, exactly
+    * like the zones' OPTIMIZE siblings.
+    */
+  def c16ReindexLoop(spark: SparkSession, dir: String): DataFrame =
+    reindexLoop(spark, dir, graft.core.Scratch.dir("c16zone"))
+
+  /** c16's core against a caller-owned root (ReindexLoopSpec inspects
+    * and re-swaps the zones; the public entry hands a session scratch
+    * dir whose zones the lazily-read `pq_reindexed` leg needs alive).
+    */
+  private[graft] def reindexLoop(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    import graft.operators.{IvfIndexZone, PqZone, ZoneRebuild}
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cut = emb.count() * 3L / 4L
+    val ivfZ = s"$root/ivf"
+    val pqZ = s"$root/pq"
+    IvfIndexZone.build(spark, emb.filter(col("vec_id") < cut), ivfZ,
+      k = ivfKmeansK, iters = 3): Unit
+    IvfIndexZone.append(emb.filter(col("vec_id") >= cut), ivfZ)
+    PqZone.build(spark, emb.filter(col("vec_id") < cut), pqZ,
+      m = pqSubspaces, k = pqCodes, iters = 2): Unit
+    PqZone.append(emb.filter(col("vec_id") >= cut), pqZ)
+    val q = ivfQueries(spark, dir)
+    def ivfPhase(tag: String) =
+      IvfIndexZone.topK(emb, q, ivfZ, k = 10, nprobe = 2)
+        .select(lit(tag).as("phase"), col("q_id"), col("vec_id"),
+          col("nn_rank"))
+        // materialize each phase on ITS side of the swap: the cutover
+        // replaces every file under the zone path, so a lazy stale
+        // plan would read (or fail on) the re-fitted zone
+        .localCheckpoint()
+    val stale = ivfPhase("ivf_stale")
+    ZoneRebuild.rebuild(spark, ivfZ) { staging =>
+      IvfIndexZone.build(spark, emb, staging, k = ivfKmeansK, iters = 3): Unit
+    }
+    ZoneRebuild.rebuild(spark, pqZ) { staging =>
+      PqZone.build(spark, emb, staging, m = pqSubspaces, k = pqCodes,
+        iters = 2): Unit
+    }
+    val reindexed = ivfPhase("ivf_reindexed")
+    val pqReindexed = PqZone.adcTopK(q, pqZ, k = 10)
+      .select(lit("pq_reindexed").as("phase"), col("q_id"), col("vec_id"),
+        col("nn_rank"))
+    stale.union(reindexed).union(pqReindexed)
+      .orderBy(col("phase"), col("q_id"), col("nn_rank"))
+  }
+
   /** The history/delta boundary every incremental query shares: the
     * first 4/5 of the corpus (by id) is HISTORY, the last 1/5 the
     * arriving DELTA — exact integer arithmetic both engines replay
@@ -2833,6 +2915,180 @@ object TrainingData {
       s"WHEN ends_with(c, '$s') THEN left(c, length(c) - ${s.length})")
       .mkString("\n         ") + "\n         ELSE c END"
 
+  /** Feasibility-details extraction (x28): the replay of
+    * `find_feasibility_details`
+    * (ideascale/scrape_feasibility_details_async.py:36-52) — locate
+    * the `<dl id="custom-field-section-4027">` section; within it the
+    * `<span class="ql-editor ql-render">` preview; join the stripped
+    * text of every nested `<p>` with `"\n"`; a missing dl OR missing
+    * span yields None, while a present span with ZERO paragraphs
+    * yields the EMPTY string (the reference returns `"\n".join(...)`
+    * unconditionally once the span is found — '' and None are
+    * distinct outcomes, replayed distinctly). Empty `<p></p>`
+    * elements contribute empty lines, exactly as
+    * `p.get_text(strip=True)` feeds `join`.
+    *
+    * The HTML is an injected deterministic fixture (x24's PII
+    * discipline) cycling every branch: multi-paragraph with padded
+    * whitespace, single paragraph, an empty `<p></p>` between
+    * non-empty ones, a zero-paragraph span, dl-without-span, and
+    * no-dl. Present sections always carry non-empty content (as real
+    * pages do), so regexp '' unambiguously means absent. One
+    * codegen'd projection, shuffle-free except the output sort.
+    */
+  def x28ScrapeFeasibility(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def para(i: Column): Column =
+      concat(lit("<p>  feas_"), pmod(id, lit(71)), lit("_"), i, lit(" </p>"))
+    val spanBody =
+      when(pmod(id, lit(7)) === 0,
+        concat(para(lit(0)), para(lit(1))))
+        .when(pmod(id, lit(7)) === 1, para(lit(0)))
+        .when(pmod(id, lit(7)) === 2,
+          concat(para(lit(0)), lit("<p></p>"), para(lit(2))))
+        .when(pmod(id, lit(7)) === 3, lit("pending review"))
+        .otherwise(lit(""))
+    val dlBody = concat(lit("<dt>Feasibility</dt><dd>"),
+      when(pmod(id, lit(7)) <= 3,
+        concat(lit("<span class=\"ql-editor ql-render\">"), spanBody,
+          lit("</span>")))
+        .otherwise(lit("<em>no preview</em>")),
+      lit("</dd>"))
+    val page = Tables(spark, dir, "documents").select(id,
+      concat(lit("<html><body><h2>Idea "), id, lit("</h2>"),
+        when(pmod(id, lit(7)) <= 4,
+          concat(lit("<dl id=\"custom-field-section-4027\">"), dlBody,
+            lit("</dl>")))
+          .otherwise(lit("<dl id=\"other-section\"><dt>x</dt></dl>")),
+        lit("</body></html>")).as("html"))
+    val h = col("html")
+    val dl = regexp_extract(h,
+      "<dl id=\"custom-field-section-4027\">(.*?)</dl>", 1)
+    val span = regexp_extract(dl,
+      "<span class=\"ql-editor ql-render\">(.*?)</span>", 1)
+    val ps = regexp_extract_all(span, lit("<p>([^<]*)</p>"), lit(1))
+    page.select(id,
+        when(dl === "" || span === "", lit(null).cast("string"))
+          .otherwise(array_join(transform(ps, p => trim(p)), "\n"))
+          .as("feasibility"))
+      .orderBy(id)
+  }
+
+  /** Anchor href-or-text extraction (x29): the replay of the
+    * reference's two-member anchor family — `find_company_link`
+    * (ideascale/get_company_link_ideascale.py:58-65, selector
+    * `a.unfurl-url.classic-link`) and `find_website_link`
+    * (project_catalyst/scrape_company_links_from_csv.py:63-70,
+    * selector `a.sc-ffb617e7-0.fTVUpX`). Both run the same dataflow:
+    * first matching anchor's `href` attribute, OR — Python's falsy
+    * `or`, so a present-but-EMPTY `href=""` also falls through — the
+    * anchor's stripped text; no anchor at all yields None. Both
+    * selectors extracted from ONE page column here, because the
+    * reference runs them over the same scraped-page corpus shape.
+    *
+    * Fixture cycles every branch per selector on coprime moduli
+    * (href'd, attribute-less, empty-href quirk, absent anchor, and
+    * for the website anchor href-with-empty-text). One codegen'd
+    * projection, shuffle-free except the output sort.
+    */
+  def x29ScrapeLinks(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val corp = concat(lit("corp_"), pmod(id, lit(43)))
+    val site = concat(lit("site_"), pmod(id, lit(41)))
+    val companyA =
+      when(pmod(id, lit(4)) === 0, concat(
+        lit("<a class=\"unfurl-url classic-link\" href=\"https://"), corp,
+        lit(".com\">"), corp, lit(" home</a>")))
+        .when(pmod(id, lit(4)) === 1, concat(
+          lit("<a class=\"unfurl-url classic-link\">  "), corp,
+          lit(" site  </a>")))
+        .when(pmod(id, lit(4)) === 2, concat(
+          lit("<a class=\"unfurl-url classic-link\" href=\"\">"), corp,
+          lit(" fallback</a>")))
+        .otherwise(lit(""))
+    val websiteA =
+      when(pmod(id, lit(5)) === 0, concat(
+        lit("<a class=\"sc-ffb617e7-0 fTVUpX\" href=\"https://"), site,
+        lit(".org\">"), site, lit("</a>")))
+        .when(pmod(id, lit(5)) === 1, concat(
+          lit("<a class=\"sc-ffb617e7-0 fTVUpX\"> "), site, lit(" </a>")))
+        .when(pmod(id, lit(5)) === 2, concat(
+          lit("<a class=\"sc-ffb617e7-0 fTVUpX\" href=\"\">"), site,
+          lit(" page</a>")))
+        .when(pmod(id, lit(5)) === 3, concat(
+          lit("<a class=\"sc-ffb617e7-0 fTVUpX\" href=\"https://"), site,
+          lit(".net\"></a>")))
+        .otherwise(lit(""))
+    val page = Tables(spark, dir, "documents").select(id,
+      concat(lit("<html><body>"), companyA, lit("<p>between</p>"), websiteA,
+        lit("</body></html>")).as("html"))
+    page.select(id,
+        anchorHrefOrText(col("html"), "unfurl-url classic-link")
+          .as("company_link"),
+        anchorHrefOrText(col("html"), "sc-ffb617e7-0 fTVUpX")
+          .as("website_link"))
+      .orderBy(id)
+  }
+
+  /** The anchor family's shared chain (library seam for the spec):
+    * `tag.get("href") or tag.get_text(strip=True)` with the None case
+    * — non-empty href wins, empty-or-missing href falls to stripped
+    * text (which may itself be ''), absent anchor is NULL.
+    */
+  private[graft] def anchorHrefOrText(h: Column, cls: String): Column = {
+    val open = "<a class=\"" + cls + "\""
+    val whole = regexp_extract(h, open + "[^>]*>[^<]*</a>", 0)
+    val href = regexp_extract(h, open + "[^>]*href=\"([^\"]*)\"[^>]*>", 1)
+    val txt = trim(regexp_extract(h, open + "[^>]*>([^<]*)</a>", 1))
+    when(whole === "", lit(null).cast("string"))
+      .when(href =!= "", href)
+      .otherwise(txt)
+  }
+
+  /** Applicant-name extraction, project_catalyst variant (x30): the
+    * replay of THAT subsystem's `find_author_title`
+    * (project_catalyst/scrape_applicant_name_project_catalyst_new.py:56-63)
+    * — a DIFFERENT dataflow from the ideascale one x24 replays: find
+    * the `<h3>` whose text CONTAINS (case-insensitively) the literal
+    * label `[general] name and surname of main applicant`; the name
+    * is the text node immediately FOLLOWING the h3, stripped; a
+    * whitespace-only sibling, a label-less page, or no h3 at all each
+    * yield None (the reference's `return name if name else None` plus
+    * its implicit fall-through).
+    *
+    * Fixture cycles the label in three casings (the `.lower()`
+    * contains-test), with surrounding h3 text, padded sibling text, a
+    * whitespace-only sibling, a wrong-label h3, and no h3. One
+    * codegen'd projection, shuffle-free except the output sort.
+    */
+  def x30ScrapeApplicantPc(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val name = concat(lit("pc_applicant_"), pmod(id, lit(61)))
+    val block =
+      when(pmod(id, lit(6)) === 0, concat(
+        lit("<h3>[General] Name and Surname of main applicant</h3>"),
+        name, lit("<div class=\"sep\">|</div>")))
+        .when(pmod(id, lit(6)) === 1, concat(
+          lit("<h3>[general] name and surname of main applicant</h3>  "),
+          name, lit("  <p>next</p>")))
+        .when(pmod(id, lit(6)) === 2, concat(
+          lit("<h3>Q1: [GENERAL] NAME AND SURNAME OF MAIN APPLICANT *</h3>"),
+          name, lit("<br>")))
+        .when(pmod(id, lit(6)) === 3, lit(
+          "<h3>[general] name and surname of main applicant</h3>   <div>x</div>"))
+        .when(pmod(id, lit(6)) === 4, lit("<h3>Budget breakdown</h3>someone"))
+        .otherwise(lit("<p>no headings here</p>"))
+    val page = Tables(spark, dir, "documents").select(id,
+      concat(lit("<html><body>"), block, lit("</body></html>")).as("html"))
+    val cap = trim(regexp_extract(col("html"),
+      "(?i)<h3>[^<]*\\[general\\] name and surname of main applicant[^<]*</h3>([^<]*)",
+      1))
+    page.select(id,
+        when(cap === "", lit(null).cast("string")).otherwise(cap)
+          .as("applicant"))
+      .orderBy(id)
+  }
+
   /** Per-source calibration thresholds over a HISTORY slice — the
     * REFRESH output c13's admission gate consumes (the c10 centroid
     * pattern applied to x23's calibration): for each source, the raw
@@ -2987,11 +3243,15 @@ object TrainingData {
     "d30_pq_topk" -> (d30PqTopk _),
     "d31_ivf_pq" -> (d31IvfPq _),
     "d32_ivf_pq_refined" -> (d32IvfPqRefined _),
+    "c16_reindex_loop" -> (c16ReindexLoop _),
     "c15_retrieval_refined" -> (c15RetrievalRefined _),
     "x23_quality_calibration" -> (x23QualityCalibration _),
     "x24_scrape_extract" -> (x24ScrapeExtract _),
     "x26_github_profile" -> (x26GithubProfile _),
     "x27_company_extract" -> (x27CompanyExtract _),
+    "x28_scrape_feasibility" -> (x28ScrapeFeasibility _),
+    "x29_scrape_links" -> (x29ScrapeLinks _),
+    "x30_scrape_applicant_pc" -> (x30ScrapeApplicantPc _),
     "d10_quantize_embeddings" -> (d10QuantizeEmbeddings _),
     "d7_embedding_neardup" -> (d7EmbeddingNeardup _),
     "d15_semantic_dedup" -> (d15SemanticDedup _),
@@ -3059,7 +3319,8 @@ object TrainingData {
     "c17_admission_media" -> "composition",
     "c13_admission_calibrated" -> "composition",
     "c14_admission_shard" -> "composition",
-    "c15_retrieval_refined" -> "composition")
+    "c15_retrieval_refined" -> "composition",
+    "c16_reindex_loop" -> "composition")
 
   /** d6's oracle, k-parameterized: the SRP-LSH bucket/probe derivation
     * with the plane count re-derived from the corpus size, top-k by
@@ -3326,6 +3587,73 @@ object TrainingData {
     s"""WITH $pqCtes,
        |${pqAdcCte("")}
        |${pqAdcSelect(10)}""".stripMargin
+
+  /** c16's oracle: BOTH quantizer fits replayed, phase-routed. The
+    * history-slice Lloyd chain (prefix `h`, over the first 3/4 of the
+    * corpus) serves `ivf_stale` — its stored lists are the history
+    * assignments (ha3) plus the delta assigned under the SAME stale
+    * centroids (hc2), exactly what append() wrote before the reindex.
+    * The full-corpus chain (prefix `f`) serves `ivf_reindexed` — it
+    * is literally d28's oracle chain, proving the rebuilt zone equals
+    * a from-scratch build. `pq_reindexed` is literally d30's chain
+    * (full-corpus codebooks + ADC). Ranks only: which geometry served
+    * which phase is what the hash must pin.
+    */
+  private lazy val reindexLoopOracleSql: String = {
+    val cut = "(SELECT count(*) * 3 // 4 FROM embeddings)"
+    val cos = (cand: String) =>
+      s"""SELECT c.q_id, c.vec_id,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+         |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cs
+         |  FROM $cand c JOIN embeddings e USING (vec_id)
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id""".stripMargin
+    s"""WITH hemb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $cut),
+       |${kmeansCtes("hemb", k = ivfKmeansK, prefix = "h")},
+       |${kmeansCtes("embeddings", k = ivfKmeansK, prefix = "f")},
+       |$pqCtes,
+       |${pqAdcCte("")},
+       |hdd AS MATERIALIZED (
+       |  SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+       |  FROM fkq q JOIN hc2 c USING (dim)
+       |  WHERE q.vec_id >= $cut GROUP BY q.vec_id, c.cid),
+       |hda AS (SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM hdd) WHERE rn = 1),
+       |slists AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM ha3 UNION ALL SELECT vec_id, cid FROM hda),
+       |sqd AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS d
+       |  FROM fkq q JOIN hc2 c USING (dim) WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |sprobed AS (SELECT q_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM sqd) WHERE rn <= 2),
+       |scands AS (SELECT p.q_id, l.vec_id FROM sprobed p JOIN slists l USING (cid)),
+       |fqd AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS d
+       |  FROM fkq q JOIN fc2 c USING (dim) WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |fprobed AS (SELECT q_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM fqd) WHERE rn <= 2),
+       |fcands AS (SELECT p.q_id, a.vec_id FROM fprobed p JOIN fa3 a USING (cid)),
+       |sscore AS (${cos("scands")}),
+       |fscore AS (${cos("fcands")}),
+       |ranked AS (
+       |  SELECT 'ivf_stale' AS phase, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+       |    FROM sscore
+       |  UNION ALL
+       |  SELECT 'ivf_reindexed' AS phase, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+       |    FROM fscore
+       |  UNION ALL
+       |  SELECT 'pq_reindexed' AS phase, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc)
+       |SELECT phase, q_id, vec_id, CAST(rn AS BIGINT) AS nn_rank
+       |FROM ranked WHERE rn <= 10 ORDER BY phase, q_id, nn_rank""".stripMargin
+  }
 
   /** d28's router chain as CTEs (`qd`, `probed`, `cands`), shared by
     * the d31/d32 oracles.
@@ -5178,6 +5506,108 @@ object TrainingData {
          |  CASE WHEN company_link IS NULL OR trim(company_link) = '' THEN ''
          |       ELSE $companySuffixCaseSql END AS company
          |FROM p ORDER BY doc_id""".stripMargin,
+    // x28: identical fixture pages; the dl→span→join('\n' over stripped
+    // <p>) chain replayed — missing dl/span → NULL but a zero-<p> span
+    // → '' (the reference's unconditional join once the span is found;
+    // DuckDB's array_to_string is NULL on an empty list, hence the
+    // coalesce — Spark's array_join gives '').
+    "x28_scrape_feasibility" ->
+      """WITH pg AS (SELECT doc_id,
+        |    '<html><body><h2>Idea ' || CAST(doc_id AS VARCHAR) || '</h2>'
+        |      || CASE WHEN doc_id % 7 <= 4 THEN
+        |           '<dl id="custom-field-section-4027"><dt>Feasibility</dt><dd>'
+        |           || CASE WHEN doc_id % 7 <= 3 THEN
+        |                '<span class="ql-editor ql-render">'
+        |                || CASE doc_id % 7
+        |                     WHEN 0 THEN '<p>  feas_' || CAST(doc_id % 71 AS VARCHAR) || '_0 </p>'
+        |                                   || '<p>  feas_' || CAST(doc_id % 71 AS VARCHAR) || '_1 </p>'
+        |                     WHEN 1 THEN '<p>  feas_' || CAST(doc_id % 71 AS VARCHAR) || '_0 </p>'
+        |                     WHEN 2 THEN '<p>  feas_' || CAST(doc_id % 71 AS VARCHAR) || '_0 </p><p></p>'
+        |                                   || '<p>  feas_' || CAST(doc_id % 71 AS VARCHAR) || '_2 </p>'
+        |                     ELSE 'pending review' END
+        |                || '</span>'
+        |              ELSE '<em>no preview</em>' END
+        |           || '</dd></dl>'
+        |         ELSE '<dl id="other-section"><dt>x</dt></dl>' END
+        |      || '</body></html>' AS html
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    regexp_extract(html, '<dl id="custom-field-section-4027">(.*?)</dl>', 1) AS dl
+        |  FROM pg),
+        |ex2 AS (SELECT doc_id, dl,
+        |    regexp_extract(dl, '<span class="ql-editor ql-render">(.*?)</span>', 1) AS sp
+        |  FROM ex)
+        |SELECT doc_id,
+        |  CASE WHEN dl = '' OR sp = '' THEN NULL
+        |       ELSE coalesce(array_to_string(list_transform(
+        |              regexp_extract_all(sp, '<p>([^<]*)</p>', 1),
+        |              x -> trim(x)), chr(10)), '') END AS feasibility
+        |FROM ex2 ORDER BY doc_id""".stripMargin,
+    // x29: identical fixture anchors; the href-or-stripped-text chain
+    // replayed for both selectors, Python's falsy `or` (empty href
+    // falls to text) included.
+    "x29_scrape_links" ->
+      """WITH pg AS (SELECT doc_id,
+        |    '<html><body>'
+        |      || CASE doc_id % 4
+        |           WHEN 0 THEN '<a class="unfurl-url classic-link" href="https://corp_'
+        |                         || CAST(doc_id % 43 AS VARCHAR) || '.com">corp_'
+        |                         || CAST(doc_id % 43 AS VARCHAR) || ' home</a>'
+        |           WHEN 1 THEN '<a class="unfurl-url classic-link">  corp_'
+        |                         || CAST(doc_id % 43 AS VARCHAR) || ' site  </a>'
+        |           WHEN 2 THEN '<a class="unfurl-url classic-link" href="">corp_'
+        |                         || CAST(doc_id % 43 AS VARCHAR) || ' fallback</a>'
+        |           ELSE '' END
+        |      || '<p>between</p>'
+        |      || CASE doc_id % 5
+        |           WHEN 0 THEN '<a class="sc-ffb617e7-0 fTVUpX" href="https://site_'
+        |                         || CAST(doc_id % 41 AS VARCHAR) || '.org">site_'
+        |                         || CAST(doc_id % 41 AS VARCHAR) || '</a>'
+        |           WHEN 1 THEN '<a class="sc-ffb617e7-0 fTVUpX"> site_'
+        |                         || CAST(doc_id % 41 AS VARCHAR) || ' </a>'
+        |           WHEN 2 THEN '<a class="sc-ffb617e7-0 fTVUpX" href="">site_'
+        |                         || CAST(doc_id % 41 AS VARCHAR) || ' page</a>'
+        |           WHEN 3 THEN '<a class="sc-ffb617e7-0 fTVUpX" href="https://site_'
+        |                         || CAST(doc_id % 41 AS VARCHAR) || '.net"></a>'
+        |           ELSE '' END
+        |      || '</body></html>' AS html
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    regexp_extract(html, '<a class="unfurl-url classic-link"[^>]*>[^<]*</a>', 0) AS cw,
+        |    regexp_extract(html, '<a class="unfurl-url classic-link"[^>]*href="([^"]*)"[^>]*>', 1) AS ch,
+        |    trim(regexp_extract(html, '<a class="unfurl-url classic-link"[^>]*>([^<]*)</a>', 1)) AS ct,
+        |    regexp_extract(html, '<a class="sc-ffb617e7-0 fTVUpX"[^>]*>[^<]*</a>', 0) AS ww,
+        |    regexp_extract(html, '<a class="sc-ffb617e7-0 fTVUpX"[^>]*href="([^"]*)"[^>]*>', 1) AS wh,
+        |    trim(regexp_extract(html, '<a class="sc-ffb617e7-0 fTVUpX"[^>]*>([^<]*)</a>', 1)) AS wt
+        |  FROM pg)
+        |SELECT doc_id,
+        |  CASE WHEN cw = '' THEN NULL WHEN ch <> '' THEN ch ELSE ct END AS company_link,
+        |  CASE WHEN ww = '' THEN NULL WHEN wh <> '' THEN wh ELSE wt END AS website_link
+        |FROM ex ORDER BY doc_id""".stripMargin,
+    // x30: identical fixture pages; the case-insensitive label
+    // contains-test and next-sibling strip replayed — whitespace-only
+    // sibling, wrong label, and no-h3 all land NULL like the
+    // reference's None.
+    "x30_scrape_applicant_pc" ->
+      """WITH pg AS (SELECT doc_id,
+        |    '<html><body>'
+        |      || CASE doc_id % 6
+        |           WHEN 0 THEN '<h3>[General] Name and Surname of main applicant</h3>pc_applicant_'
+        |                         || CAST(doc_id % 61 AS VARCHAR) || '<div class="sep">|</div>'
+        |           WHEN 1 THEN '<h3>[general] name and surname of main applicant</h3>  pc_applicant_'
+        |                         || CAST(doc_id % 61 AS VARCHAR) || '  <p>next</p>'
+        |           WHEN 2 THEN '<h3>Q1: [GENERAL] NAME AND SURNAME OF MAIN APPLICANT *</h3>pc_applicant_'
+        |                         || CAST(doc_id % 61 AS VARCHAR) || '<br>'
+        |           WHEN 3 THEN '<h3>[general] name and surname of main applicant</h3>   <div>x</div>'
+        |           WHEN 4 THEN '<h3>Budget breakdown</h3>someone'
+        |           ELSE '<p>no headings here</p>' END
+        |      || '</body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN t = '' THEN NULL ELSE t END AS applicant
+        |FROM (SELECT doc_id, trim(regexp_extract(html,
+        |    '(?i)<h3>[^<]*\[general\] name and surname of main applicant[^<]*</h3>([^<]*)',
+        |    1)) AS t FROM pg)
+        |ORDER BY doc_id""".stripMargin,
     "x23_quality_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source,
@@ -5283,6 +5713,7 @@ object TrainingData {
     "d30_pq_topk" -> pqTopKOracleSql,
     "d31_ivf_pq" -> ivfPqOracleSql,
     "d32_ivf_pq_refined" -> ivfPqRefinedOracleSql,
+    "c16_reindex_loop" -> reindexLoopOracleSql,
     // d33: sliding-window hashes per position, corpus-wide dup test,
     // running-max-end island merge — all exact integer arithmetic.
     "d33_substring_dedup" -> substringDedupOracleSql,

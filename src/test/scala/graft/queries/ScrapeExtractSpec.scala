@@ -85,4 +85,69 @@ class ScrapeExtractSpec extends SparkSpec {
     assert(!TrainingData.companySuffixes.contains(".xyz/"))
     assert(!TrainingData.companySuffixes.contains(".earth"))
   }
+
+  test("feasibility extraction distinguishes missing-section NULL from zero-paragraph empty") {
+    // the x28 chain over sf0.001: every doc_id%7 branch appears; the
+    // reference's find_feasibility_details returns None only when the
+    // dl or span is absent — a found span with no <p> joins to ''
+    val out = TrainingData.x28ScrapeFeasibility(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    out.foreach { case (id, v) =>
+      (id % 7) match {
+        case 0 => assert(v == s"feas_${id % 71}_0\nfeas_${id % 71}_1")
+        case 1 => assert(v == s"feas_${id % 71}_0")
+        // the empty <p></p> contributes an empty joined line, exactly
+        // as p.get_text(strip=True) feeds '\n'.join
+        case 2 => assert(v == s"feas_${id % 71}_0\n\nfeas_${id % 71}_2")
+        case 3 => assert(v == "", s"zero-paragraph span must join to '' (doc $id)")
+        case _ => assert(v == null, s"missing dl/span must be NULL (doc $id)")
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("anchor href-or-text replays Python's falsy or: empty href falls to stripped text") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<a class=\"unfurl-url classic-link\" href=\"https://x.com\">text</a>", "https://x.com"),
+      ("<a class=\"unfurl-url classic-link\">  spaced text  </a>", "spaced text"),
+      // the quirk: href present but empty is falsy → get_text wins
+      ("<a class=\"unfurl-url classic-link\" href=\"\">fallback</a>", "fallback"),
+      // href and text both empty → '' (the reference returns '' or '')
+      ("<a class=\"unfurl-url classic-link\" href=\"\"></a>", ""),
+      ("<p>no anchor</p>", null))
+    val got = cases.toDF("html", "want")
+      .select(col("want"),
+        TrainingData.anchorHrefOrText(col("html"), "unfurl-url classic-link").as("got"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    got.foreach { case (want, g) => assert(want == g, s"want=$want got=$g") }
+  }
+
+  test("PC applicant extraction: case-insensitive label contains-test, stripped sibling, None paths") {
+    val out = TrainingData.x30ScrapeApplicantPc(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    out.foreach { case (id, v) =>
+      (id % 6) match {
+        case 0 | 1 | 2 => assert(v == s"pc_applicant_${id % 61}",
+          s"doc $id branch ${id % 6}: got $v")
+        case _ => assert(v == null,
+          s"whitespace-sibling/wrong-label/no-h3 must be NULL (doc $id)")
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("x28/x29/x30 run as shuffle-free projections (plus the output sort)") {
+    Seq(TrainingData.x28ScrapeFeasibility _,
+        TrainingData.x29ScrapeLinks _,
+        TrainingData.x30ScrapeApplicantPc _).foreach { q =>
+      val p = q(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
+  }
 }
