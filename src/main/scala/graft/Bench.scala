@@ -42,17 +42,36 @@ object Bench {
     // timed since round 10: its warehouse stages once per session
     // (setup), so the timed run measures the metadata planning + pruned
     // reads — the data-skipping cost a deployment pays per query.
+    // st29 joined the c1 convention in round 16 (correctness-only): it
+    // is the strict-subset posture of the parameterized production
+    // loop — st30 and st31 each run a superset of its per-batch code
+    // path — and benching it three times re-measured ~80 s of the same
+    // checkpointed micro-batch floor (the BENCH_r15 rc=124 lesson).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(n => n._1.startsWith("c1_"))
+      .filterNot(n => n._1.startsWith("c1_") || n._1 == "st29_stream_production")
+    // Structural-floor loop entries: per-run cost is dominated by fixed
+    // checkpointed micro-batch machinery (4 batches × multi-gate
+    // decides + post-stream zone OPTIMIZEs) or staged index retrains,
+    // not by data volume — rep-to-rep variance is small RELATIVE to the
+    // 20-100 s floor, so these are timed ONCE with no warmup rep and no
+    // second pass. Everything else keeps warmup + min-of-2 (that family
+    // is where first-rep codegen warmup and host noise actually move
+    // the number).
+    val singleRep = Set(
+      "st25_stream_admission_loop",
+      "st30_stream_refresh_loop",
+      "st31_stream_media_loop",
+      "c16_reindex_loop")
+    val (once, repeated) = ordered.partition(q => singleRep(q._1))
     // Untimed warmup: JIT + whole-stage-codegen compile + page cache.
-    ordered.foreach { case (_, fn) =>
+    repeated.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       finally graft.core.Caches.release()
     }
     // Two timed passes, min per query: this host has multi-second
     // noisy-neighbor stalls, and the minimum is the sustained-throughput
     // number a quiet machine reproduces.
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
+    def timedPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] = qs.map { case (name, fn) =>
       // Encourage cleanup of the previous query's broadcasts/codegen so
       // one query's garbage doesn't bill GC pauses to the next.
       System.gc()
@@ -63,9 +82,11 @@ object Bench {
       finally graft.core.Caches.release(blocking = true)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }.toSeq.sortBy(_._1)
+    val p1 = timedPass(repeated)
+    val p2 = timedPass(repeated)
+    val p3 = timedPass(once)
+    val results = (p1.map { case (k, v) => k -> math.min(v, p2(k)) } ++ p3)
+      .toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -27,12 +27,13 @@ class ProductionPipelineSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("per-round shards are kept-only, pack from zero, and equal the batch tail recompute") {
-    val root = java.nio.file.Files.createTempDirectory("st29spec")
-    val out = EventStream.runProductionPipeline(spark, dir, root)
+    // the staged run is shared with RefreshLoopSpec (one 4-batch loop
+    // per JVM, not one per suite — the suite-budget rule)
+    val (root, outRows) = LoopFixtures.unrefreshed(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val e = emb.count()
-    assert(out.count() == e - e / 4,
+    assert(outRows.size == e - e / 4,
       "output must cover every decided delta doc across the three rounds")
 
     val fates = spark.read.parquet(root.resolve("fates").toString)
@@ -92,7 +93,7 @@ class ProductionPipelineSpec extends SparkSpec {
     assert(bound.count() > 0,
       "no raw-positive doc was calibration-rejected — the c13 gate is not binding")
     graft.core.Caches.release()
-    graft.core.Fs.deleteRecursively(spark, root.toString)
+    // root is the shared LoopFixtures staging — reaped at JVM exit
   }
 
   test("five-gate decide (st31's core) is replay-sound after its own feedback appends") {

@@ -27,16 +27,15 @@ class RefreshLoopSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("refresh lands between rounds and binds; same-history re-fit is decision-invariant") {
-    def fates(refresh: Option[Long]) = {
-      val root = java.nio.file.Files.createTempDirectory("st30spec")
-      val m = EventStream.runProductionPipeline(spark, dir, root, refresh)
-        .collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-      (root, m)
-    }
-    val (root29, unrefreshed) = fates(None)
-    graft.core.Fs.deleteRecursively(spark, root29.toString)
-    val (root30, refreshed) = fates(Some(3L))
+    // the unrefreshed (st29-posture) baseline is the shared
+    // LoopFixtures staging — one 4-batch loop per JVM, not per suite
+    val unrefreshed = LoopFixtures.unrefreshed(spark, dir)._2
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val root30 = java.nio.file.Files.createTempDirectory("st30spec")
+    val refreshed = EventStream.runProductionPipeline(spark, dir, root30,
+        refreshAtBatch = Some(3L))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(unrefreshed.keySet == refreshed.keySet)
     // (1a) rounds 1-2 identical: the batch-3 refresh is not retroactive
     val early = unrefreshed.filter(_._2._1 <= 2)
