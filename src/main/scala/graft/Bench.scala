@@ -53,24 +53,25 @@ object Bench {
     // checkpointed micro-batch machinery (4 batches × multi-gate
     // decides + post-stream zone OPTIMIZEs) or staged index retrains,
     // not by data volume — rep-to-rep variance is small RELATIVE to the
-    // 20-100 s floor, so these are timed ONCE with no warmup rep and no
-    // second pass. Everything else keeps warmup + min-of-2 (that family
-    // is where first-rep codegen warmup and host noise actually move
-    // the number).
+    // 20-100 s floor, so these are timed ONCE (a cold number: JIT and
+    // codegen compile ride the recorded time — systematic across
+    // rounds, documented in SCALE.md's bench accounting). Everything
+    // else keeps min-of-2, where the first-rep codegen warmup and host
+    // noise actually move the number.
     val singleRep = Set(
       "st25_stream_admission_loop",
       "st30_stream_refresh_loop",
       "st31_stream_media_loop",
       "c16_reindex_loop")
     val (once, repeated) = ordered.partition(q => singleRep(q._1))
-    // Untimed warmup: JIT + whole-stage-codegen compile + page cache.
-    repeated.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      finally graft.core.Caches.release()
-    }
-    // Two timed passes, min per query: this host has multi-second
-    // noisy-neighbor stalls, and the minimum is the sustained-throughput
-    // number a quiet machine reproduces.
+    // Two timed passes, min per query — and NO separate warmup pass
+    // (dropped in round 16: a full untimed pass cost ~500 s of driver
+    // wall-clock, and min-of-2 already yields the warm number — rep 1
+    // pays JIT/codegen, rep 2 is steady-state, the min picks it; the
+    // round-15 verdict's bookkeeping item allowed either warmup OR
+    // min-of-2). The minimum is also the noise guard: this host has
+    // multi-second noisy-neighbor stalls, and the min is the
+    // sustained-throughput number a quiet machine reproduces.
     def timedPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] = qs.map { case (name, fn) =>
       // Encourage cleanup of the previous query's broadcasts/codegen so
       // one query's garbage doesn't bill GC pauses to the next.
