@@ -1266,6 +1266,115 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** x31's training-vocabulary cut and merge count — shared with the
+    * oracle generator so both engines train the same table, and with
+    * c18 so the encode pass applies exactly the trained chain.
+    */
+  private[graft] val bpeVocabTop = 1024
+  private[graft] val bpeMerges = 8
+
+  /** BPE tokenizer TRAINING (x31): learn [[bpeMerges]] merge rules from
+    * the corpus word histogram — the missing half of the tokenizer
+    * family (x7/x8 count under a FIXED tokenizer; this derives the
+    * tokenizer). Output = the learned merge table in order, with pair
+    * frequencies: 8 rows, fully deterministic under the
+    * (count DESC, lft, rgt) tiebreak.
+    *
+    * Scale: the corpus is touched ONCE (the word histogram's
+    * partial-aggregated shuffle); the merge loop runs on the
+    * top-[[bpeVocabTop]] rows — metadata-sized — with one 1-row argmax
+    * collect per step (the centroid-load pattern). The DuckDB oracle
+    * unrolls the same k stages as CTEs; exact integer counts and ASCII
+    * `\w+` words make every stage hash-identical.
+    */
+  def x31BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.operators.Bpe.train(
+      Tables(spark, dir, "documents"), col("text"), bpeVocabTop, bpeMerges)
+    spark.createDataFrame(merges)
+      .select(col("step"), col("lft"), col("rgt"), col("merged"),
+        col("pairCnt").as("pair_cnt"))
+      .orderBy(col("step"))
+  }
+
+  /** Corpus encoded with the TRAINED tokenizer (c18): x31's merge table
+    * inlined as a literal codegen'd replace chain applied to every
+    * word of every document (the c10 literal-centroid pattern applied
+    * to tokenizer state — train on the metadata-sized histogram, then
+    * ONE corpus projection with zero joins and zero shuffles beyond
+    * the output sort). Per doc: word count, initial symbol count
+    * (= word chars), BPE token count under the learned merges, and the
+    * compression ratio — the number a pretraining pipeline prices its
+    * token budget with.
+    */
+  def c18BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Tables(spark, dir, "documents")
+    val merges = Bpe.train(docs, col("text"), bpeVocabTop, bpeMerges)
+    val toks = TextOps.tokens(col("text"))
+    val nSyms0 = aggregate(
+      transform(toks, w => length(w).cast("long")), lit(0L), _ + _)
+    val nBpe = aggregate(
+      transform(toks,
+        w => size(split(Bpe.applyMerges(w, merges), "\t")).cast("long")),
+      lit(0L), _ + _)
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        nSyms0.as("n_syms0"),
+        nBpe.as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") > 0,
+          col("n_syms0").cast("double") / col("n_bpe_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic epoch shuffle (x32): the seeded global permutation a
+    * pretraining dataloader consumes — every epoch is a reproducible
+    * full shuffle of the corpus (position = rank by a seeded
+    * cross-engine hash, doc_id tiebreak), and different epochs are
+    * DIFFERENT permutations from the same seed family. The naive
+    * formulation (`row_number() OVER (ORDER BY hash)`) serializes the
+    * corpus through one task — the q20 lesson — so the rank is computed
+    * with x12's two-phase scheme: range-partition by the hash (bucket
+    * id monotone in hash order), per-bucket row_number under a
+    * PARTITIONED window, bucket counts prefix-summed in a √N-sized
+    * window, offsets broadcast back. Every corpus-sized step is
+    * partition-local.
+    */
+  def x32EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    (0 to 1).map(e => epochPermutation(docs, e, n))
+      .reduce(_.unionByName(_))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  /** One epoch's permutation (library seam for [[x32EpochShuffle]]). */
+  private[graft] def epochPermutation(docs: DataFrame, epoch: Int,
+      knownCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val nBuckets = math.min(packBucketCount(knownCount,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      Int.MaxValue.toLong).toInt
+    val hk = TextOps.h60(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")))
+    // persistTracked: the local-rank window and the bucket-count
+    // aggregate must observe the SAME materialized bucket assignment
+    val t = graft.core.Caches.persistTracked(
+      docs.select(col("doc_id")).withColumn("hk", hk)
+        .repartitionByRange(nBuckets, col("hk"), col("doc_id"))
+        .withColumn("bkt", spark_partition_id().cast("long")))
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("hk"), col("doc_id"))
+    val local = t.withColumn("local_rk", row_number().over(wLocal).cast("long"))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = t.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt_off", coalesce(sum(col("c")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    local.join(broadcast(off), "bkt")
+      .select(lit(epoch.toLong).as("epoch"), col("doc_id"),
+        (col("bkt_off") + col("local_rk")).as("pos"))
+  }
+
   /** Token counting (whitespace-word regex; SURVEY north-star text op). */
   def x1TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -3274,6 +3383,9 @@ object TrainingData {
     "d34_incremental_substring" -> (d34IncrementalSubstring _),
     "d14_fuzzy_match" -> (d14FuzzyMatch _),
     "x8_bpe_tokens" -> (x8BpeTokens _),
+    "x31_bpe_train" -> (x31BpeTrain _),
+    "c18_bpe_encode" -> (c18BpeEncode _),
+    "x32_epoch_shuffle" -> (x32EpochShuffle _),
     "x9_decontaminate" -> (x9Decontaminate _),
     "x13_pii_redact" -> (x13PiiRedact _),
     "x14_dataset_mix" -> (x14DatasetMix _),
@@ -3317,6 +3429,7 @@ object TrainingData {
     "c11_admission_capped" -> "composition",
     "c12_admission_semantic" -> "composition",
     "c17_admission_media" -> "composition",
+    "c18_bpe_encode" -> "composition",
     "c13_admission_calibrated" -> "composition",
     "c14_admission_shard" -> "composition",
     "c15_retrieval_refined" -> "composition",
@@ -3752,6 +3865,86 @@ object TrainingData {
     .replace("grams AS (", "grams AS MATERIALIZED (")
 
   private val h60sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  /** x31/c18's oracle scaffolding: the word histogram + initial symbol
+    * sequences (s0), then one (p_i, m_i, s_i) CTE triple per merge step
+    * — pair counts, the deterministic argmax, and the fused sequences
+    * under the SAME doubled-separator literal replace the engine uses
+    * ([[graft.operators.Bpe.mergeOnce]]), so the k learned rules agree
+    * exactly. Column names are step-suffixed so c18 can cross join all
+    * k argmax rows into one per-word lambda.
+    */
+  private def bpeStagesSql(k: Int): String = {
+    val tab = "chr(9)"
+    val stages = (1 to k).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i+1] AS rgt, CAST(sum(freq) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT string_split(seq, $tab) AS l, freq FROM $prev) t,
+         |       UNNEST(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lft AS lft$i, rgt AS rgt$i, lft || rgt AS merged$i,
+         |               pair_cnt AS pair_cnt$i
+         |        FROM p$i ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
+         |s$i AS (
+         |  SELECT replace(trim(replace(
+         |      $tab || replace(seq, $tab, $tab || $tab) || $tab,
+         |      $tab || m.lft$i || $tab || $tab || m.rgt$i || $tab,
+         |      $tab || m.merged$i || $tab), $tab), $tab || $tab, $tab) AS seq, freq
+         |  FROM $prev, m$i m)""".stripMargin
+    }
+    s"""w0 AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+       |    FROM documents) t
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $bpeVocabTop),
+       |s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1' || chr(9), 'g'),
+       |                    chr(9)) AS seq, freq FROM w0),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  /** c18's per-word merge chain in SQL: [[graft.operators.Bpe.applyMerges]]
+    * unrolled k deep over the cross-joined m_i argmax columns.
+    */
+  private def bpeChainSql(k: Int, w: String): String = {
+    val tab = "chr(9)"
+    val init = s"rtrim(regexp_replace($w, '(.)', '\\1' || $tab, 'g'), $tab)"
+    (1 to k).foldLeft(init) { (s, i) =>
+      s"replace(trim(replace($tab || replace($s, $tab, $tab || $tab) || $tab, " +
+        s"$tab || lft$i || $tab || $tab || rgt$i || $tab, " +
+        s"$tab || merged$i || $tab), $tab), $tab || $tab, $tab)"
+    }
+  }
+
+  private lazy val x31OracleSql: String = {
+    val finals = (1 to bpeMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lft$i AS lft, rgt$i AS rgt, " +
+        s"merged$i AS merged, pair_cnt$i AS pair_cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${bpeStagesSql(bpeMerges)}\n$finals\nORDER BY step"
+  }
+
+  private lazy val c18OracleSql: String = {
+    val mJoins = (1 to bpeMerges).map(i => s"m$i").mkString(", ")
+    s"""WITH ${bpeStagesSql(bpeMerges)}
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
+       |    AS BIGINT) AS n_syms0,
+       |  CAST(coalesce(list_sum(list_transform(toks, w ->
+       |      len(string_split(${bpeChainSql(bpeMerges, "w")}, chr(9))))), 0)
+       |    AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN coalesce(list_sum(list_transform(toks, w ->
+       |        len(string_split(${bpeChainSql(bpeMerges, "w")}, chr(9))))), 0) > 0
+       |    THEN CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
+       |           AS DOUBLE)
+       |         / coalesce(list_sum(list_transform(toks, w ->
+       |             len(string_split(${bpeChainSql(bpeMerges, "w")}, chr(9))))), 0)
+       |  END AS compression
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+       |      FROM documents), $mJoins
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The data-derived stop-shingle cap in SQL — must re-derive
     * [[Dedup.deriveDocFreqCap]] exactly: max(50, ceil(√n)). sqrt/ceil
@@ -4773,6 +4966,15 @@ object TrainingData {
         |    '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS DOUBLE) /
         |    len(regexp_extract_all(lower(text), '\w+')) AS bpe_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x31_bpe_train" -> x31OracleSql,
+    "c18_bpe_encode" -> c18OracleSql,
+    "x32_epoch_shuffle" ->
+      s"""SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY e.epoch ORDER BY
+         |    ${h60sql.format("'epoch' || e.epoch || ':' || CAST(d.doc_id AS VARCHAR)")},
+         |    d.doc_id) AS BIGINT) AS pos
+         |FROM documents d, (VALUES (0), (1)) e(epoch)
+         |ORDER BY epoch, pos""".stripMargin,
     "x22_ngram_novelty" ->
       s"""WITH $grams3,
          |firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM grams GROUP BY 1)
