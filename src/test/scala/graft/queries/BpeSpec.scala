@@ -59,6 +59,80 @@ class BpeSpec extends SparkSpec {
     assert(partial == "low\te\tr")
   }
 
+  // ---- randomized cross-checks against an independent reference ----
+
+  /** Direct left-to-right BPE merge over a symbol list — the textbook
+    * formulation, no string tricks.
+    */
+  private def refMerge(syms: List[String], l: String, r: String): List[String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: List[String]): List[String] = rest match {
+      case a :: b :: t if a == l && b == r => go(t, (a + b) :: acc)
+      case a :: t => go(t, a :: acc)
+      case Nil => acc
+    }
+    go(syms, Nil).reverse
+  }
+
+  /** Textbook BPE trainer over a word-frequency map (every adjacent
+    * position counted, (count DESC, lft, rgt) tiebreak).
+    */
+  private def refTrain(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var seqs: Map[List[String], Long] =
+      words.map { case (w, f) => (w.toList.map(_.toString), f) }
+    (1 to k).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((s, f) <- seqs; (a, b) <- s.zip(s.tail)) counts((a, b)) += f
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      seqs = seqs.map { case (s, f) => (refMerge(s, l, r), f) }
+      (l, r, c)
+    }
+  }
+
+  test("mergeOnce matches the direct reference on 200 random symbol sequences") {
+    val rnd = new scala.util.Random(41)
+    val pool = Vector("a", "b", "ab", "ba", "aa", "x", "xy")
+    val cases = (1 to 200).map { i =>
+      val syms = List.fill(rnd.nextInt(12))(pool(rnd.nextInt(pool.size)))
+      val l = pool(rnd.nextInt(pool.size))
+      val r = pool(rnd.nextInt(pool.size))
+      (i, syms, l, r)
+    }
+    // one job: every case is a row, the merge column is per-row literal-free
+    // except (l, r) — group cases by (l, r) so each group shares one plan
+    cases.groupBy { case (_, _, l, r) => (l, r) }.foreach { case ((l, r), cs) =>
+      val df = cs.map { case (i, syms, _, _) => (i, syms.mkString("\t")) }
+        .toDF("id", "seq")
+      val got = df.select(col("id"), Bpe.mergeOnce(col("seq"), l, r))
+        .collect().map(rw => (rw.getInt(0), rw.getString(1))).toMap
+      cs.foreach { case (i, syms, _, _) =>
+        val want = refMerge(syms, l, r).mkString("\t")
+        assert(got(i) == want,
+          s"case $i: merge ($l,$r) on ${syms.mkString("[", " ", "]")}: got '${got(i)}', want '$want'")
+      }
+    }
+  }
+
+  test("train matches the textbook trainer on random corpora") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val words = (1 to 30).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(7)))
+          .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.toMap // duplicate words collapse — freqs stay deterministic per seed
+      val text = words.toSeq.sortBy(_._1)
+        .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+      val docs = Seq((trial.toLong, text)).toDF("doc_id", "text")
+      val got = Bpe.train(docs, col("text"), vocabTop = 1024, nMerges = 4)
+        .map(m => (m.lft, m.rgt, m.pairCnt))
+      val want = refTrain(words, 4)
+      assert(got == want, s"trial $trial: got $got, want $want")
+      graft.core.Caches.release()
+    }
+  }
+
   test("epochPermutation is a permutation, equals the naive global rank, and differs per epoch") {
     val docs = (1L to 97L).map(i => (i * 13L % 997L, s"d$i")).toDF("doc_id", "text")
     val n = docs.count()
