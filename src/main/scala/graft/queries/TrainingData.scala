@@ -1344,9 +1344,50 @@ object TrainingData {
   def x32EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val n = docs.count()
-    (0 to 1).map(e => epochPermutation(docs, e, n))
-      .reduce(_.unionByName(_))
+    epochShuffle(docs, nEpochs = 2, knownCount = n)
       .orderBy(col("epoch"), col("pos"))
+  }
+
+  /** All `nEpochs` permutations in ONE corpus pass (the multi-epoch
+    * amortization: a dataloader materializing e epochs should scan the
+    * corpus once, not e times — epochs ride an exploded array through
+    * one range exchange). Within an epoch the range partitioning on
+    * (epoch, hk, doc_id) keeps bucket ids monotone in hash order, so
+    * per-(bkt, epoch) local ranks plus per-epoch bucket-offset prefix
+    * sums (a ≤ e·√N window) reassemble each epoch's exact global rank;
+    * a bucket straddling an epoch boundary is handled by the epoch key
+    * in both the local window and the offset join.
+    * [[epochPermutation]] stays the single-epoch seam; BpeSpec pins
+    * fused ≡ per-epoch.
+    */
+  private[graft] def epochShuffle(docs: DataFrame, nEpochs: Int,
+      knownCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val nBuckets = math.min(packBucketCount(knownCount * nEpochs,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      Int.MaxValue.toLong).toInt
+    val hk = TextOps.h60(concat(lit("epoch"), col("epoch").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    // persistTracked: the local-rank window and the bucket-count
+    // aggregate must observe the SAME materialized bucket assignment
+    val t = graft.core.Caches.persistTracked(
+      docs.select(col("doc_id"))
+        .withColumn("epoch",
+          explode(array((0 until nEpochs).map(e => lit(e.toLong)): _*)))
+        .withColumn("hk", hk)
+        .repartitionByRange(nBuckets, col("epoch"), col("hk"), col("doc_id"))
+        .withColumn("bkt", spark_partition_id().cast("long")))
+    val wLocal = Window.partitionBy(col("bkt"), col("epoch"))
+      .orderBy(col("hk"), col("doc_id"))
+    val local = t.withColumn("local_rk", row_number().over(wLocal).cast("long"))
+    val wBkt = Window.partitionBy(col("epoch")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = t.groupBy(col("bkt"), col("epoch")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt_off", coalesce(sum(col("c")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("epoch"), col("bkt_off"))
+    local.join(broadcast(off), Seq("bkt", "epoch"))
+      .select(col("epoch"), col("doc_id"),
+        (col("bkt_off") + col("local_rk")).as("pos"))
   }
 
   /** One epoch's permutation (library seam for [[x32EpochShuffle]]). */

@@ -155,4 +155,19 @@ class BpeSpec extends SparkSpec {
     graft.core.Caches.release()
     assert(p0.toMap != p1.toMap, "different epochs must be different permutations")
   }
+
+  test("fused multi-epoch shuffle equals the per-epoch seam") {
+    val docs = (1L to 83L).map(i => (i * 7L % 509L, s"d$i")).toDF("doc_id", "text")
+    val n = docs.count()
+    val fused = TrainingData.epochShuffle(docs, nEpochs = 2, knownCount = n)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    graft.core.Caches.release()
+    val perEpoch = (0 to 1).flatMap { e =>
+      val m = TrainingData.epochPermutation(docs, e, n)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      graft.core.Caches.release()
+      m
+    }.toMap
+    assert(fused == perEpoch)
+  }
 }
