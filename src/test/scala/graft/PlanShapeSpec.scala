@@ -758,4 +758,34 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = p.indexOf("BroadcastHashJoin")
     assert(win >= 0 && bhj > win, p)
   }
+
+  test("x31: the word histogram is the only corpus pass — one partial-agg exchange on word, top-V as TakeOrdered") {
+    val h = graft.operators.Bpe.wordHistogram(
+      graft.core.Tables(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("text"), 1024)
+    val p = h.queryExecution.executedPlan.toString
+    assert(exchangeKeyTuples(p) == Set("word"), p)
+    // map-side combine before the exchange, top-V without a global sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("c18: the trained-chain encode is a pure projection — no joins, no hash exchange, only the output sort") {
+    val p = plan("c18_bpe_encode")
+    assert(exchangeKeyTuples(p).isEmpty, p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("x32: corpus-sized work exchanges only on (bkt, epoch); bucket offsets broadcast back") {
+    val p = plan("x32_epoch_shuffle")
+    // (bkt,epoch): the partitioned local-rank window + the (partial-
+    // aggregated) bucket-count groupBy; epoch: the tiny offset window
+    assert(exchangeKeyTuples(p) == Set("bkt,epoch", "epoch"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // no unpartitioned corpus window: every row_number window lists
+    // partition columns
+    assert(!p.contains("Window [row_number() windowspecdefinition(hk"), p)
+  }
 }
