@@ -22,6 +22,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // session-lifetime bucketed tables (s11) land in scratch, not CWD
       .config("spark.sql.warehouse.dir", graft.core.Scratch.dir("graft_wh"))
+      // shuffle/broadcast spill on RAM-backed scratch (see Scratch scaladoc)
+      .config("spark.local.dir", graft.core.Scratch.sparkLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

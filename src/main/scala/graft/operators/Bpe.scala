@@ -69,7 +69,12 @@ object Bpe {
     val fused = replace(padded,
       lit("\t" + lft + "\t\t" + rgt + "\t"),
       lit("\t" + lft + rgt + "\t"))
-    replace(trim(fused, "\t"), lit("\t\t"), lit("\t"))
+    // strip the padding separators with a regexp, not trim(col, "\t"):
+    // the two-parameter trim Column signature is deprecated (emits a
+    // FunctionResolution WARN per plan). Exactly one tab pads each end
+    // (symbols are non-empty and every fuse keeps its boundary tabs),
+    // so the anchored pattern is equivalent to the oracle's trim.
+    replace(regexp_replace(fused, "^\t|\t$", ""), lit("\t\t"), lit("\t"))
   }
 
   /** The full learned chain applied to one word's initial sequence —
@@ -79,6 +84,34 @@ object Bpe {
     */
   def applyMerges(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(initialSeq(word))((s, m) => mergeOnce(s, m.lft, m.rgt))
+
+  /** Persist a trained merge table as a k-row zone (the
+    * [[Similarity.saveCentroids]] pattern applied to tokenizer state):
+    * the model artifact an encode pass loads back ([[loadMerges]], a
+    * k-row driver read) instead of re-running training — and the unit
+    * a scheduled corpus-level REFRESH rebuilds through
+    * [[ZoneRebuild.rebuild]]'s fingerprint-guarded cutover when the
+    * grown corpus's vocabulary drifts (the same fixed-at-creation →
+    * refresh discipline as thresholds, centroids, and index geometry).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Load a persisted merge table in learned order — a k-row driver
+    * read (the centroid-load pattern); the caller inlines the result
+    * as a literal replace chain ([[applyMerges]]), so serving an
+    * encode needs zero joins against the zone.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[Merge].collect().sortBy(_.step).toSeq
+  }
 
   /** Corpus word histogram truncated to the training vocabulary: top
     * `vocabTop` words by (freq DESC, word ASC). One partial-aggregated

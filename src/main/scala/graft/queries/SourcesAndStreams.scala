@@ -366,6 +366,16 @@ object SourcesAndStreams {
   def st31StreamMediaLoop(spark: SparkSession, dir: String): DataFrame =
     EventStream.streamMediaLoop(spark, dir)
 
+  /** The tokenizer refresh closed into the streamed loop: the BPE merge
+    * table is a persisted zone serving each micro-batch's encode, with
+    * a scheduled re-fit over the grown live history cut over at the
+    * batch-3 trigger — rounds 1-2 price under the slice-0 fit, round 3
+    * provably under the refreshed table; see
+    * [[graft.streaming.EventStream.streamTokenizerLoop]].
+    */
+  def st32StreamTokenizerLoop(spark: SparkSession, dir: String): DataFrame =
+    EventStream.streamTokenizerLoop(spark, dir)
+
   /** The Hamming-signature zone maintained from a checkpointed stream
     * (each batch decodes only ITS OWN audio rows), then d26's
     * incremental audio dedup answered from it — see
@@ -889,6 +899,7 @@ object SourcesAndStreams {
     "st29_stream_production" -> (st29StreamProduction _),
     "st30_stream_refresh_loop" -> (st30StreamRefreshLoop _),
     "st31_stream_media_loop" -> (st31StreamMediaLoop _),
+    "st32_stream_tokenizer_loop" -> (st32StreamTokenizerLoop _),
     "st26_stream_hamming_zone" -> (st26StreamHammingZone _),
     "st27_stream_ivf_index" -> (st27StreamIvfIndex _),
     "st28_stream_pq_codes" -> (st28StreamPqCodes _),
@@ -1080,6 +1091,10 @@ object SourcesAndStreams {
     // st31: the five-gate replay — c17's media chain per slice with
     // st25's tombstone live-rule, shard stages over five-gate kept.
     "st31_stream_media_loop" -> TrainingData.st31OracleSql,
+    // st32: BOTH training chains (slice-0 fit and the live-through-
+    // slice-2 re-fit) trained in one statement and slice-routed —
+    // rounds 1-2 price under the first, round 3 under the second.
+    "st32_stream_tokenizer_loop" -> TrainingData.st32OracleSql,
     // st26 answers d26's incremental audio dedup from the streamed
     // Hamming zone — the maintenance path must be invisible.
     "st26_stream_hamming_zone" -> TrainingData.oracles("d26_incremental_audio_dedup"),

@@ -2119,6 +2119,125 @@ object EventStream {
     finally reap(root)
   }
 
+  /** st32: the TOKENIZER REFRESH closed into the streamed loop — the
+    * last trained structure to get the zone + scheduled-re-fit
+    * discipline every other decision state already has (thresholds
+    * st30, centroids c10/st30, index geometry c16). x31 trains and c18
+    * encodes batch-side; here the merge table is a PERSISTED ZONE
+    * ([[graft.operators.Bpe.saveMerges]]) serving every micro-batch's
+    * encode, and the loop runs a scheduled re-fit at the batch-3
+    * trigger — without it, a growing corpus's vocabulary drifts and
+    * the priced token budgets quietly rot.
+    *
+    * Per micro-batch: tombstones to the md5 zone FIRST (the zone's
+    * keeper rows ARE the live-corpus record the re-fit reads — st30's
+    * no-side-channel rule); at the refresh trigger, re-train the merge
+    * table over the zone-covered live history BELOW the delta's
+    * minimum id and cut over through [[graft.operators.ZoneRebuild]];
+    * then ENCODE the batch's inserts under the zone's current table —
+    * a k-row load inlined as a literal replace chain, zero joins, the
+    * c18 projection verbatim ([[graft.queries.TrainingData
+    * .bpeEncoded]]) — and write the round's priced rows (overwrite —
+    * a replayed batch rewrites byte-identical rows); finally append
+    * the batch's md5 rows (ingested-history coverage, the c8/st21
+    * rule).
+    *
+    * Rounds 1-2 therefore encode under the slice-0 fit; round 3
+    * provably encodes under the re-fit table: the oracle trains BOTH
+    * chains (slice-0, and live-through-slice-2 = slices 0-2 minus
+    * batch-2 tombstones — exactly the md5 zone's keeper state at the
+    * trigger) and routes each round to its chain, so a green hash
+    * proves which table served which round, token count for token
+    * count. TokenizerLoopSpec pins the swap-instant invariant (a
+    * same-history rebuild changes no count), that the refresh BINDS
+    * (round 3 diverges from the unrefreshed posture), and crash-replay
+    * determinism (a replayed batch-3 refresh+encode over crash-point
+    * zones reproduces the recorded rows — the min-id self-exclusion
+    * strips the replayed appends, re-applied tombstones are absorbed
+    * by the zone reader's anti-join).
+    *
+    * CRASH-REPLAY soundness of the re-fit mirrors st30's argument
+    * verbatim: deterministic training (exact integer pair counts,
+    * fixed tiebreaks) over the live keeper set below the delta's min
+    * id — the id filter is a no-op on the clean timeline and strips a
+    * replayed batch's own pre-crash appends on the dirty one.
+    *
+    * Scale shape: the re-fit is x31's cost (ONE corpus-histogram pass
+    * over live history, then metadata-sized merge iterations) run
+    * beside the serving zone; per-batch encode is delta-sized and
+    * join-free; md5 maintenance is delta-sized appends. Nothing
+    * rescans history between refreshes.
+    */
+  def streamTokenizerLoop(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("st32")
+    try runTokenizerLoop(spark, dir, root, refreshAtBatch = Some(3L))
+    finally reap(root)
+  }
+
+  /** st32's core against a caller-owned root (the spec inspects the
+    * zones and replays the refresh; the public entry reaps them).
+    */
+  private[graft] def runTokenizerLoop(spark: SparkSession, dir: String,
+      root: java.nio.file.Path,
+      refreshAtBatch: Option[Long] = None): DataFrame = {
+    import graft.operators.{Bpe, Dedup}
+    import graft.queries.TrainingData
+    val (src, schema) = stagedCdcEmbeddedLoopSource(spark, dir)
+    val md5Zone = root.resolve("md5").toString
+    val bpeZone = root.resolve("bpe").toString
+    val priced = root.resolve("priced").toString
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val histCut = graft.core.Tables(spark, dir, "embeddings").count() / 4L
+    // the slice-0 fit, trained BEFORE the stream opens and persisted
+    // (tokenizer state belongs to the last refresh, not to a batch)
+    Bpe.saveMerges(spark, Bpe.train(docs.filter(col("doc_id") < histCut),
+      col("text"), TrainingData.bpeVocabTop, TrainingData.bpeMerges), bpeZone)
+    runForeachBatchStreamWithId(spark, src, schema) { (batch, id) =>
+      val ins = batch.filter(col("op") === "I")
+        .select(col("doc_id"), col("text"))
+      val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // tombstones FIRST: the re-fit reads the corpus as of this batch
+      Dedup.md5ZoneDelete(dels, md5Zone)
+      if (refreshAtBatch.contains(id)) {
+        // scheduled re-fit at trigger START, self-excluding this
+        // batch's own inserts at the delta's minimum id (st30's
+        // replay-determinism rule); live history = the md5 zone's own
+        // keeper rows, ingested minus tombstoned
+        val minIns = ins.agg(min(col("doc_id"))).head.get(0)
+        val liveAll = Dedup.md5ZoneRead(spark, md5Zone)
+          .select(col("keeper_id").as("doc_id")).distinct()
+        val live = graft.core.Caches.persistTracked(
+          if (minIns == null) liveAll
+          else liveAll.filter(col("doc_id") < lit(minIns)))
+        graft.operators.ZoneRebuild.rebuild(spark, bpeZone) { staging =>
+          Bpe.saveMerges(spark, Bpe.train(
+            docs.join(live, Seq("doc_id"), "left_semi"), col("text"),
+            TrainingData.bpeVocabTop, TrainingData.bpeMerges), staging)
+        }
+      }
+      if (id > 0) {
+        // encode under the zone's CURRENT table (whichever refresh
+        // landed it) and materialize before the feedback append;
+        // overwrite makes a replayed batch rewrite identical rows
+        val merges = Bpe.loadMerges(spark, bpeZone)
+        TrainingData.bpeEncoded(ins, merges)
+          .write.mode("overwrite").parquet(s"$priced/round=$id")
+      }
+      // ...then feed back: the batch joins ingested history
+      Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
+      graft.core.Caches.release()
+    }
+    // retention GC in the streamed posture (st25's closing discipline)
+    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
+    spark.read.parquet(priced)
+      .select(col("doc_id"), col("round").cast("long").as("round"),
+        col("n_words"), col("n_syms0"), col("n_bpe_tokens"),
+        col("compression"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+  }
+
   /** st29/st30/st31's core against a caller-owned root (the specs
     * inspect zones and per-round shards; the public entries reap
     * them). `refreshAtBatch`: run the scheduled decision-state refresh

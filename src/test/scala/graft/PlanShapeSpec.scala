@@ -777,6 +777,33 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("c19: BPE pricing keeps the shard tail join-free inside — exactly c14's exchange set") {
+    val p = plan("c19_bpe_shard_tail")
+    // the trained chain is LITERALS in the projections that previously
+    // held the whitespace regex, so swapping the pricer must not add a
+    // single exchange key: the tail still shuffles only on cid (quota
+    // window) and bkt (packing), plus the kept-id handoffs
+    val keys = exchangeKeyTuples(p)
+    assert(keys.subsetOf(Set("doc_id", "vec_id", "cid", "bkt")),
+      s"unexpected exchange keys in the BPE-priced tail: $keys\n$p")
+    assert(keys("cid") && keys("bkt"), s"missing tail boundary keys: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c20: pos and start_off ride ONE corpus exchange — (bkt, epoch) keys only, offsets broadcast") {
+    val p = plan("c20_epoch_pack")
+    // identical exchange set to x32: the token prefix sum must ride the
+    // SAME (bkt,epoch) windows as the rank, not buy a second corpus
+    // shuffle; per-epoch bucket offsets (now two accumulators wide)
+    // still come back via broadcast
+    assert(exchangeKeyTuples(p) == Set("bkt,epoch", "epoch"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // one fused Window hosts both accumulators: no second corpus-sized
+    // window operator beyond the (bkt,epoch)-partitioned one
+    assert(!p.contains("Window [row_number() windowspecdefinition(hk"), p)
+  }
+
   test("x32: corpus-sized work exchanges only on (bkt, epoch); bucket offsets broadcast back") {
     val p = plan("x32_epoch_shuffle")
     // (bkt,epoch): the partitioned local-rank window + the (partial-

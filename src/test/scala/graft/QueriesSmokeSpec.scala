@@ -36,13 +36,15 @@ class QueriesSmokeSpec extends SparkSpec {
   // st25 ≡ SemanticLoopSpec's runSemanticAdmissionLoop, st29 ≡
   // LoopFixtures.unrefreshed (shared by ProductionPipelineSpec and
   // RefreshLoopSpec), st30 ≡ RefreshLoopSpec's refreshed run, c16 ≡
-  // ReindexLoopSpec's reindexLoop. st31 is NOT excluded — the
-  // five-gate loop's only in-suite run is this smoke. The driver's
-  // Verify still runs every registered entry (wrappers included) at
-  // sf0.01 each round.
+  // ReindexLoopSpec's reindexLoop, st32 ≡ TokenizerLoopSpec's two
+  // runTokenizerLoop postures. st31 is NOT excluded — the five-gate
+  // loop's only in-suite run is this smoke. The driver's Verify still
+  // runs every registered entry (wrappers included) at sf0.01 each
+  // round.
   private val coveredByDedicatedSuite = Set(
     "st25_stream_admission_loop", "st29_stream_production",
-    "st30_stream_refresh_loop", "c16_reindex_loop")
+    "st30_stream_refresh_loop", "c16_reindex_loop",
+    "st32_stream_tokenizer_loop")
 
   test("smoke exclusions are registered queries with dedicated suites") {
     assert(coveredByDedicatedSuite.subsetOf(SparkEntry.queries.keySet),

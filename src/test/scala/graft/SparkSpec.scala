@@ -25,6 +25,10 @@ object SparkSpec {
       // managed (bucketed) test tables land in scratch, not the repo
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // shuffle/broadcast spill on RAM-backed scratch (see the
+      // graft.core.Scratch scaladoc — the suite's many tiny shuffles
+      // otherwise ride the host's noisy-neighbor disk queue)
+      .config("spark.local.dir", graft.core.Scratch.sparkLocalDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

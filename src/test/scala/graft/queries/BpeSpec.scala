@@ -156,6 +156,52 @@ class BpeSpec extends SparkSpec {
     assert(p0.toMap != p1.toMap, "different epochs must be different permutations")
   }
 
+  test("saveMerges/loadMerges roundtrips the learned table in order") {
+    val merges = Seq(
+      Bpe.Merge(1, "l", "o", "lo", 7),
+      Bpe.Merge(2, "lo", "w", "low", 7),
+      Bpe.Merge(3, "a", "a", "aa", 6))
+    val dir = java.nio.file.Files.createTempDirectory("bpezone").toString
+    try {
+      Bpe.saveMerges(spark, merges, dir)
+      assert(Bpe.loadMerges(spark, dir) == merges)
+      // overwrite semantics: a re-fit replaces, never appends
+      Bpe.saveMerges(spark, merges.take(2), dir)
+      assert(Bpe.loadMerges(spark, dir) == merges.take(2))
+    } finally graft.core.Fs.deleteRecursively(spark, dir)
+  }
+
+  test("epochPackedShuffle: pos matches epochShuffle; start_off is the pos-ordered token prefix sum") {
+    val docs = (1L to 91L).map(i =>
+      (i * 11L % 641L, Seq.fill((i % 5L).toInt + 1)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = docs.count()
+    val sh = TrainingData.epochShuffle(docs, nEpochs = 2, knownCount = n)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    graft.core.Caches.release()
+    val pk = TrainingData.epochPackedShuffle(docs, nEpochs = 2, knownCount = n)
+      .collect()
+    graft.core.Caches.release()
+    assert(pk.length == sh.size)
+    pk.foreach { r =>
+      assert(r.getLong(2) == sh((r.getLong(0), r.getLong(1))),
+        s"pos diverged from epochShuffle for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // within each epoch the offsets must be the exact running token sum
+    // in pos order, restarting at 0, with x12's seq bounds
+    for (e <- 0 to 1) {
+      var cum = 0L
+      pk.filter(_.getLong(0) == e).sortBy(_.getLong(2)).foreach { r =>
+        val (nTok, off) = (r.getLong(3), r.getLong(4))
+        assert(off == cum, s"epoch $e pos ${r.getLong(2)}: off $off != cum $cum")
+        assert(r.getLong(5) == off / 2048L)
+        assert(r.getLong(6) ==
+          (if (nTok == 0) off / 2048L else (off + nTok - 1) / 2048L))
+        cum += nTok
+      }
+    }
+  }
+
   test("fused multi-epoch shuffle equals the per-epoch seam") {
     val docs = (1L to 83L).map(i => (i * 7L % 509L, s"d$i")).toDF("doc_id", "text")
     val n = docs.count()
