@@ -84,8 +84,22 @@ object Bench {
       // Encourage cleanup of the previous query's broadcasts/codegen so
       // one query's garbage doesn't bill GC pauses to the next.
       System.gc()
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count() (optimization guide §1.4, declared in
+      // OPTIMIZATION_r17.md): count() let the optimizer PRUNE the final
+      // projections and sorts of every query that ends lazily — e.g.
+      // x13's whole redaction chain was never computed, the bench timed
+      // a parquet count. The noop write computes EVERY column of EVERY
+      // row and discards it, so the recorded number is the query's real
+      // cost. Loop/checkpoint-materialized entries are unaffected
+      // (their work was already eager); projection-family entries read
+      // higher than the pre-r17 maps — that is under-measurement
+      // repaid, not regression (old numbers kept in BENCH_r16.json /
+      // the git history of bench_times.json).
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       // Blocking: eviction is billed to the query that persisted the
       // data, not leaked into the next query's timed window.
       finally graft.core.Caches.release(blocking = true)

@@ -27,6 +27,28 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // Base-table row counts keyed on the file's listing fingerprint —
+  // the incremental cuts (count*4/5) and window bounds re-run a 1-row
+  // count job at the head of nearly every training-data query and
+  // every loop rep; caching the scalar per (path, fingerprint) turns
+  // those into one FS listing each (the MetaReads discipline for the
+  // scan side). Any rewrite of the file misses and recounts.
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** `apply(spark, dir, name).count()`, fingerprint-cached. */
+  def countOf(spark: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val fp = Fs.fingerprint(spark, path)
+    val hit = counts.get(path)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val n = spark.read.parquet(path).count()
+      counts.put(path, (fp, n))
+      n
+    }
+  }
+
   /** `events.ts` arrives in whatever encoding the fixture writer chose —
     * parquet TIMESTAMP(NANOS) read as a long under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (earlier generations),

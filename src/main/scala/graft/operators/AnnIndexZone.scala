@@ -86,11 +86,13 @@ object AnnIndexZone {
     planes
   }
 
-  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  /** Zone meta — a driver-side 1-row read (the watermark altitude),
+    * served from the fingerprint-guarded cache
+    * ([[graft.core.MetaReads]] — geometry is fixed at creation).
+    */
   def meta(spark: SparkSession, zoneDir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$zoneDir/meta")
-      .select(col("n_planes"), col("dims")).head()
-    (r.getInt(0), r.getInt(1))
+    val r = graft.core.MetaReads.row(spark, s"$zoneDir/meta")
+    (r.getAs[Int]("n_planes"), r.getAs[Int]("dims"))
   }
 
   /** Append one delta's bucket assignments under the zone's fixed plane

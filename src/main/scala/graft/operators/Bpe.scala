@@ -108,10 +108,14 @@ object Bpe {
     * encode needs zero joins against the zone.
     */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Merge] = {
-    import spark.implicits._
-    spark.read.parquet(dir).as[Merge].collect().sortBy(_.step).toSeq
-  }
+      dir: String): Seq[Merge] =
+    // k-row driver read through the fingerprint-guarded cache
+    // (graft.core.MetaReads): re-read-per-trigger semantics preserved —
+    // a refresh cutover lands new part files and misses the cache
+    graft.core.MetaReads.rows(spark, dir).map(r => Merge(
+        r.getAs[Long]("step"), r.getAs[String]("lft"), r.getAs[String]("rgt"),
+        r.getAs[String]("merged"), r.getAs[Long]("pairCnt")))
+      .sortBy(_.step).toSeq
 
   /** Corpus word histogram truncated to the training vocabulary: top
     * `vocabTop` words by (freq DESC, word ASC). One partial-aggregated

@@ -82,11 +82,13 @@ object HammingZone {
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
   }
 
-  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  /** Zone meta — a driver-side 1-row read (the watermark altitude),
+    * served from the fingerprint-guarded cache
+    * ([[graft.core.MetaReads]] — geometry is fixed at creation).
+    */
   def meta(spark: SparkSession, zoneDir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$zoneDir/meta")
-      .select(col("bits"), col("max_hamming"), col("chunks")).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val r = graft.core.MetaReads.row(spark, s"$zoneDir/meta")
+    (r.getAs[Int]("bits"), r.getAs[Int]("max_hamming"), r.getAs[Int]("chunks"))
   }
 
   /** One frame's chunk rows under a fixed geometry: (doc_id, c, v, sig)

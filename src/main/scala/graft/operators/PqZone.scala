@@ -111,10 +111,12 @@ object PqZone {
     * altitude; a few KB).
     */
   def loadBooks(spark: SparkSession, zoneDir: String): Seq[Seq[Array[Long]]] =
-    spark.read.parquet(s"$zoneDir/books")
-      .orderBy(col("s"), col("cid")).collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Long](2).toArray).toSeq)
+    // served from the fingerprint-guarded cache (graft.core.MetaReads):
+    // a retrain's overwrite lands new part files and misses
+    graft.core.MetaReads.rows(spark, s"$zoneDir/books")
+      .groupBy(_.getAs[Int]("s")).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getAs[Long]("cid"))
+        .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray).toSeq)
 
   /** Quantized subvector slice `s` of a raw float-array column. */
   private def qslice(vec: Column, s: Int, dsub: Int): Column =
@@ -197,7 +199,7 @@ object PqZone {
       .select(col("vec_id"), col("codes"))
     val marker = s"$zoneDir/clean"
     val clean = graft.core.Fs.hasParquetFiles(spark, marker) &&
-      spark.read.parquet(marker).head().getString(0) ==
+      graft.core.MetaReads.row(spark, marker).getString(0) ==
         graft.core.Fs.fingerprint(spark, s"$zoneDir/codes")
     liveCodes(spark, zoneDir, if (clean) codes else codes.distinct())
   }

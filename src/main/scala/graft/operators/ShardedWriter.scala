@@ -86,11 +86,22 @@ object ShardedWriter {
     // `transform` lets append-only zones FOLD ROWS in the same
     // crash-safe pass (DISTINCT away replayed band rows, min-aggregate
     // md5 keepers) — callers must pass only transforms the zone's read
-    // semantics absorb, so the rewrite stays result-invisible
-    val frame = transform(spark.read.parquet(dir))
+    // semantics absorb, so the rewrite stays result-invisible.
+    // Persist the folded frame when the sizing scan needs it: without
+    // the cache, writeSharded's count() and the write each run the
+    // whole fold (the dedup shuffle computed twice per OPTIMIZE —
+    // measured round 17); with it the fold runs once and the write
+    // consumes the cached blocks (MEMORY_AND_DISK — zone-sized, spills
+    // rather than OOMs, exactly the storage the second computation's
+    // shuffle would have cost).
+    val frame0 = transform(spark.read.parquet(dir))
+    val frame =
+      if (knownCount.isDefined) frame0
+      else frame0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val staging = dir + ".compact"
     val retired = dir + ".pre-compact"
-    writeSharded(frame, staging, key, targetRowsPerFile, knownCount)
+    try writeSharded(frame, staging, key, targetRowsPerFile, knownCount)
+    finally if (knownCount.isEmpty) frame.unpersist(): Unit
     val (fs, _) = graft.core.Fs.resolve(spark, dir)
     graft.core.Fs.deleteRecursively(spark, retired)
     require(fs.rename(new org.apache.hadoop.fs.Path(dir),

@@ -71,9 +71,12 @@ object ShingleDfZone {
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
   }
 
-  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  /** Zone meta — a driver-side 1-row read (the watermark altitude),
+    * served from the fingerprint-guarded cache
+    * ([[graft.core.MetaReads]] — the width is fixed at creation).
+    */
   def shingleWidth(spark: SparkSession, zoneDir: String): Int =
-    spark.read.parquet(s"$zoneDir/meta").select(col("shingle_n")).head().getInt(0)
+    graft.core.MetaReads.row(spark, s"$zoneDir/meta").getAs[Int]("shingle_n")
 
   /** Append one DISJOINT batch's per-shingle document counts under a
     * stable batch id. `delta` must expose `doc_id` and `text`.

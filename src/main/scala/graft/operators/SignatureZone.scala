@@ -103,11 +103,14 @@ object SignatureZone {
       .write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
   }
 
-  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  /** Zone meta — a driver-side 1-row read (the watermark altitude),
+    * served from the fingerprint-guarded cache (geometry is fixed at
+    * creation, so per-batch re-reads in the loops are pure overhead —
+    * [[graft.core.MetaReads]]).
+    */
   def meta(spark: SparkSession, zoneDir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$zoneDir/meta")
-      .select(col("shingle_n"), col("k"), col("bands")).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val r = graft.core.MetaReads.row(spark, s"$zoneDir/meta")
+    (r.getAs[Int]("shingle_n"), r.getAs[Int]("k"), r.getAs[Int]("bands"))
   }
 
   /** The zone's df-cap binding, if it is a CAPPED zone: (cap, df zone
@@ -115,12 +118,10 @@ object SignatureZone {
     * are uncapped by construction.
     */
   def capInfo(spark: SparkSession, zoneDir: String): Option[(Long, String)] = {
-    val m = spark.read.parquet(s"$zoneDir/meta")
-    if (!m.schema.fieldNames.contains("cap")) None
-    else {
-      val r = m.select(col("cap"), col("df_dir")).head()
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getString(1)))
-    }
+    val r = graft.core.MetaReads.row(spark, s"$zoneDir/meta")
+    if (!r.schema.fieldNames.contains("cap")) None
+    else if (r.isNullAt(r.fieldIndex("cap"))) None
+    else Some((r.getAs[Long]("cap"), r.getAs[String]("df_dir")))
   }
 
   /** The hot-shingle drop frame for a capped zone (None ⇒ uncapped).

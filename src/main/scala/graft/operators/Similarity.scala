@@ -457,7 +457,14 @@ object Similarity {
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
   }
 
+  /** k·dims driver read, served from the fingerprint-guarded cache
+    * ([[graft.core.MetaReads]]): the loops re-read centroids per
+    * trigger by contract, and the fingerprint key preserves exactly
+    * that — a refresh cutover lands new part files, so the next
+    * trigger's read misses and picks up the re-fit.
+    */
   def loadCentroids(spark: SparkSession, dir: String): Seq[Array[Long]] =
-    spark.read.parquet(dir).orderBy(col("cid"))
-      .collect().map(_.getSeq[Long](1).toArray).toSeq
+    graft.core.MetaReads.rows(spark, dir)
+      .sortBy(_.getAs[Long]("cid"))
+      .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray).toSeq
 }

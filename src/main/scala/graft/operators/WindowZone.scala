@@ -59,9 +59,12 @@ object WindowZone {
     Seq(w).toDF("w").write.mode(SaveMode.Overwrite).parquet(s"$zoneDir/meta")
   }
 
-  /** Zone meta — a driver-side 1-row read (the watermark altitude). */
+  /** Zone meta — a driver-side 1-row read (the watermark altitude),
+    * served from the fingerprint-guarded cache
+    * ([[graft.core.MetaReads]] — the width is fixed at creation).
+    */
   def width(spark: SparkSession, zoneDir: String): Int =
-    spark.read.parquet(s"$zoneDir/meta").select(col("w")).head().getInt(0)
+    graft.core.MetaReads.row(spark, s"$zoneDir/meta").getAs[Int]("w")
 
   /** Append one DISJOINT batch's per-hash occurrence counts under a
     * stable batch id. `delta` must expose `doc_id` and `text`.

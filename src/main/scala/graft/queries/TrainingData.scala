@@ -379,15 +379,24 @@ object TrainingData {
     import graft.operators.{IvfIndexZone, PqZone, ZoneRebuild}
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cut = emb.count() * 3L / 4L
+    val cut = graft.core.Tables.countOf(spark, dir, "embeddings") * 3L / 4L
     val ivfZ = s"$root/ivf"
     val pqZ = s"$root/pq"
-    IvfIndexZone.build(spark, emb.filter(col("vec_id") < cut), ivfZ,
-      k = ivfKmeansK, iters = 3): Unit
-    IvfIndexZone.append(emb.filter(col("vec_id") >= cut), ivfZ)
-    PqZone.build(spark, emb.filter(col("vec_id") < cut), pqZ,
-      m = pqSubspaces, k = pqCodes, iters = 2): Unit
-    PqZone.append(emb.filter(col("vec_id") >= cut), pqZ)
+    // the IVF and PQ zones are independent structures in disjoint dirs:
+    // build+append each concurrently (§2.6) — both fits are
+    // driver-sequential Lloyd chains of tiny jobs, so overlapping them
+    // roughly halves the (re)train wall without touching either result
+    graft.core.Par.run(
+      () => {
+        IvfIndexZone.build(spark, emb.filter(col("vec_id") < cut), ivfZ,
+          k = ivfKmeansK, iters = 3): Unit
+        IvfIndexZone.append(emb.filter(col("vec_id") >= cut), ivfZ)
+      },
+      () => {
+        PqZone.build(spark, emb.filter(col("vec_id") < cut), pqZ,
+          m = pqSubspaces, k = pqCodes, iters = 2): Unit
+        PqZone.append(emb.filter(col("vec_id") >= cut), pqZ)
+      })
     val q = ivfQueries(spark, dir)
     def ivfPhase(tag: String) =
       IvfIndexZone.topK(emb, q, ivfZ, k = 10, nprobe = 2)
@@ -398,13 +407,16 @@ object TrainingData {
         // plan would read (or fail on) the re-fitted zone
         .localCheckpoint()
     val stale = ivfPhase("ivf_stale")
-    ZoneRebuild.rebuild(spark, ivfZ) { staging =>
-      IvfIndexZone.build(spark, emb, staging, k = ivfKmeansK, iters = 3): Unit
-    }
-    ZoneRebuild.rebuild(spark, pqZ) { staging =>
-      PqZone.build(spark, emb, staging, m = pqSubspaces, k = pqCodes,
-        iters = 2): Unit
-    }
+    // the scheduled REINDEX: two independent rebuilds in disjoint
+    // staging dirs — concurrent (§2.6), same cutover guarantees each
+    graft.core.Par.run(
+      () => ZoneRebuild.rebuild(spark, ivfZ) { staging =>
+        IvfIndexZone.build(spark, emb, staging, k = ivfKmeansK, iters = 3): Unit
+      },
+      () => ZoneRebuild.rebuild(spark, pqZ) { staging =>
+        PqZone.build(spark, emb, staging, m = pqSubspaces, k = pqCodes,
+          iters = 2): Unit
+      })
     val reindexed = ivfPhase("ivf_reindexed")
     val pqReindexed = PqZone.adcTopK(q, pqZ, k = 10)
       .select(lit("pq_reindexed").as("phase"), col("q_id"), col("vec_id"),
@@ -419,7 +431,8 @@ object TrainingData {
     * (`count * 4 // 5`), never a float fraction whose rounding could
     * drift.
     */
-  private def incrementalCut(docs: DataFrame): Long = docs.count() * 4L / 5L
+  private def incrementalCut(spark: SparkSession, dir: String): Long =
+    graft.core.Tables.countOf(spark, dir, "documents") * 4L / 5L
 
   /** The persisted MinHash band-signature zone over the HISTORY slice —
     * built once per (session, dir) via [[graft.core.StagedLayouts]]
@@ -433,7 +446,7 @@ object TrainingData {
       val z = graft.core.Scratch.dir("d22zone")
       val docs = Tables(spark, dir, "documents")
       graft.operators.SignatureZone.build(spark,
-        docs.filter(col("doc_id") < incrementalCut(docs))
+        docs.filter(col("doc_id") < incrementalCut(spark, dir))
           .select(col("doc_id"), col("text")), z,
         shingleN, minhashK, minhashBands)
       z
@@ -452,7 +465,7 @@ object TrainingData {
     */
   def d22IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+    val delta = docs.filter(col("doc_id") >= incrementalCut(spark, dir))
       .select(col("doc_id"), col("text"))
     graft.operators.SignatureZone.incrementalPairs(
         docs, delta, signatureZone(spark, dir), jaccardThreshold)
@@ -474,7 +487,7 @@ object TrainingData {
     */
   def d27RebuiltZoneDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
+    val cut = incrementalCut(spark, dir)
     val zones = graft.core.StagedLayouts.once(spark, s"d27zone|$dir") { () =>
       val z = graft.core.Scratch.dir("d27zone")
       val hist = docs.filter(col("doc_id") < cut)
@@ -515,7 +528,7 @@ object TrainingData {
       graft.operators.SignatureZone.optimize(spark, zone): Unit
       graft.operators.SignatureZone.bucketedBandsTable(spark, zone)
     }
-    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+    val delta = docs.filter(col("doc_id") >= incrementalCut(spark, dir))
       .select(col("doc_id"), col("text"))
     graft.operators.SignatureZone.incrementalPairs(
         docs, delta, zone, jaccardThreshold, bandsTable = Some(table))
@@ -542,8 +555,8 @@ object TrainingData {
     */
   def d24IncrementalDedupCapped(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
-    val cap = Dedup.deriveDocFreqCap(docs.count())
+    val cut = incrementalCut(spark, dir)
+    val cap = Dedup.deriveDocFreqCap(graft.core.Tables.countOf(spark, dir, "documents"))
     val zones = graft.core.StagedLayouts.once(spark, s"d24zone|$dir") { () =>
       val z = graft.core.Scratch.dir("d24zone")
       val hist = docs.filter(col("doc_id") < cut)
@@ -1068,7 +1081,7 @@ object TrainingData {
       val docs = Tables(spark, dir, "documents")
       graft.operators.WindowZone.create(spark, z, ssdedupW)
       graft.operators.WindowZone.append(
-        docs.filter(col("doc_id") < incrementalCut(docs)), z, batchId = 0L)
+        docs.filter(col("doc_id") < incrementalCut(spark, dir)), z, batchId = 0L)
       z
     }
 
@@ -1083,7 +1096,7 @@ object TrainingData {
     */
   def d34IncrementalSubstring(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val delta = docs.filter(col("doc_id") >= incrementalCut(docs))
+    val delta = docs.filter(col("doc_id") >= incrementalCut(spark, dir))
       .select(col("doc_id"), col("text"))
     graft.operators.WindowZone.incrementalSpans(delta, windowZone(spark, dir))
   }
@@ -1391,7 +1404,7 @@ object TrainingData {
     */
   def x32EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val n = docs.count()
+    val n = graft.core.Tables.countOf(spark, dir, "documents")
     epochShuffle(docs, nEpochs = epochCount, knownCount = n)
       .orderBy(col("epoch"), col("pos"))
   }
@@ -1485,7 +1498,7 @@ object TrainingData {
     */
   def c20EpochPack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val n = docs.count()
+    val n = graft.core.Tables.countOf(spark, dir, "documents")
     epochPackedShuffle(docs, nEpochs = epochCount, knownCount = n)
       .orderBy(col("epoch"), col("pos"))
   }
@@ -1689,7 +1702,7 @@ object TrainingData {
     */
   def d23IncrementalSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val total = emb.count()
+    val total = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = total * 4L / 5L
     val zone = graft.core.StagedLayouts.once(spark, s"d23zone|$dir") { () =>
       val z = graft.core.Scratch.dir("d23zone")
@@ -1891,7 +1904,7 @@ object TrainingData {
     */
   def d26IncrementalAudioDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
+    val cut = incrementalCut(spark, dir)
     val zones = graft.core.StagedLayouts.once(spark, s"d26zone|$dir") { () =>
       val z = graft.core.Scratch.dir("d26zone")
       graft.operators.HammingZone.build(spark,
@@ -2379,7 +2392,7 @@ object TrainingData {
     */
   def c8IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
+    val cut = incrementalCut(spark, dir)
     val zones = admissionHistZones(spark, dir, docs, cut)
     admissionDecisions(spark, docs,
       docs.filter(col("doc_id") >= cut), s"$zones/md5", s"$zones/sig")
@@ -2399,9 +2412,18 @@ object TrainingData {
     * `delta` must expose `doc_id` and `text` and hold ids disjoint from
     * (in the admission timeline: above) everything the zones cover.
     */
+  // selfCutOpt: the crash-replay self-exclusion threshold (min delta
+  // doc_id), when the caller already computed it — the gate chain
+  // otherwise re-runs the same 1-row agg per gate (text, semantic,
+  // media), three driver round-trips per micro-batch for one scalar.
+  // ordered: the trailing orderBy is for DIRECT query output (c8's
+  // contract); per-batch fates writes re-read and re-order at the loop
+  // end, so the intermediate range exchange + sort is pure overhead.
   private[graft] def admissionDecisions(spark: SparkSession, docs: DataFrame,
       delta: DataFrame, md5ZoneDir: String, sigZoneDir: String,
-      calThresholds: Option[DataFrame] = None): DataFrame = {
+      calThresholds: Option[DataFrame] = None,
+      selfCutOpt: Option[Long] = None,
+      ordered: Boolean = true): DataFrame = {
     // The quality gate: raw score > 0 (c7's rule) by default, or — when
     // a calibration threshold table is supplied (c13) — the per-source
     // CALIBRATED gate: pass iff score >= the source's history threshold
@@ -2441,8 +2463,10 @@ object TrainingData {
     // threshold: ignore zone rows at or above the delta's minimum id.
     // One 1-row agg (the watermark altitude), pushed into the zone
     // scans — zero new exchanges, a no-op on clean zones.
-    val minRow = delta.agg(min(col("doc_id"))).head()
-    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+    val selfCut: Long = selfCutOpt.getOrElse {
+      val minRow = delta.agg(min(col("doc_id"))).head()
+      if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+    }
     // exact stage: blocking id = min same-md5 id over history-zone
     // keepers and the gated delta (ids are globally unique, so the
     // least() is the global min-keeper rule c2/c7 apply, evaluated
@@ -2480,7 +2504,7 @@ object TrainingData {
     val comp = Dedup.connectedComponents(vertices, pairs)
       .select(col("doc_id"), col("component"))
     val pass = col("q_pass")
-    scored
+    val out = scored
       .join(ex.select(col("doc_id"), col("exact_block")), Seq("doc_id"), "left")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -2493,7 +2517,7 @@ object TrainingData {
           .when(col("component") < col("doc_id"), col("component"))
           .otherwise(lit(null).cast("long")).as("dup_of"),
         col("quality_score"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   /** Capped incremental curation (c11): c8's admission decisions with
@@ -2508,8 +2532,8 @@ object TrainingData {
     */
   def c11AdmissionCapped(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
-    val cap = Dedup.deriveDocFreqCap(docs.count())
+    val cut = incrementalCut(spark, dir)
+    val cap = Dedup.deriveDocFreqCap(graft.core.Tables.countOf(spark, dir, "documents"))
     val zones = graft.core.StagedLayouts.once(spark, s"c11zones|$dir") { () =>
       val z = graft.core.Scratch.dir("c11zones")
       val hist = docs.filter(col("doc_id") < cut)
@@ -2565,7 +2589,7 @@ object TrainingData {
     */
   def c9AdmissionLoop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val n = docs.count()
+    val n = graft.core.Tables.countOf(spark, dir, "documents")
     // integer-exact fifths, the incrementalCut discipline: slice k of
     // 0..4 spans [n*k/5, n*(k+1)/5) — slice 0 is the initial history
     val bounds = (1 to 4).map(k => n * k / 5L)
@@ -2589,7 +2613,8 @@ object TrainingData {
           .select(col("doc_id"), col("text"))
         // decide FIRST (the write is the action — fates materialize
         // against zones that do not yet contain this delta)...
-        admissionDecisions(spark, docs, delta, s"$root/md5", s"$root/sig")
+        admissionDecisions(spark, docs, delta, s"$root/md5", s"$root/sig",
+            ordered = false) // re-read + globally ordered at the end
           .write.parquet(s"$root/fates/round=$k")
         // ...then feed back: the delta joins ingested history
         graft.operators.SignatureZone.append(delta, s"$root/sig")
@@ -2610,8 +2635,8 @@ object TrainingData {
     val last = admissionDecisions(spark, docs,
         docs.filter(col("doc_id") >= bounds(3))
           .select(col("doc_id"), col("text")),
-        s"$z/md5", s"$z/sig")
-      .withColumn("round", lit(3L))
+        s"$z/md5", s"$z/sig", ordered = false) // the union's trailing
+      .withColumn("round", lit(3L))            // orderBy sorts the output
       .select(col("doc_id"), col("round"), col("fate"), col("dup_of"),
         col("quality_score"))
     spark.read.parquet(s"$z/fates")
@@ -2652,12 +2677,14 @@ object TrainingData {
       val z = graft.core.Scratch.dir("cAdmHistZones")
       val hist = docs.filter(col("doc_id") < cut)
         .select(col("doc_id"), col("source"), col("text"))
-      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
-      graft.operators.SignatureZone.build(spark,
-        hist.select(col("doc_id"), col("text")), s"$z/sig",
-        shingleN, minhashK, minhashBands)
-      // the calibration REFRESH: per-source thresholds persisted once
-      calibrationThresholds(hist).write.parquet(s"$z/cal")
+      // three independent layouts in disjoint dirs — concurrent (§2.6)
+      graft.core.Par.run(
+        () => Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5"),
+        () => graft.operators.SignatureZone.build(spark,
+          hist.select(col("doc_id"), col("text")), s"$z/sig",
+          shingleN, minhashK, minhashBands),
+        // the calibration REFRESH: per-source thresholds persisted once
+        () => calibrationThresholds(hist).write.parquet(s"$z/cal"))
       z
     }
 
@@ -2678,22 +2705,28 @@ object TrainingData {
       val z = graft.core.Scratch.dir("cAdmEmbZones")
       val hist = docs.filter(col("doc_id") < cut)
         .select(col("doc_id"), col("text"))
-      Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5")
-      graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
-        shingleN, minhashK, minhashBands)
-      // plane count fixed from the FULL expected corpus (capacity
-      // planning — d19/d23's rule, and what the oracle re-derives)
-      graft.operators.AnnIndexZone.create(spark, s"$z/ann",
-        expectedCount = emb.count()): Unit
-      graft.operators.AnnIndexZone.appendIndex(
-        emb.filter(col("vec_id") < cut), s"$z/ann")
-      // the media zone: history audio decoded ONCE at build time
-      graft.operators.HammingZone.build(spark, audioSigs(hist), s"$z/ham",
-        audioHammingBits, audioHammingMax, audioHammingChunks)
-      // the centroid zone is REFRESH output — fitted over the history
-      // vectors once, persisted, read back as literals (k·dims longs)
-      Similarity.saveCentroids(spark,
-        Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), s"$z/cents")
+      // five independent layouts in disjoint dirs — concurrent (§2.6):
+      // the shingle/minhash build, the audio decode, and the Lloyd fit
+      // are each other's back-fill
+      graft.core.Par.run(
+        () => Dedup.md5ZoneAppend(hist, col("text"), col("doc_id"), s"$z/md5"),
+        () => graft.operators.SignatureZone.build(spark, hist, s"$z/sig",
+          shingleN, minhashK, minhashBands),
+        () => {
+          // plane count fixed from the FULL expected corpus (capacity
+          // planning — d19/d23's rule, and what the oracle re-derives)
+          graft.operators.AnnIndexZone.create(spark, s"$z/ann",
+            expectedCount = emb.count()): Unit
+          graft.operators.AnnIndexZone.appendIndex(
+            emb.filter(col("vec_id") < cut), s"$z/ann")
+        },
+        // the media zone: history audio decoded ONCE at build time
+        () => graft.operators.HammingZone.build(spark, audioSigs(hist), s"$z/ham",
+          audioHammingBits, audioHammingMax, audioHammingChunks),
+        // the centroid zone is REFRESH output — fitted over the history
+        // vectors once, persisted, read back as literals (k·dims longs)
+        () => Similarity.saveCentroids(spark,
+          Similarity.kmeansFit(emb.filter(col("vec_id") < cut)), s"$z/cents"))
       z
     }
 
@@ -2704,12 +2737,14 @@ object TrainingData {
     // embeddings count, delta capped at the embedded range): embeddings
     // cover a PREFIX of the documents at some SFs, and a documents-based
     // cut would leave the delta vector-less — a vacuous assignment
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = embTotal * 4L / 5L
     val zones = admissionClusterZones(spark, dir, docs, emb, cut)
+    // ordered=false: the fates are an intermediate here (kept-filter →
+    // semi-join); the query's own trailing orderBy sorts the output
     val kept = admissionDecisions(spark, docs,
         docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
-        s"$zones/md5", s"$zones/sig")
+        s"$zones/md5", s"$zones/sig", ordered = false)
       .filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
     Similarity.assignToCentroids(
@@ -2751,7 +2786,7 @@ object TrainingData {
   def c14AdmissionShard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = embTotal * 4L / 5L
     val zones = admissionClusterZones(spark, dir, docs, emb, cut)
     // localCheckpoint, NOT a cache: the kept set feeds four consumers
@@ -2761,9 +2796,11 @@ object TrainingData {
     // pass goes super-linear on that replication (the c12/c9 lineage-
     // truncation rule; the frame is kept-delta-sized, so the
     // checkpoint is bounded)
+    // ordered=false: the fates are an intermediate (checkpointed, then
+    // semi-joined); the tail's trailing orderBy sorts the output
     val kept = admissionDecisions(spark, docs,
         docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
-        s"$zones/md5", s"$zones/sig")
+        s"$zones/md5", s"$zones/sig", ordered = false)
       .filter(col("fate") === "kept")
       .select(col("doc_id"), col("quality_score"))
       .localCheckpoint()
@@ -2803,13 +2840,14 @@ object TrainingData {
   def c19BpeShardTail(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = embTotal * 4L / 5L
     val zones = admissionClusterZones(spark, dir, docs, emb, cut)
     val merges = stagedBpeMerges(spark, dir, filterTo = Some(cut))
+    // ordered=false: intermediate fates, the tail re-orders (c14's rule)
     val kept = admissionDecisions(spark, docs,
         docs.filter(col("doc_id") >= cut && col("doc_id") < embTotal),
-        s"$zones/md5", s"$zones/sig")
+        s"$zones/md5", s"$zones/sig", ordered = false)
       .filter(col("fate") === "kept")
       .select(col("doc_id"), col("quality_score"))
       .localCheckpoint()
@@ -2906,7 +2944,7 @@ object TrainingData {
   def c12AdmissionSemantic(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = embTotal * 4L / 5L
     val zones = admissionClusterZones(spark, dir, docs, emb, cut)
     semanticAdmissionDecisions(spark, docs, emb,
@@ -2928,7 +2966,16 @@ object TrainingData {
   private[graft] def semanticAdmissionDecisions(spark: SparkSession,
       docs: DataFrame, emb: DataFrame, delta: DataFrame,
       md5ZoneDir: String, sigZoneDir: String, annZoneDir: String,
-      calThresholds: Option[DataFrame] = None): DataFrame = {
+      calThresholds: Option[DataFrame] = None,
+      selfCutOpt: Option[Long] = None,
+      ordered: Boolean = true): DataFrame = {
+    // the self-exclusion scalar is shared by every gate — compute it
+    // once here when the caller didn't already (admissionDecisions'
+    // selfCutOpt scaladoc)
+    val selfCut: Long = selfCutOpt.getOrElse {
+      val minRow = delta.agg(min(col("doc_id"))).head()
+      if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+    }
     // text-stage fates feed two consumers (kept filter + final join) AND
     // sit under the whole vector-gate lineage — localCheckpoint (not a
     // cache) because a cached plan still NESTS the full admission
@@ -2936,8 +2983,12 @@ object TrainingData {
     // pass goes super-linear on that replication (the c9/CC lineage-
     // truncation rule; the frame is delta-sized, so the checkpoint is
     // bounded)
+    // the nested text-gate call is never this function's direct output
+    // (checkpointed, re-joined, re-ordered below) — ordered=false skips
+    // its intermediate range exchange + sort
     val fates = admissionDecisions(spark, docs, delta, md5ZoneDir, sigZoneDir,
-        calThresholds).localCheckpoint()
+        calThresholds, selfCutOpt = Some(selfCut), ordered = false)
+      .localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept")
       .select(col("doc_id").as("vec_id"))
     // the same crash-replay self-exclusion threshold as the text gates
@@ -2945,8 +2996,6 @@ object TrainingData {
     // the KEPT subset, so without the cut a replayed batch's NON-kept
     // vectors — already in the index from the pre-crash appends — would
     // become same-batch semantic blockers the clean timeline never saw
-    val minRow = delta.agg(min(col("doc_id"))).head()
-    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     // the vector gate probes the zone with KEPT survivors only
     val pairs = graft.core.Caches.persistTracked(
       graft.operators.AnnIndexZone.incrementalPairs(
@@ -2960,7 +3009,7 @@ object TrainingData {
       .distinct()
     val comp = Dedup.connectedComponents(vertices, pairs)
       .select(col("doc_id"), col("component").as("sem_component"))
-    fates
+    val out = fates
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("fate") === "kept" && col("sem_component") < col("doc_id"),
@@ -2968,7 +3017,7 @@ object TrainingData {
         when(col("fate") === "kept" && col("sem_component") < col("doc_id"),
           col("sem_component")).otherwise(col("dup_of")).as("dup_of"),
         col("quality_score"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   /** Media admission gate (c17): c12's admission with the FOURTH dedup
@@ -2994,7 +3043,7 @@ object TrainingData {
   def c17AdmissionMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val emb = Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val cut = embTotal * 4L / 5L
     val zones = admissionClusterZones(spark, dir, docs, emb, cut)
     mediaAdmissionDecisions(spark, docs, emb,
@@ -3017,20 +3066,27 @@ object TrainingData {
       md5ZoneDir: String, sigZoneDir: String, annZoneDir: String,
       hamZoneDir: String,
       calThresholds: Option[DataFrame] = None,
-      deltaSigs: Option[DataFrame] = None): DataFrame = {
+      deltaSigs: Option[DataFrame] = None,
+      selfCutOpt: Option[Long] = None,
+      ordered: Boolean = true): DataFrame = {
+    // the shared self-exclusion scalar, computed once for all gates
+    val selfCut: Long = selfCutOpt.getOrElse {
+      val minRow = delta.agg(min(col("doc_id"))).head()
+      if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+    }
     // four-gate fates feed the kept filter and the final join — the
     // c12 lineage-truncation rule (a cached plan would nest the full
-    // admission subtree in every consumer)
+    // admission subtree in every consumer); never this function's
+    // direct output, so ordered=false
     val fates = semanticAdmissionDecisions(spark, docs, emb, delta,
-        md5ZoneDir, sigZoneDir, annZoneDir, calThresholds)
+        md5ZoneDir, sigZoneDir, annZoneDir, calThresholds,
+        selfCutOpt = Some(selfCut), ordered = false)
       .localCheckpoint()
     val keptIds = fates.filter(col("fate") === "kept").select(col("doc_id"))
     // decode ONLY the survivors' media — the zone answers for history
     val keptSigs = deltaSigs
       .getOrElse(audioSigs(docs.join(keptIds, Seq("doc_id"), "left_semi")))
       .join(keptIds, Seq("doc_id"), "left_semi")
-    val minRow = delta.agg(min(col("doc_id"))).head()
-    val selfCut: Long = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     val pairs = graft.core.Caches.persistTracked(
       graft.operators.HammingZone.incrementalPairs(keptSigs, hamZoneDir,
           maxZoneDocId = Some(selfCut))
@@ -3041,7 +3097,7 @@ object TrainingData {
       .distinct()
     val comp = Dedup.connectedComponents(vertices, pairs)
       .select(col("doc_id"), col("component").as("med_component"))
-    fates
+    val out = fates
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("fate") === "kept" && col("med_component") < col("doc_id"),
@@ -3049,7 +3105,7 @@ object TrainingData {
         when(col("fate") === "kept" && col("med_component") < col("doc_id"),
           col("med_component")).otherwise(col("dup_of")).as("dup_of"),
         col("quality_score"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   /** HTML extraction (x24): the ENGINE side of the reference's scrape
@@ -3465,7 +3521,7 @@ object TrainingData {
     */
   def c13AdmissionCalibrated(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cut = incrementalCut(docs)
+    val cut = incrementalCut(spark, dir)
     val zones = admissionHistZones(spark, dir, docs, cut)
     admissionDecisions(spark, docs,
       docs.filter(col("doc_id") >= cut)

@@ -58,6 +58,13 @@ object EventStream {
   private val scratchDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
   sys.addShutdownHook { scratchDirs.synchronized { scratchDirs.foreach(deleteTree) } }
 
+  /** [[graft.core.Par.run]] — the per-batch zone groups here (tombstone
+    * deletes, feedback appends, post-stream OPTIMIZEs) all write to
+    * disjoint directories, so each group runs as concurrent Spark jobs
+    * and costs its slowest member, not the sum.
+    */
+  private def inParallel(ops: (() => Unit)*): Unit = graft.core.Par.run(ops: _*)
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1690,8 +1697,10 @@ object EventStream {
     try {
       SignatureZone.create(spark, sigZone, shingleN, minhashK, minhashBands)
       runForeachBatchStream(spark, src, schema) { batch =>
-        SignatureZone.append(batch, sigZone)
-        Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone)
+        // disjoint zone dirs — concurrent appends (§2.6)
+        inParallel(
+          () => SignatureZone.append(batch, sigZone),
+          () => Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone))
       }
       // OPTIMIZE both zones before serving: fold the file-per-batch
       // storm and the overlap-replayed rows (the source replays the
@@ -1699,10 +1708,15 @@ object EventStream {
       // have real duplicates to collapse) — the maintenance pass a
       // deployment schedules; result-invisible because the readers
       // DISTINCT (bands) and min-aggregate (md5), which the oracle
-      // hash then proves end-to-end
-      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      // hash then proves end-to-end. Independent zones — concurrent
+      var sOpt: (Int, Int) = null
+      var mOpt: (Int, Int) = null
+      inParallel(
+        () => sOpt = SignatureZone.optimize(spark, sigZone),
+        () => mOpt = Dedup.optimizeMd5Zone(spark, md5Zone))
+      val (sb, sa) = sOpt
       require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
-      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      val (mb, ma) = mOpt
       require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
       val docs = graft.core.Tables(spark, dir, "documents")
       graft.queries.TrainingData.admissionDecisions(spark,
@@ -1736,7 +1750,7 @@ object EventStream {
   def streamSemanticZones(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
     val emb = graft.core.Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val (src, schema, cut) = stagedEmbeddedHistorySource(spark, dir)
     val root = scratchDir("st24")
     val sigZone = root.resolve("sig").toString
@@ -1750,17 +1764,27 @@ object EventStream {
       // (capacity planning — d19's rule, what the oracle re-derives)
       AnnIndexZone.create(spark, annZone, expectedCount = embTotal): Unit
       runForeachBatchStream(spark, src, schema) { batch =>
-        SignatureZone.append(batch, sigZone)
-        Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone)
-        AnnIndexZone.appendIndex(
-          emb.join(batch.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"), annZone)
+        // disjoint zone dirs — concurrent appends (§2.6)
+        inParallel(
+          () => SignatureZone.append(batch, sigZone),
+          () => Dedup.md5ZoneAppend(batch, col("text"), col("doc_id"), md5Zone),
+          () => AnnIndexZone.appendIndex(
+            emb.join(batch.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), annZone))
       }
-      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      // independent zones — concurrent compactions (§2.6)
+      var sOpt: (Int, Int) = null
+      var mOpt: (Int, Int) = null
+      var aOpt: (Int, Int) = null
+      inParallel(
+        () => sOpt = SignatureZone.optimize(spark, sigZone),
+        () => mOpt = Dedup.optimizeMd5Zone(spark, md5Zone),
+        () => aOpt = AnnIndexZone.optimize(spark, annZone))
+      val (sb, sa) = sOpt
       require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
-      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      val (mb, ma) = mOpt
       require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
-      val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+      val (ab, aa) = aOpt
       require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
       val docs = graft.core.Tables(spark, dir, "documents")
       graft.queries.TrainingData.semanticAdmissionDecisions(spark, docs, emb,
@@ -1799,7 +1823,7 @@ object EventStream {
         ShingleDfZone.append(batch, dfZone, id)
       }
       val docs = graft.core.Tables(spark, dir, "documents")
-      val cap = Dedup.deriveDocFreqCap(docs.count())
+      val cap = Dedup.deriveDocFreqCap(graft.core.Tables.countOf(spark, dir, "documents"))
       val hist = docs.filter(col("doc_id") < cut)
         .select(col("doc_id"), col("text"))
       SignatureZone.buildCapped(spark, hist, sigZone, dfZone, cap,
@@ -1845,21 +1869,31 @@ object EventStream {
       runForeachBatchStream(spark, src, schema) { batch =>
         val ins = batch.filter(col("op") === "I")
           .select(col("doc_id"), col("text"))
-        SignatureZone.append(ins, sigZone)
-        Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
         val dels = batch.filter(col("op") === "D").select(col("doc_id"))
-        SignatureZone.delete(dels, sigZone)
-        Dedup.md5ZoneDelete(dels, md5Zone)
+        // the four writes land in four disjoint dirs (bands, md5 rows,
+        // and the two tombstone lists) and no decision reads between
+        // them inside a batch — one concurrent group (§2.6)
+        inParallel(
+          () => SignatureZone.append(ins, sigZone),
+          () => Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone),
+          () => SignatureZone.delete(dels, sigZone),
+          () => Dedup.md5ZoneDelete(dels, md5Zone))
       }
       // retention GC in the streamed posture: fold the tombstones (and
-      // the per-batch file storm) for good before serving
-      val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+      // the per-batch file storm) for good before serving — independent
+      // zones, concurrent compactions (§2.6)
+      var sOpt: (Int, Int) = null
+      var mOpt: (Int, Int) = null
+      inParallel(
+        () => sOpt = SignatureZone.optimize(spark, sigZone),
+        () => mOpt = Dedup.optimizeMd5Zone(spark, md5Zone))
+      val (sb, sa) = sOpt
       require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
       // no tombstone ROWS may survive the fold; the dir itself may
       // linger only as an empty scaffold a concurrent marker left
       require(!graft.core.Fs.hasParquetFiles(spark, s"$sigZone/tombstones"),
         "optimize left the band tombstone list")
-      val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+      val (mb, ma) = mOpt
       require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
       val docs = graft.core.Tables(spark, dir, "documents")
       graft.queries.TrainingData.admissionDecisions(spark,
@@ -1947,7 +1981,7 @@ object EventStream {
     import graft.operators.{AnnIndexZone, Dedup, SignatureZone}
     import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
     val emb = graft.core.Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val (src, schema) = stagedCdcEmbeddedLoopSource(spark, dir)
     val sigZone = root.resolve("sig").toString
     val md5Zone = root.resolve("md5").toString
@@ -1961,34 +1995,56 @@ object EventStream {
         .select(col("doc_id"), col("text"))
       val dels = batch.filter(col("op") === "D").select(col("doc_id"))
       // tombstones FIRST: this batch's decisions see the corpus as of
-      // this batch — dead history must not block re-admission
-      SignatureZone.delete(dels, sigZone)
-      Dedup.md5ZoneDelete(dels, md5Zone)
-      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
+      // this batch — dead history must not block re-admission. The
+      // three zones' tombstone dirs are disjoint — concurrent jobs
+      // (§2.6), ordering preserved GROUP-wise (all deletes join before
+      // the decide below)
+      inParallel(
+        () => SignatureZone.delete(dels, sigZone),
+        () => Dedup.md5ZoneDelete(dels, md5Zone),
+        () => AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone))
       // decide (batch 0 is history backfill — nothing to decide) and
       // MATERIALIZE the fates before any feedback append; overwrite
-      // makes a checkpoint-replayed batch rewrite identical fates
-      if (id > 0)
+      // makes a checkpoint-replayed batch rewrite identical fates.
+      // The self-exclusion scalar is computed ONCE per batch and
+      // threaded through both gates; ordered=false — the fates are
+      // re-read and globally ordered after the stream
+      if (id > 0) {
+        val minRow = ins.agg(min(col("doc_id"))).head()
+        val selfCut =
+          if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
         graft.queries.TrainingData.semanticAdmissionDecisions(
-            spark, docs, emb, ins, md5Zone, sigZone, annZone)
+            spark, docs, emb, ins, md5Zone, sigZone, annZone,
+            selfCutOpt = Some(selfCut), ordered = false)
           .write.mode("overwrite").parquet(s"$fates/round=$id")
-      // ...then feed back: the batch joins ingested history
-      SignatureZone.append(ins, sigZone)
-      Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
-      AnnIndexZone.appendIndex(
-        emb.join(ins.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi"), annZone)
+      }
+      // ...then feed back: the batch joins ingested history (disjoint
+      // zone dirs — concurrent, after the fates materialized above)
+      inParallel(
+        () => SignatureZone.append(ins, sigZone),
+        () => Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone),
+        () => AnnIndexZone.appendIndex(
+          emb.join(ins.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), annZone))
       // one round's working set, not K (c9's release discipline)
       graft.core.Caches.release()
     }
     // retention GC in the streamed posture: fold tombstones + the
     // per-batch file storm for good (result-invisible: fates are on
-    // disk; the folded zones answer later probes identically)
-    val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+    // disk; the folded zones answer later probes identically) —
+    // independent zones, concurrent compactions (§2.6)
+    var sOpt: (Int, Int) = null
+    var mOpt: (Int, Int) = null
+    var aOpt: (Int, Int) = null
+    inParallel(
+      () => sOpt = SignatureZone.optimize(spark, sigZone),
+      () => mOpt = Dedup.optimizeMd5Zone(spark, md5Zone),
+      () => aOpt = AnnIndexZone.optimize(spark, annZone))
+    val (sb, sa) = sOpt
     require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
-    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    val (mb, ma) = mOpt
     require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
-    val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+    val (ab, aa) = aOpt
     require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
     spark.read.parquet(fates)
       .select(col("doc_id"), col("round").cast("long").as("round"),
@@ -2187,7 +2243,7 @@ object EventStream {
     val bpeZone = root.resolve("bpe").toString
     val priced = root.resolve("priced").toString
     val docs = graft.core.Tables(spark, dir, "documents")
-    val histCut = graft.core.Tables(spark, dir, "embeddings").count() / 4L
+    val histCut = graft.core.Tables.countOf(spark, dir, "embeddings") / 4L
     // the slice-0 fit, trained BEFORE the stream opens and persisted
     // (tokenizer state belongs to the last refresh, not to a batch)
     Bpe.saveMerges(spark, Bpe.train(docs.filter(col("doc_id") < histCut),
@@ -2253,7 +2309,7 @@ object EventStream {
     import graft.queries.TrainingData
     import graft.queries.TrainingData.{minhashBands, minhashK, shingleN}
     val emb = graft.core.Tables(spark, dir, "embeddings")
-    val embTotal = emb.count()
+    val embTotal = graft.core.Tables.countOf(spark, dir, "embeddings")
     val (src, schema) = stagedCdcProductionSource(spark, dir)
     val sigZone = root.resolve("sig").toString
     val md5Zone = root.resolve("md5").toString
@@ -2285,12 +2341,25 @@ object EventStream {
         .select(col("doc_id"), col("source"), col("text"))
       val dels = batch.filter(col("op") === "D").select(col("doc_id"))
       // tombstones FIRST (st25's rule: this batch's decisions see the
-      // corpus as of this batch)
-      SignatureZone.delete(dels, sigZone)
-      Dedup.md5ZoneDelete(dels, md5Zone)
-      AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)
-      if (mediaGate)
-        graft.operators.HammingZone.delete(dels, hamZone)
+      // corpus as of this batch) — disjoint zone dirs, concurrent jobs
+      // (§2.6); the whole group joins before the refresh/decide below
+      inParallel(Seq(
+        () => SignatureZone.delete(dels, sigZone),
+        () => Dedup.md5ZoneDelete(dels, md5Zone),
+        () => AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)) ++
+        (if (mediaGate)
+          Seq(() => graft.operators.HammingZone.delete(dels, hamZone))
+        else Nil): _*)
+      // the batch's min insert id: the crash-replay self-exclusion
+      // scalar shared by the refresh AND every decide gate — one 1-row
+      // agg per batch instead of one per gate
+      val minIns0 =
+        if (refreshAtBatch.contains(id) || id > 0)
+          ins.agg(min(col("doc_id"))).head.get(0)
+        else null
+      val selfCut: Long =
+        if (minIns0 == null) Long.MaxValue
+        else minIns0.asInstanceOf[Long]
       if (refreshAtBatch.contains(id)) {
         // The scheduled re-fit, at trigger START (before this batch's
         // decide), AFTER this batch's tombstones, SELF-EXCLUDING this
@@ -2306,23 +2375,27 @@ object EventStream {
         // The live history is read from the md5 zone's OWN keeper
         // rows: ingested minus tombstoned, exactly the state every
         // gate probes — no side-channel corpus knowledge.
-        val minIns = ins.agg(min(col("doc_id"))).head.get(0)
         val liveAll = Dedup.md5ZoneRead(spark, md5Zone)
           .select(col("keeper_id").as("doc_id")).distinct()
         val live = graft.core.Caches.persistTracked(
-          if (minIns == null) liveAll
-          else liveAll.filter(col("doc_id") < lit(minIns)))
-        graft.operators.ZoneRebuild.rebuild(spark, s"$root/cal") { staging =>
-          TrainingData.calibrationThresholds(
-              docs.join(live, Seq("doc_id"), "left_semi")
-                .select(col("doc_id"), col("source"), col("text")))
-            .write.parquet(staging)
-        }
-        graft.operators.ZoneRebuild.rebuild(spark, s"$root/cents") { staging =>
-          Similarity.saveCentroids(spark, Similarity.kmeansFit(
-            emb.join(live.select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "left_semi")), staging)
-        }
+          if (minIns0 == null) liveAll
+          else liveAll.filter(col("doc_id") < lit(selfCut)))
+        // the two re-fits read the SAME persisted live set and land in
+        // disjoint zone dirs — concurrent rebuilds (§2.6): the
+        // threshold scan back-fills the Lloyd fit's driver-sequential
+        // seeding tail
+        inParallel(
+          () => graft.operators.ZoneRebuild.rebuild(spark, s"$root/cal") { staging =>
+            TrainingData.calibrationThresholds(
+                docs.join(live, Seq("doc_id"), "left_semi")
+                  .select(col("doc_id"), col("source"), col("text")))
+              .write.parquet(staging)
+          },
+          () => graft.operators.ZoneRebuild.rebuild(spark, s"$root/cents") { staging =>
+            Similarity.saveCentroids(spark, Similarity.kmeansFit(
+              emb.join(live.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")), staging)
+          })
       }
       // decision state re-read per trigger: the last refresh's output,
       // whichever trigger it landed at (k-row reads — negligible)
@@ -2340,10 +2413,12 @@ object EventStream {
         val decided =
           if (mediaGate) TrainingData.mediaAdmissionDecisions(
             spark, docs, emb, ins, md5Zone, sigZone, annZone, hamZone,
-            calThresholds = Some(cal), deltaSigs = batchSigs)
+            calThresholds = Some(cal), deltaSigs = batchSigs,
+            selfCutOpt = Some(selfCut), ordered = false)
           else TrainingData.semanticAdmissionDecisions(
             spark, docs, emb, ins, md5Zone, sigZone, annZone,
-            calThresholds = Some(cal))
+            calThresholds = Some(cal),
+            selfCutOpt = Some(selfCut), ordered = false)
         decided.write.mode("overwrite").parquet(s"$fates/round=$id")
         // the shard tail reads the fates BACK from disk — lineage
         // truncation (the c14 localCheckpoint rule: the tail's four
@@ -2358,24 +2433,39 @@ object EventStream {
         TrainingData.admissionShardTail(docs, kept, cids)
           .write.mode("overwrite").parquet(s"$shards/round=$id")
       }
-      // ...then feed back: the batch joins ingested history
-      SignatureZone.append(ins.select(col("doc_id"), col("text")), sigZone)
-      Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone)
-      AnnIndexZone.appendIndex(
-        emb.join(ins.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi"), annZone)
-      batchSigs.foreach(graft.operators.HammingZone.append(_, hamZone))
+      // ...then feed back: the batch joins ingested history (disjoint
+      // zone dirs — concurrent, after the fates/shards materialized)
+      inParallel(Seq(
+        () => SignatureZone.append(ins.select(col("doc_id"), col("text")), sigZone),
+        () => Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone),
+        () => AnnIndexZone.appendIndex(
+          emb.join(ins.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), annZone)) ++
+        batchSigs.map(bs =>
+          () => graft.operators.HammingZone.append(bs, hamZone)): _*)
       graft.core.Caches.release()
     }
     // retention GC in the streamed posture (st25's closing discipline)
-    val (sb, sa) = SignatureZone.optimize(spark, sigZone)
+    // — independent zones, concurrent compactions (§2.6)
+    var sOpt: (Int, Int) = null
+    var mOpt: (Int, Int) = null
+    var aOpt: (Int, Int) = null
+    var hOpt: (Int, Int) = null
+    inParallel(Seq(
+      () => sOpt = SignatureZone.optimize(spark, sigZone),
+      () => mOpt = Dedup.optimizeMd5Zone(spark, md5Zone),
+      () => aOpt = AnnIndexZone.optimize(spark, annZone)) ++
+      (if (mediaGate)
+        Seq(() => hOpt = graft.operators.HammingZone.optimize(spark, hamZone))
+      else Nil): _*)
+    val (sb, sa) = sOpt
     require(sa <= sb && sa > 0, s"band optimize produced $sa of $sb files")
-    val (mb, ma) = Dedup.optimizeMd5Zone(spark, md5Zone)
+    val (mb, ma) = mOpt
     require(ma <= mb && ma > 0, s"md5 optimize produced $ma of $mb files")
-    val (ab, aa) = AnnIndexZone.optimize(spark, annZone)
+    val (ab, aa) = aOpt
     require(aa <= ab && aa > 0, s"ann optimize produced $aa of $ab files")
     if (mediaGate) {
-      val (hb, ha) = graft.operators.HammingZone.optimize(spark, hamZone)
+      val (hb, ha) = hOpt
       require(ha <= hb && ha > 0, s"hamming optimize produced $ha of $hb files")
     }
     spark.read.parquet(fates)

@@ -39,7 +39,9 @@ object Profile {
       .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // noop sink like Bench (guide §1.4): count() would let the
+        // optimizer prune lazy tails and under-measure
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         finally graft.core.Caches.release(blocking = true)
         (System.nanoTime() - t0) / 1e9
       }
