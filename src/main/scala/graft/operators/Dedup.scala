@@ -419,7 +419,10 @@ object Dedup {
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           col("component").as("prev"))
         .localCheckpoint()
-      converged = next.filter(col("component") =!= col("prev")).count() == 0
+      // isEmpty (a take-1 over the just-checkpointed blocks), not
+      // count(): the convergence probe needs existence, not a total —
+      // count pays a partial+final aggregate exchange per round
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
       labels = next.drop("prev")
       it += 1
     }

@@ -2447,11 +2447,17 @@ object TrainingData {
             .otherwise(col("quality_score") >= col("thr")),
           lit(false)))
     }
-    // every fate consumer joins back to the scored delta; persist it
-    // (tracked) so the regex feature extraction runs once
-    val scored = graft.core.Caches.persistTracked(
+    // every fate consumer joins back to the scored delta; localCheckpoint
+    // (eager, not a persist) so the regex feature extraction runs once
+    // AND the lineage truncates — a persisted-but-untruncated plan nests
+    // the whole scoring subtree into every downstream consumer, and the
+    // round-18 JobProfile measured the decide's final checkpoint planning
+    // 350+-node trees per micro-batch (driver planning/codegen over k-row
+    // cached frames was the loop trio's single biggest cost). The frame
+    // is delta-sized, so the checkpoint is bounded (the c9/CC rule).
+    val scored =
       withPass.select(col("doc_id"), col("text"), col("quality_score"),
-        col("q_pass")))
+        col("q_pass")).localCheckpoint()
     val gated = scored.filter(col("q_pass"))
     // CRASH-REPLAY self-exclusion: foreachBatch is at-least-once, so a
     // replayed batch can re-decide AFTER its own feedback appends
@@ -2471,7 +2477,10 @@ object TrainingData {
     // keepers and the gated delta (ids are globally unique, so the
     // least() is the global min-keeper rule c2/c7 apply, evaluated
     // without touching history text)
-    val ex = graft.core.Caches.persistTracked(gated
+    // same truncation rule as `scored`: two consumers (survivors + the
+    // final fate join), delta-sized, and its lineage would otherwise
+    // nest the zone probe into the final plan
+    val ex = (gated
       .withColumn("text_md5", md5(col("text")))
       .withColumn("delta_min",
         min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
@@ -2488,15 +2497,19 @@ object TrainingData {
         when(col("hist_keeper").isNull, col("delta_min"))
           .otherwise(least(col("hist_keeper"), col("delta_min"))))
       .select(col("doc_id"), col("text"), col("exact_block")))
+      .localCheckpoint()
     val survivors = ex.filter(col("exact_block") === col("doc_id"))
     // three consumers (two vertex legs + the CC fixpoint's checkpoint)
-    // would each re-run the zone probe and verify joins — persist the
-    // verified pair list once (it is pair-sized, tiny next to the work)
-    val pairs = graft.core.Caches.persistTracked(
+    // would each re-run the zone probe and verify joins — materialize
+    // the verified pair list once (pair-sized, tiny next to the work)
+    // and TRUNCATE: the probe pipeline's ~100-node subtree must not
+    // nest into the vertex legs and the final fate join
+    val pairs =
       graft.operators.SignatureZone.incrementalPairs(
           docs, survivors.select(col("doc_id"), col("text")),
           sigZoneDir, jaccardThreshold, maxZoneDocId = Some(selfCut))
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
     val vertices = survivors.select(col("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))
       .union(pairs.select(col("doc_b").as("doc_id")))
@@ -2997,12 +3010,15 @@ object TrainingData {
     // vectors — already in the index from the pre-crash appends — would
     // become same-batch semantic blockers the clean timeline never saw
     // the vector gate probes the zone with KEPT survivors only
-    val pairs = graft.core.Caches.persistTracked(
+    // materialize + truncate (the admissionDecisions `pairs` rule): the
+    // ANN probe's subtree must not nest into the vertex legs / fate join
+    val pairs =
       graft.operators.AnnIndexZone.incrementalPairs(
           emb, emb.join(keptIds, Seq("vec_id"), "left_semi"),
           annZoneDir, minCos = semanticCosThreshold,
           maxZoneVecId = Some(selfCut))
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
     val vertices = keptIds.select(col("vec_id").as("doc_id"))
       .union(pairs.select(col("doc_a").as("doc_id")))
       .union(pairs.select(col("doc_b").as("doc_id")))
@@ -3087,10 +3103,12 @@ object TrainingData {
     val keptSigs = deltaSigs
       .getOrElse(audioSigs(docs.join(keptIds, Seq("doc_id"), "left_semi")))
       .join(keptIds, Seq("doc_id"), "left_semi")
-    val pairs = graft.core.Caches.persistTracked(
+    // materialize + truncate (the admissionDecisions `pairs` rule)
+    val pairs =
       graft.operators.HammingZone.incrementalPairs(keptSigs, hamZoneDir,
           maxZoneDocId = Some(selfCut))
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
     val vertices = keptIds
       .union(pairs.select(col("doc_a").as("doc_id")))
       .union(pairs.select(col("doc_b").as("doc_id")))

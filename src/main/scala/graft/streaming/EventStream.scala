@@ -65,6 +65,23 @@ object EventStream {
     */
   private def inParallel(ops: (() => Unit)*): Unit = graft.core.Par.run(ops: _*)
 
+  /** ONE 1-row aggregation over a CDC micro-batch yielding both batch
+    * scalars every loop needs: the crash-replay self-exclusion cut (min
+    * insert doc_id; Long.MaxValue when the batch has no inserts) and
+    * whether the batch carries any delete rows. Folding the two into a
+    * single pass lets the loops SKIP the per-zone tombstone writes on
+    * delete-free batches (3-4 zone-dir writes of zero rows per batch —
+    * pure fixed cost; appending nothing is a no-op by the zones'
+    * append-only read semantics) without paying a separate existence
+    * probe: the min-insert agg already ran per batch.
+    */
+  private def batchCutAndDeletes(batch: DataFrame): (Long, Boolean) = {
+    val r = batch.agg(
+      min(when(col("op") === "I", col("doc_id"))),
+      count(when(col("op") === "D", lit(1)))).head()
+    (if (r.isNullAt(0)) Long.MaxValue else r.getLong(0), r.getLong(1) > 0L)
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1994,12 +2011,16 @@ object EventStream {
       val ins = batch.filter(col("op") === "I")
         .select(col("doc_id"), col("text"))
       val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // ONE 1-row agg per batch yields the self-exclusion cut and the
+      // delete-presence flag ([[batchCutAndDeletes]]) — delete-free
+      // batches skip the three zero-row tombstone writes outright
+      val (selfCut, hasDels) = batchCutAndDeletes(batch)
       // tombstones FIRST: this batch's decisions see the corpus as of
       // this batch — dead history must not block re-admission. The
       // three zones' tombstone dirs are disjoint — concurrent jobs
       // (§2.6), ordering preserved GROUP-wise (all deletes join before
       // the decide below)
-      inParallel(
+      if (hasDels) inParallel(
         () => SignatureZone.delete(dels, sigZone),
         () => Dedup.md5ZoneDelete(dels, md5Zone),
         () => AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone))
@@ -2010,9 +2031,6 @@ object EventStream {
       // threaded through both gates; ordered=false — the fates are
       // re-read and globally ordered after the stream
       if (id > 0) {
-        val minRow = ins.agg(min(col("doc_id"))).head()
-        val selfCut =
-          if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
         graft.queries.TrainingData.semanticAdmissionDecisions(
             spark, docs, emb, ins, md5Zone, sigZone, annZone,
             selfCutOpt = Some(selfCut), ordered = false)
@@ -2340,26 +2358,22 @@ object EventStream {
       val ins = batch.filter(col("op") === "I")
         .select(col("doc_id"), col("source"), col("text"))
       val dels = batch.filter(col("op") === "D").select(col("doc_id"))
+      // ONE 1-row agg per batch yields the self-exclusion cut for the
+      // refresh and every decide gate AND whether this batch carries
+      // deletes at all ([[batchCutAndDeletes]]) — delete-free batches
+      // skip the per-zone tombstone writes outright (3-4 zero-row
+      // fixed-cost writes per batch, measured round 18)
+      val (selfCut, hasDels) = batchCutAndDeletes(batch)
       // tombstones FIRST (st25's rule: this batch's decisions see the
       // corpus as of this batch) — disjoint zone dirs, concurrent jobs
       // (§2.6); the whole group joins before the refresh/decide below
-      inParallel(Seq(
+      if (hasDels) inParallel(Seq(
         () => SignatureZone.delete(dels, sigZone),
         () => Dedup.md5ZoneDelete(dels, md5Zone),
         () => AnnIndexZone.delete(dels.select(col("doc_id").as("vec_id")), annZone)) ++
         (if (mediaGate)
           Seq(() => graft.operators.HammingZone.delete(dels, hamZone))
         else Nil): _*)
-      // the batch's min insert id: the crash-replay self-exclusion
-      // scalar shared by the refresh AND every decide gate — one 1-row
-      // agg per batch instead of one per gate
-      val minIns0 =
-        if (refreshAtBatch.contains(id) || id > 0)
-          ins.agg(min(col("doc_id"))).head.get(0)
-        else null
-      val selfCut: Long =
-        if (minIns0 == null) Long.MaxValue
-        else minIns0.asInstanceOf[Long]
       if (refreshAtBatch.contains(id)) {
         // The scheduled re-fit, at trigger START (before this batch's
         // decide), AFTER this batch's tombstones, SELF-EXCLUDING this
@@ -2378,7 +2392,7 @@ object EventStream {
         val liveAll = Dedup.md5ZoneRead(spark, md5Zone)
           .select(col("keeper_id").as("doc_id")).distinct()
         val live = graft.core.Caches.persistTracked(
-          if (minIns0 == null) liveAll
+          if (selfCut == Long.MaxValue) liveAll
           else liveAll.filter(col("doc_id") < lit(selfCut)))
         // the two re-fits read the SAME persisted live set and land in
         // disjoint zone dirs — concurrent rebuilds (§2.6): the
@@ -2420,9 +2434,16 @@ object EventStream {
             calThresholds = Some(cal),
             selfCutOpt = Some(selfCut), ordered = false)
         decided.write.mode("overwrite").parquet(s"$fates/round=$id")
-        // the shard tail reads the fates BACK from disk — lineage
-        // truncation (the c14 localCheckpoint rule: the tail's four
-        // consumers must not each nest the full admission subtree)
+      }
+      // the shard tail reads the fates BACK from disk — lineage
+      // truncation (the c14 localCheckpoint rule: the tail's four
+      // consumers must not each nest the full admission subtree).
+      // It reads only fates/docs/emb/cents, the feedback appends write
+      // only the four zone dirs — disjoint, so the tail rides the SAME
+      // concurrent group as the appends (§2.6 widened, round 18): the
+      // write-then-append ordering only requires the FATES on disk
+      // before any append, which the write above already guarantees.
+      val shardTail: Seq[() => Unit] = if (id > 0) Seq(() => {
         val kept = spark.read.parquet(s"$fates/round=$id")
           .filter(col("fate") === "kept")
           .select(col("doc_id"), col("quality_score"))
@@ -2432,10 +2453,10 @@ object EventStream {
           .select(col("vec_id").as("doc_id"), col("cid"))
         TrainingData.admissionShardTail(docs, kept, cids)
           .write.mode("overwrite").parquet(s"$shards/round=$id")
-      }
+      }) else Nil
       // ...then feed back: the batch joins ingested history (disjoint
-      // zone dirs — concurrent, after the fates/shards materialized)
-      inParallel(Seq(
+      // zone dirs — concurrent, after the fates materialized)
+      inParallel(shardTail ++ Seq(
         () => SignatureZone.append(ins.select(col("doc_id"), col("text")), sigZone),
         () => Dedup.md5ZoneAppend(ins, col("text"), col("doc_id"), md5Zone),
         () => AnnIndexZone.appendIndex(

@@ -25,7 +25,10 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // A/B seam for measuring AQE's per-action fixed cost on k-row
+      // micro-batch plans (dev-only; Bench itself stays AQE-on)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", graft.core.Scratch.dir("graft_wh"))
       .config("spark.local.dir", graft.core.Scratch.sparkLocalDir())
@@ -63,10 +66,33 @@ object JobProfile {
                 !l.startsWith(":"))
               .take(2).mkString(" | "))
             .filter(_.nonEmpty).getOrElse("?")
-          val d0 =
-            if (s.description != null && s.description.trim.nonEmpty)
-              s.description.trim.linesIterator.next()
-            else s.details.linesIterator.find(_.trim.nonEmpty).getOrElse(planSig)
+          // the streaming engine stamps every foreachBatch child with
+          // the stream's run id ("id = <uuid>"), and their callsite is
+          // the stream's start() — both useless for attribution. Label
+          // nested executions by their PHYSICAL PLAN signature instead
+          // (root nodes, uuids/ids normalized so per-batch scratch
+          // paths group together).
+          def planLabel: String = Option(s.physicalPlanDescription)
+            .map { p =>
+              val nodes = p.linesIterator
+                .dropWhile(!_.startsWith("== Physical Plan =="))
+                .drop(1).take(3)
+                .map(_.replaceAll("[#][0-9]+", "")
+                  .replaceAll("[0-9a-f]{8}-[0-9a-f-]{27,}", "*")
+                  .replaceAll("[0-9]{4,}", "N")
+                  .replaceAll("round=[0-9]+", "round=K")
+                  .trim)
+                .mkString(" | ")
+              if (nodes.nonEmpty) nodes.take(160) else planSig
+            }
+            .getOrElse(planSig)
+          val rawDesc = Option(s.description).map(_.trim).filter(_.nonEmpty)
+            .map(_.linesIterator.next())
+          val d0 = rawDesc match {
+            case Some(x) if !root && x.startsWith("id = ") => planLabel
+            case Some(x) => x
+            case None => planLabel
+          }
           val d = if (root) d0 else "  nested: " + d0
           execStarts.put(s.executionId, (s.time, d)): Unit
         case s: SparkListenerSQLExecutionEnd =>

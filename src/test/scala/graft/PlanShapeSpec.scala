@@ -615,27 +615,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** Union of hash-exchange key tuples over EVERY SQL execution a
+    * query's construction + noop run triggers. The decide chain's
+    * stages (scored/exact/pairs) are EAGERLY localCheckpoint'ed since
+    * round 18 (lineage truncation — the loop trio's dominant cost was
+    * Catalyst re-planning 350-node persisted-but-untruncated trees per
+    * micro-batch), so the admission boundaries no longer appear in the
+    * FINAL plan: each stage executes as its own job with its own plan.
+    * A listener over all executions preserves the original pin — the
+    * same shuffles still happen, in stage plans instead of one tree.
+    */
+  private def allExecutionKeyTuples(name: String): Set[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      // the execution-listener bus is async and has no public flush —
+      // same drain discipline as graft.tools.JobProfile
+      Thread.sleep(1500)
+    } finally {
+      spark.listenerManager.unregister(l)
+      graft.core.Caches.release()
+    }
+    import scala.jdk.CollectionConverters._
+    plans.asScala.flatMap(p => exchangeKeyTuples(p)).toSet
+  }
+
   test("c8: exchange keys are exactly the admission boundaries — md5 stage, band probes, pair verify, id handoffs") {
-    val p = plan("c8_incremental_curation")
-    // Same discipline as c7's pin: persisted stages nest their cached
-    // build plans and the printer replicates subtrees, so occurrence
-    // counts are meaningless — pin the SET of hash-exchange key TUPLES.
-    // `text_md5` (the exact stage's window + zone probe), `(band, bh)`
-    // (the signature-zone probe and internal self-join), `doc_a` /
-    // `(doc_b, shingle)` / `(doc_id, shingle)` (candidate-pair
-    // verification's two shingle-attach joins), `(doc_a, doc_b)` (the
-    // pair DISTINCT and the common-shingle count), `doc_id` (stage
-    // handoffs and the CC fixpoint's vertex key), `component` (CC
-    // resolution tail). Any other key — including a rogue secondary
-    // column on one of these exchanges — would mean a stage shuffles
-    // the delta or history on something its boundary doesn't require;
-    // in particular no corpus-content key beyond md5 and no
+    // prime the session-lifetime staged zones + count caches so the
+    // listener below sees ONLY the per-delta decide executions, not the
+    // one-time staging build
+    plan("c8_incremental_curation")
+    // Pin the SET of hash-exchange key TUPLES across ALL stage
+    // executions (see allExecutionKeyTuples): `text_md5` (the exact
+    // stage's window + zone probe), `(band, bh)` (the signature-zone
+    // probe and internal self-join), `doc_a` / `(doc_b, shingle)` /
+    // `(doc_id, shingle)` (candidate-pair verification's two
+    // shingle-attach joins), `(doc_a, doc_b)` (the pair DISTINCT and
+    // the common-shingle count), `doc_id` (stage handoffs and the CC
+    // fixpoint's vertex key), `component` (CC resolution tail), and —
+    // visible now that the CC fixpoint's per-round plans are captured
+    // too — `src` / `dst` (the symmetric-edge label propagation; these
+    // always executed as separate checkpointed jobs, the old final-plan
+    // pin just could not see them). Any other key — including a rogue
+    // secondary column on one of these exchanges — would mean a stage
+    // shuffles the delta or history on something its boundary doesn't
+    // require; in particular no corpus-content key beyond md5 and no
     // embedding-side key may appear (c8 never touches embeddings).
-    val keys = exchangeKeyTuples(p)
-    assert(keys == Set("band,bh", "component", "doc_a", "doc_a,doc_b",
-      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5"),
-      s"exchange key tuples: $keys\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    val keys = allExecutionKeyTuples("c8_incremental_curation")
+    val expected = Set("band,bh", "component", "doc_a", "doc_a,doc_b",
+      "doc_b,shingle", "doc_id", "doc_id,shingle", "text_md5", "src", "dst")
+    assert(keys == expected, s"exchange key tuples: $keys")
+    // the truncated FINAL plan keeps only the fate-join tail's keys
+    val tail = exchangeKeyTuples(plan("c8_incremental_curation"))
+    assert(tail.subsetOf(Set("doc_id", "component")),
+      s"unexpected tail exchange keys: $tail")
   }
 
   test("c10: centroid assignment adds NO exchange beyond the admission core and the kept-id handoff") {
