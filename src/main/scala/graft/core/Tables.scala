@@ -27,6 +27,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan widening for COMPUTE-HEAVY per-row operators
+    * (media decode, trained-BPE encode): when the input plan yields
+    * fewer partitions than the session's default parallelism — the
+    * single-row-group-file case, where a parquet scan is one task no
+    * matter the core count — round-robin repartition up to it so the
+    * expensive projection actually uses the machine. At deployment
+    * scale input splits ≫ cores and this is a no-op branch (no added
+    * exchange); it must ONLY wrap operators whose per-row cost
+    * dominates a narrow shuffle of their input columns. Result-
+    * invariant: every consumer is partitioning-independent by the
+    * oracle contract (deterministic hash ranks, total output ORDER BY).
+    */
+  def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // Base-table row counts keyed on the file's listing fingerprint —
   // the incremental cuts (count*4/5) and window bounds re-run a 1-row
   // count job at the head of nearly every training-data query and

@@ -498,7 +498,12 @@ object Multimodal {
   def asMedia(df: DataFrame): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+    // widen BEFORE the decode map: payload synthesis + every downstream
+    // codec pass is the expensive per-row step, and a single-row-group
+    // input would otherwise run it as ONE task (graft.core.Tables.widened
+    // — a no-op branch once input splits ≥ cores)
+    graft.core.Tables.widened(df.select(col("doc_id"), col("text")))
+      .as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val mediaType =
           if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"

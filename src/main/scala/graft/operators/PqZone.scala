@@ -68,12 +68,20 @@ object PqZone {
       dims: Int = 64): Seq[Seq[Array[Long]]] = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
-    (0 until m).map { s =>
-      Similarity.kmeansFit(
+    // the m subspace chains are INDEPENDENT deterministic Lloyd fits —
+    // run them as concurrent driver threads (§2.6): each chain is
+    // k seeding TakeOrdered jobs + (iters-1) recompute collects of a
+    // tiny frame, all driver-latency-bound, so overlapping them cuts
+    // the fit wall ~m× without touching any result (round-18 JobProfile:
+    // the sequential seeding heads were c16's single largest cost)
+    val books = new Array[Seq[Array[Long]]](m)
+    graft.core.Par.run((0 until m).map(s => () => {
+      books(s) = Similarity.kmeansFit(
         emb.select(col("vec_id"),
           slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
         k, iters)
-    }
+    }): _*)
+    books.toSeq
   }
 
   /** Create an empty zone under FIXED codebooks. Idempotent for a

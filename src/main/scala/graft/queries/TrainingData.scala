@@ -1379,7 +1379,10 @@ object TrainingData {
     val toks = TextOps.tokens(col("text"))
     val nSyms0 = aggregate(
       transform(toks, w => length(w).cast("long")), lit(0L), _ + _)
-    docs.select(
+    // the literal replace-chain encode is the expensive per-row step —
+    // widen a narrow input so it parallelizes (no-op at scale; see
+    // graft.core.Tables.widened)
+    graft.core.Tables.widened(docs.select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         size(toks).cast("long").as("n_words"),
         nSyms0.as("n_syms0"),
