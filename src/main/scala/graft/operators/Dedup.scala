@@ -95,7 +95,13 @@ object Dedup {
     // Inlining `tokens(text)` directly would re-run regexp_extract_all
     // per array element inside `slice` (O(tokens) regex evals per doc —
     // observed 50x slowdown in the physical plan).
-    val withToks = df.select(idCol.as("doc_id"), tokens(text).as("toks"))
+    // Widen a narrow input first: tokenize+shingle is the expensive
+    // per-row step and a single-split scan (micro-batch file, single-
+    // row-group fixture) would run it as ONE task — no-op at scale
+    // (graft.core.Tables.widened).
+    val withToks = graft.core.Tables.widened(
+      df.select(idCol.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), tokens(col("__t")).as("toks"))
     val toks = col("toks")
     val grams = filter(
       transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
@@ -114,7 +120,10 @@ object Dedup {
     */
   def windowHashes(df: DataFrame, idCol: Column, text: Column,
       w: Int): DataFrame =
-    df.select(idCol.as("doc_id"), tokens(text).as("t"))
+    // same widening rule as [[shingles]]: the per-position md5 chain is
+    // the expensive per-row step (no-op at scale)
+    graft.core.Tables.widened(df.select(idCol.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), tokens(col("__t")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") >= w)
       .select(col("doc_id"), posexplode(expr(
